@@ -1,0 +1,103 @@
+"""Shared fixtures: synthetic seeded images + a virtual 8-device CPU mesh.
+
+Mirrors the reference test strategy (reference tests/conftest.py): fast,
+deterministic, CPU-only tests on synthetic 64×64 arrays — no real DICOM
+files or API keys required.  JAX is forced onto 8 virtual CPU devices so
+multi-chip sharding is exercised without TPU hardware.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("MDX_DB_PATH", "")  # set per-test via tmp_path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture()
+def clean_image():
+    """Smooth diagonal gradient with mild structure — no quality issues."""
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = 0.25 + 0.5 * (xx + yy) / 126.0
+    img += 0.05 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+@pytest.fixture()
+def noisy_image():
+    """Heavy Gaussian noise on a gradient — triggers the noise issue."""
+    r = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = 0.5 + 0.2 * (xx - 32) / 64.0 + r.normal(0, 0.15, (64, 64))
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+@pytest.fixture()
+def low_contrast_image():
+    """Values squeezed into [0.45, 0.55] — triggers low_contrast."""
+    r = np.random.default_rng(3)
+    img = 0.5 + 0.05 * np.tanh(r.normal(0, 1.0, (64, 64)))
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+@pytest.fixture()
+def clipped_image():
+    """Saturated shadows and highlights — triggers clipping issues."""
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    img = (xx - 16) / 32.0
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+@pytest.fixture()
+def no_issue_metrics():
+    """Hand-built metric dict that triggers no issues."""
+    return {
+        "sigma": 0.02, "lap_var": 0.01, "std": 0.2,
+        "pct_low": 0.0, "pct_high": 0.0,
+    }
+
+
+@pytest.fixture()
+def all_issue_metrics():
+    """Hand-built metric dict that triggers all five issues."""
+    return {
+        "sigma": 0.2, "lap_var": 0.0001, "std": 0.05,
+        "pct_low": 0.05, "pct_high": 0.05,
+    }
+
+
+@pytest.fixture()
+def valid_plan_dict():
+    """A plan dict within PARAM_BOUNDS (mirror of reference conftest :58-76)."""
+    return {
+        "recommended_ops": ["denoise", "clahe", "unsharp"],
+        "params": {
+            "clahe_clip_limit": 0.02,
+            "clahe_tile_size": 16,
+            "gamma": 1.0,
+            "unsharp_radius": 1.0,
+            "unsharp_amount": 0.6,
+            "denoise_mode": "soft",
+            "post_denoise_strength": 0.3,
+            "bilateral_d": 0,
+            "bilateral_sigma_color": 0.05,
+            "bilateral_sigma_space": 0.05,
+            "tv_denoise_weight": 0.0,
+        },
+        "risk_warnings": ["may amplify noise"],
+        "rationale": "test plan",
+        "safety": "do not over-sharpen",
+        "stop_reason": None,
+    }
