@@ -1,0 +1,333 @@
+"""From-scratch DICOM reader (no pydicom dependency).
+
+Supports the uncompressed transfer syntaxes that cover CT/CXR/MR/US exports:
+
+* Implicit VR Little Endian        1.2.840.10008.1.2
+* Explicit VR Little Endian        1.2.840.10008.1.2.1
+* Explicit VR Big Endian (retired) 1.2.840.10008.1.2.2
+
+plus headerless "raw" datasets (no preamble, implicit VR) that some tools
+emit.  Encapsulated (compressed) pixel data raises :class:`DicomError`.
+
+Behavioural contract mirrored from the reference (pipeline/dicom_io.py:29-57):
+modality rescale (slope/intercept), MONOCHROME1 inversion, grayscale /
+middle-slice reduction, and the non-PHI metadata whitelist {Modality,
+BodyPartExamined, StudyDescription}.  Extension over the reference:
+:func:`load_series` keeps *all* frames as [F, H, W] for mesh sharding
+instead of discarding everything but the middle slice.
+
+When the C++ fast path (``mdx.io.native``) is built, pixel unpack + rescale
+of large frames is dispatched to it.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass, field
+from typing import BinaryIO, Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from mdx.io.normalize import to_grayscale
+
+
+class DicomError(ValueError):
+    """Invalid, truncated, or unsupported DICOM input."""
+
+
+# Transfer syntaxes
+TS_IMPLICIT_LE = "1.2.840.10008.1.2"
+TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+TS_EXPLICIT_BE = "1.2.840.10008.1.2.2"
+_SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_EXPLICIT_BE}
+
+# VRs with the 2-byte-VR + 2-reserved + 4-byte-length layout
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+# Tags we materialise (group, element) → name
+TAGS = {
+    (0x0008, 0x0060): "Modality",
+    (0x0008, 0x1030): "StudyDescription",
+    (0x0018, 0x0015): "BodyPartExamined",
+    (0x0028, 0x0002): "SamplesPerPixel",
+    (0x0028, 0x0004): "PhotometricInterpretation",
+    (0x0028, 0x0008): "NumberOfFrames",
+    (0x0028, 0x0010): "Rows",
+    (0x0028, 0x0011): "Columns",
+    (0x0028, 0x0100): "BitsAllocated",
+    (0x0028, 0x0101): "BitsStored",
+    (0x0028, 0x0103): "PixelRepresentation",
+    (0x0028, 0x1050): "WindowCenter",
+    (0x0028, 0x1051): "WindowWidth",
+    (0x0028, 0x1052): "RescaleIntercept",
+    (0x0028, 0x1053): "RescaleSlope",
+}
+_PIXEL_DATA = (0x7FE0, 0x0010)
+_ITEM = (0xFFFE, 0xE000)
+_ITEM_DELIM = (0xFFFE, 0xE00D)
+_SEQ_DELIM = (0xFFFE, 0xE0DD)
+_UNDEFINED = 0xFFFFFFFF
+
+
+@dataclass
+class DicomDataset:
+    """Minimal decoded dataset: typed attributes + raw pixel bytes."""
+    attrs: Dict[str, object] = field(default_factory=dict)
+    pixel_bytes: bytes = b""
+    transfer_syntax: str = TS_EXPLICIT_LE
+
+    def get(self, name, default=None):
+        return self.attrs.get(name, default)
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    b = f.read(n)
+    if len(b) != n:
+        raise DicomError("Truncated DICOM stream.")
+    return b
+
+
+def _iter_elements(f: BinaryIO, explicit: bool, big_endian: bool,
+                   end: Optional[int] = None) -> Iterator[Tuple[Tuple[int, int], bytes, int]]:
+    """Yield ((group, elem), vr, length) with the file positioned at the value."""
+    e = ">" if big_endian else "<"
+    while True:
+        if end is not None and f.tell() >= end:
+            return
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            return
+        group, elem = struct.unpack(e + "HH", hdr[:4])
+        tag = (group, elem)
+        if tag in (_ITEM, _ITEM_DELIM, _SEQ_DELIM):
+            (length,) = struct.unpack(e + "I", hdr[4:8])
+            yield tag, b"  ", length
+            continue
+        if explicit:
+            vr = hdr[4:6]
+            if vr in _LONG_VRS:
+                (length,) = struct.unpack(e + "I", _read_exact(f, 4))
+            else:
+                (length,) = struct.unpack(e + "H", hdr[6:8])
+        else:
+            vr = b"UN"
+            (length,) = struct.unpack(e + "I", hdr[4:8])
+        yield tag, vr, length
+
+
+def _skip_sequence(f: BinaryIO, explicit: bool, big_endian: bool) -> None:
+    """Skip an undefined-length sequence (nested items included)."""
+    depth = 1
+    for tag, vr, length in _iter_elements(f, explicit, big_endian):
+        if tag == _SEQ_DELIM:
+            depth -= 1
+            if depth == 0:
+                return
+        elif tag == _ITEM:
+            if length != _UNDEFINED:
+                f.seek(length, os.SEEK_CUR)
+        elif tag == _ITEM_DELIM:
+            continue
+        elif length == _UNDEFINED:
+            depth += 1
+        else:
+            f.seek(length, os.SEEK_CUR)
+    raise DicomError("Unterminated sequence.")
+
+
+def _decode_value(name: str, vr: bytes, raw: bytes, big_endian: bool):
+    e = ">" if big_endian else "<"
+    if name in ("Rows", "Columns", "BitsAllocated", "BitsStored",
+                "SamplesPerPixel", "PixelRepresentation"):
+        if len(raw) >= 2:
+            return struct.unpack(e + "H", raw[:2])[0]
+        return None
+    text = raw.decode("latin-1", errors="replace").strip("\x00 ").strip()
+    if name in ("RescaleSlope", "RescaleIntercept", "WindowCenter", "WindowWidth"):
+        try:
+            return float(text.split("\\")[0])
+        except ValueError:
+            return None
+    if name == "NumberOfFrames":
+        try:
+            return int(text)
+        except ValueError:
+            return None
+    return text
+
+
+def read_dataset(path: str) -> DicomDataset:
+    """Parse a DICOM file into a :class:`DicomDataset`."""
+    try:
+        f = open(path, "rb")
+    except FileNotFoundError as exc:
+        raise DicomError("Invalid or missing DICOM file.") from exc
+    with f:
+        preamble = f.read(132)
+        ts = TS_EXPLICIT_LE
+        if len(preamble) >= 132 and preamble[128:132] == b"DICM":
+            ts = _read_file_meta(f)
+        else:
+            # No preamble: probe implicit-LE dataset (first tag group 0002/0008)
+            f.seek(0)
+            probe = f.read(4)
+            f.seek(0)
+            if len(probe) < 4:
+                raise DicomError("Invalid or missing DICOM file.")
+            group = struct.unpack("<H", probe[:2])[0]
+            if group not in (0x0002, 0x0008, 0x0010, 0x0018, 0x0020, 0x0028):
+                raise DicomError("Invalid or missing DICOM file.")
+            ts = TS_IMPLICIT_LE
+        if ts not in _SUPPORTED_TS:
+            raise DicomError(f"Unsupported transfer syntax {ts!r} "
+                             "(encapsulated/compressed pixel data).")
+        explicit = ts != TS_IMPLICIT_LE
+        big_endian = ts == TS_EXPLICIT_BE
+
+        ds = DicomDataset(transfer_syntax=ts)
+        for tag, vr, length in _iter_elements(f, explicit, big_endian):
+            if tag == _PIXEL_DATA:
+                if length == _UNDEFINED:
+                    raise DicomError("Encapsulated PixelData is not supported.")
+                ds.pixel_bytes = _read_exact(f, length)
+                continue
+            if length == _UNDEFINED or vr == b"SQ":
+                if length == _UNDEFINED:
+                    _skip_sequence(f, explicit, big_endian)
+                else:
+                    f.seek(length, os.SEEK_CUR)
+                continue
+            name = TAGS.get(tag)
+            if name is None:
+                f.seek(length, os.SEEK_CUR)
+                continue
+            raw = _read_exact(f, length)
+            val = _decode_value(name, vr, raw, big_endian)
+            if val is not None:
+                ds.attrs[name] = val
+        return ds
+
+
+def _read_file_meta(f: BinaryIO) -> str:
+    """Parse the group-0002 file meta (always explicit VR LE); return the
+    transfer syntax UID and leave the stream at the start of the dataset."""
+    ts = TS_EXPLICIT_LE
+    meta_end = None
+    for tag, vr, length in _iter_elements(f, explicit=True, big_endian=False):
+        group, elem = tag
+        if meta_end is None:
+            if tag != (0x0002, 0x0000):
+                raise DicomError("Missing FileMetaInformationGroupLength.")
+            raw = _read_exact(f, length)
+            (meta_len,) = struct.unpack("<I", raw[:4])
+            meta_end = f.tell() + meta_len
+            continue
+        if f.tell() > meta_end:
+            break
+        raw = _read_exact(f, length)
+        if tag == (0x0002, 0x0010):
+            ts = raw.decode("ascii", errors="replace").strip("\x00 ").strip()
+        if f.tell() >= meta_end:
+            break
+    return ts
+
+
+def decode_pixels(ds: DicomDataset) -> np.ndarray:
+    """Raw pixel bytes → numpy array in stored shape/dtype."""
+    if not ds.pixel_bytes:
+        raise DicomError("DICOM file does not contain pixel data.")
+    rows = ds.get("Rows")
+    cols = ds.get("Columns")
+    if not rows or not cols:
+        raise DicomError("Unable to decode DICOM pixel data.")
+    bits = ds.get("BitsAllocated", 16)
+    signed = ds.get("PixelRepresentation", 0) == 1
+    samples = ds.get("SamplesPerPixel", 1) or 1
+    frames = ds.get("NumberOfFrames", 1) or 1
+
+    if bits == 8:
+        dtype = np.int8 if signed else np.uint8
+    elif bits == 16:
+        dtype = np.int16 if signed else np.uint16
+    elif bits == 32:
+        dtype = np.int32 if signed else np.uint32
+    else:
+        raise DicomError(f"Unsupported BitsAllocated={bits}.")
+    dtype = np.dtype(dtype)
+    if ds.transfer_syntax == TS_EXPLICIT_BE:
+        dtype = dtype.newbyteorder(">")
+
+    expect = rows * cols * samples * frames
+    arr = np.frombuffer(ds.pixel_bytes, dtype=dtype, count=-1)
+    if arr.size < expect:
+        raise DicomError("Unable to decode DICOM pixel data (short buffer).")
+    arr = arr[:expect]
+    if frames > 1 and samples > 1:
+        arr = arr.reshape(frames, rows, cols, samples)
+    elif frames > 1:
+        arr = arr.reshape(frames, rows, cols)
+    elif samples > 1:
+        arr = arr.reshape(rows, cols, samples)
+    else:
+        arr = arr.reshape(rows, cols)
+    return arr
+
+
+def _rescale_and_orient(image: np.ndarray, ds: DicomDataset) -> np.ndarray:
+    """Modality rescale (slope/intercept) + MONOCHROME1 inversion, float32."""
+    slope = ds.get("RescaleSlope", 1.0) or 1.0
+    intercept = ds.get("RescaleIntercept", 0.0) or 0.0
+    try:
+        from mdx.io import native  # C++ fast path (optional)
+        out = native.rescale_f32(image, float(slope), float(intercept))
+    except Exception:
+        out = image.astype(np.float32) * np.float32(slope) + np.float32(intercept)
+    if str(ds.get("PhotometricInterpretation", "")).upper() == "MONOCHROME1":
+        out = out.max() - out
+    return out
+
+
+def load_dicom(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
+    """Load a DICOM file → (2-D float32 image, non-PHI metadata).
+
+    Reference-compatible behaviour (pipeline/dicom_io.py:29-81): modality
+    rescale, MONOCHROME1 inversion, RGB→luma / middle-frame reduction, and
+    the three-key metadata whitelist.
+    """
+    ds = read_dataset(path)
+    image = _rescale_and_orient(decode_pixels(ds), ds)
+    image = to_grayscale(image)
+    metadata = {
+        "Modality": str(ds.get("Modality", "Unknown") or "Unknown"),
+        "BodyPartExamined": str(ds.get("BodyPartExamined", "Unknown") or "Unknown"),
+        "StudyDescription": str(ds.get("StudyDescription", "Unknown") or "Unknown"),
+    }
+    return image, metadata
+
+
+def load_series(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
+    """Load a DICOM file keeping *all* frames: → ([F, H, W] float32, metadata).
+
+    Extension over the reference (which reduces to the middle slice,
+    pipeline/dicom_io.py:60-81): the full frame stack is returned so a
+    multi-frame series can be sharded across a device mesh.
+    """
+    ds = read_dataset(path)
+    image = _rescale_and_orient(decode_pixels(ds), ds)
+    if image.ndim == 2:
+        image = image[None]
+    elif image.ndim == 3 and image.shape[-1] in (3, 4):
+        rgb = image[..., :3]
+        image = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                 + 0.114 * rgb[..., 2]).astype(np.float32)[None]
+    elif image.ndim == 4:  # frames × H × W × samples
+        rgb = image[..., :3]
+        image = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                 + 0.114 * rgb[..., 2]).astype(np.float32)
+    metadata = {
+        "Modality": str(ds.get("Modality", "Unknown") or "Unknown"),
+        "BodyPartExamined": str(ds.get("BodyPartExamined", "Unknown") or "Unknown"),
+        "StudyDescription": str(ds.get("StudyDescription", "Unknown") or "Unknown"),
+    }
+    return image.astype(np.float32), metadata

@@ -1,0 +1,133 @@
+"""Minimal DICOM writer (Explicit VR Little Endian) for tests and demos.
+
+Produces standard part-10 files (preamble + DICM + file meta) carrying
+uncompressed MONOCHROME1/2 pixel data, readable by :mod:`mdx.io.dicom` and
+by any standard DICOM toolkit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from mdx.io.dicom import TS_EXPLICIT_LE
+
+_SOP_CLASS_SC = "1.2.840.10008.5.1.4.1.1.7"  # Secondary Capture
+
+
+def _el(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b"\x00" if vr not in (b"UI",) else b"\x00"
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+
+def _txt(s: str) -> bytes:
+    return s.encode("ascii")
+
+
+def write_dicom(
+    path: str,
+    pixels: np.ndarray,
+    *,
+    modality: str = "CT",
+    body_part: str = "CHEST",
+    study_description: str = "mdx synthetic",
+    photometric: str = "MONOCHROME2",
+    rescale_slope: float | None = None,
+    rescale_intercept: float | None = None,
+    signed: bool = False,
+) -> str:
+    """Write ``pixels`` (uint8/uint16/int16 2-D or [F,H,W] 3-D) to *path*."""
+    pixels = np.ascontiguousarray(pixels)
+    if pixels.dtype == np.uint8:
+        bits = 8
+    elif pixels.dtype in (np.uint16, np.int16):
+        bits = 16
+        signed = signed or pixels.dtype == np.int16
+    else:
+        raise ValueError(f"unsupported pixel dtype {pixels.dtype}")
+    if pixels.ndim == 2:
+        frames, (rows, cols) = 1, pixels.shape
+    elif pixels.ndim == 3:
+        frames, rows, cols = pixels.shape
+    else:
+        raise ValueError("pixels must be 2-D or 3-D")
+
+    sop_uid = "1.2.826.0.1.3680043.9.9999.1.1"
+    body = b"".join([
+        _el(0x0008, 0x0016, b"UI", _txt(_SOP_CLASS_SC)),
+        _el(0x0008, 0x0018, b"UI", _txt(sop_uid)),
+        _el(0x0008, 0x0060, b"CS", _txt(modality)),
+        _el(0x0008, 0x1030, b"LO", _txt(study_description)),
+        _el(0x0018, 0x0015, b"CS", _txt(body_part)),
+        _el(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+        _el(0x0028, 0x0004, b"CS", _txt(photometric)),
+    ])
+    if frames > 1:
+        body += _el(0x0028, 0x0008, b"IS", _txt(str(frames)))
+    body += b"".join([
+        _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _el(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
+        _el(0x0028, 0x0101, b"US", struct.pack("<H", bits)),
+        _el(0x0028, 0x0102, b"US", struct.pack("<H", bits - 1)),
+        _el(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0)),
+    ])
+    if rescale_intercept is not None:
+        body += _el(0x0028, 0x1052, b"DS", _txt(f"{rescale_intercept:g}"))
+    if rescale_slope is not None:
+        body += _el(0x0028, 0x1053, b"DS", _txt(f"{rescale_slope:g}"))
+    pixel_bytes = pixels.astype(pixels.dtype.newbyteorder("<")).tobytes()
+    body += _el(0x7FE0, 0x0010, b"OW" if bits == 16 else b"OB", pixel_bytes)
+
+    meta_elements = b"".join([
+        _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+        _el(0x0002, 0x0002, b"UI", _txt(_SOP_CLASS_SC)),
+        _el(0x0002, 0x0003, b"UI", _txt(sop_uid)),
+        _el(0x0002, 0x0010, b"UI", _txt(TS_EXPLICIT_LE)),
+        _el(0x0002, 0x0012, b"UI", _txt("1.2.826.0.1.3680043.9.9999")),
+    ])
+    meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_elements))) + meta_elements
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM")
+        f.write(meta)
+        f.write(body)
+    return path
+
+
+def write_synthetic_dicom(path: str, kind: str = "noisy", size: int = 256,
+                          frames: int = 1, seed: int = 0, **kwargs) -> str:
+    """Generate a synthetic test DICOM: 'noisy', 'low_contrast', 'clipped',
+    'clean', or 'phantom' (12-bit CT-like with rescale)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / (size - 1)
+
+    def _one(i):
+        if kind == "noisy":
+            img = 0.5 + 0.2 * (xx - 0.5) + rng.normal(0, 0.15, (size, size))
+        elif kind == "low_contrast":
+            img = 0.5 + 0.05 * np.tanh(rng.normal(0, 1, (size, size)))
+        elif kind == "clipped":
+            img = (xx - 0.25) * 2.0
+        elif kind == "phantom":
+            r = np.hypot(yy - 0.5, xx - 0.5)
+            img = (r < 0.4).astype(float) * (0.6 + 0.3 * np.cos(8 * np.pi * r))
+            img += rng.normal(0, 0.02, (size, size)) + 0.05 * i
+        else:  # clean
+            img = 0.25 + 0.5 * (xx + yy) / 2 + 0.05 * np.sin(xx * 12) * np.cos(yy * 17)
+        return np.clip(img, 0.0, 1.0)
+
+    stack = np.stack([_one(i) for i in range(frames)])
+    if kind == "phantom":
+        pix = (stack * 4095).astype(np.uint16)
+        kwargs.setdefault("rescale_slope", 1.0)
+        kwargs.setdefault("rescale_intercept", -1024.0)
+    else:
+        pix = (stack * 65535).astype(np.uint16)
+    if frames == 1:
+        pix = pix[0]
+    return write_dicom(path, pix, **kwargs)

@@ -1,0 +1,51 @@
+"""Image normalisation and channel/frame reduction.
+
+Reference contract: pipeline/dicom_io.py:60-91.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def to_grayscale(image: np.ndarray) -> np.ndarray:
+    """Reduce a multi-channel / multi-frame array to 2-D grayscale.
+
+    RGB(A) → luma (BT.601 weights); volumes → the middle slice; higher-rank
+    arrays reduce recursively.  (ref pipeline/dicom_io.py:60-81)
+    """
+    if image.ndim == 2:
+        return image
+    if image.ndim == 3:
+        if image.shape[-1] in (3, 4):
+            rgb = image[..., :3]
+            return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        if image.shape[0] in (3, 4):
+            rgb = image[:3]
+            return 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+        return image[image.shape[0] // 2]
+    while image.ndim > 2:
+        image = image[image.shape[0] // 2]
+    return image
+
+
+def normalize_image(image: np.ndarray) -> np.ndarray:
+    """Min-max normalise to [0, 1] float32; constant images → zeros
+    (ref pipeline/dicom_io.py:84-91)."""
+    image = np.asarray(image, np.float32)
+    lo = float(image.min())
+    hi = float(image.max())
+    if hi - lo < 1e-8:
+        return np.zeros_like(image, dtype=np.float32)
+    return ((image - lo) / (hi - lo)).astype(np.float32)
+
+
+def normalize_batch(images: np.ndarray) -> np.ndarray:
+    """Per-image min-max normalisation of [N, H, W] (batched extension)."""
+    images = np.asarray(images, np.float32)
+    lo = images.min(axis=(1, 2), keepdims=True)
+    hi = images.max(axis=(1, 2), keepdims=True)
+    rng = hi - lo
+    safe = np.where(rng < 1e-8, 1.0, rng)
+    out = (images - lo) / safe
+    return np.where(rng < 1e-8, 0.0, out).astype(np.float32)

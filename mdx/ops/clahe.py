@@ -1,0 +1,89 @@
+"""Batched CLAHE on [N,H,W] (JAX) — ref pipeline/enhancement.py:183-187.
+
+Canonical contrast-limited adaptive histogram equalisation, numerically
+matching ``mdx.refimpl.filters_np.clahe``:
+
+  1. reflect-pad (bottom/right) to a multiple of the tile size,
+  2. per-tile ``nbins`` histograms (scatter-add over tile·bin ids),
+  3. clip at ``clip_limit·tile_pixels`` with uniform excess redistribution
+     (clip limit is a *traced* scalar or per-image [N] vector),
+  4. per-tile CDF look-up tables,
+  5. bilinear interpolation between the four surrounding tile LUTs.
+
+The tile size is static (part of the jit cache key); everything else is
+traced, so CLAHE parameter sweeps in the tuning loop do not recompile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def clahe(
+    x: jnp.ndarray,
+    clip_limit: jnp.ndarray,
+    tile_size: int = 16,
+    nbins: int = 256,
+) -> jnp.ndarray:
+    n, h, w = x.shape
+    t = int(tile_size)
+    pad_h = (-h) % t
+    pad_w = (-w) % t
+    xp = jnp.pad(jnp.clip(x, 0.0, 1.0), ((0, 0), (0, pad_h), (0, pad_w)),
+                 mode="reflect" if (pad_h or pad_w) else "constant")
+    ph, pw = h + pad_h, w + pad_w
+    gy, gx = ph // t, pw // t
+    ntiles = gy * gx
+
+    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)  # [N,ph,pw]
+
+    # tile id per pixel
+    ty = jnp.arange(ph, dtype=jnp.int32) // t
+    tx = jnp.arange(pw, dtype=jnp.int32) // t
+    tile_id = ty[:, None] * gx + tx[None, :]                     # [ph,pw]
+
+    # per-(image, tile, bin) scatter-add histogram
+    img_base = (jnp.arange(n, dtype=jnp.int32) * ntiles * nbins)[:, None, None]
+    flat_idx = (img_base + tile_id[None] * nbins + q).reshape(-1)
+    hists = jnp.zeros((n * ntiles * nbins,), x.dtype).at[flat_idx].add(1.0)
+    hists = hists.reshape(n, ntiles, nbins)
+
+    # clip + uniform redistribution
+    npix = float(t * t)
+    clip_limit = jnp.asarray(clip_limit, x.dtype)
+    clim = jnp.broadcast_to(jnp.maximum(clip_limit * npix, 1.0), (n,))[:, None, None]
+    excess = jnp.sum(jnp.maximum(hists - clim, 0.0), axis=-1, keepdims=True)
+    hists = jnp.minimum(hists, clim) + excess / nbins
+
+    # per-tile LUT: scaled CDF
+    cdf = jnp.cumsum(hists, axis=-1)
+    cdf_min = cdf[..., :1]
+    denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1e-12)
+    lut = (cdf - cdf_min) / denom                                # [N,ntiles,nbins]
+    lut_flat = lut.reshape(n, ntiles * nbins)
+
+    # bilinear interpolation between 4 neighbouring tile LUTs
+    fy = (jnp.arange(ph, dtype=x.dtype) + 0.5) / t - 0.5
+    fx = (jnp.arange(pw, dtype=x.dtype) + 0.5) / t - 0.5
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, gy - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, gx - 1)
+    y1 = jnp.minimum(y0 + 1, gy - 1)
+    x1 = jnp.minimum(x0 + 1, gx - 1)
+    wy = jnp.clip(fy - y0.astype(x.dtype), 0.0, 1.0)[None, :, None]
+    wx = jnp.clip(fx - x0.astype(x.dtype), 0.0, 1.0)[None, None, :]
+
+    def _sample(yi, xi):
+        tid = yi[:, None] * gx + xi[None, :]                     # [ph,pw]
+        gidx = tid[None] * nbins + q                             # [N,ph,pw]
+        return jnp.take_along_axis(lut_flat, gidx.reshape(n, -1), axis=-1
+                                   ).reshape(n, ph, pw)
+
+    v00 = _sample(y0, x0)
+    v01 = _sample(y0, x1)
+    v10 = _sample(y1, x0)
+    v11 = _sample(y1, x1)
+    out = (1 - wy) * ((1 - wx) * v00 + wx * v01) + wy * ((1 - wx) * v10 + wx * v11)
+    return out[:, :h, :w]

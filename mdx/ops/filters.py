@@ -1,0 +1,144 @@
+"""Batched stencil / separable filters on [N, H, W] arrays (JAX).
+
+Boundary conventions (matching mdx.refimpl/SciPy):
+  * ``symmetric`` pad == SciPy ndimage ``mode="reflect"`` (edge repeated)
+  * ``edge`` pad == SciPy ``mode="nearest"`` (skimage gaussian default)
+
+XLA lowers these small convolutions onto the TPU MXU; elementwise epilogues
+fuse into them.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+
+
+def _conv2(x: jnp.ndarray, kernel: np.ndarray, pad_mode: str) -> jnp.ndarray:
+    """True 2-D convolution (kernel flipped) of [N,H,W] with a small stencil."""
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw)), mode=pad_mode)
+    # XLA conv is cross-correlation: flip the kernel for true convolution.
+    k = jnp.asarray(kernel[::-1, ::-1], dtype=x.dtype).reshape(1, 1, kh, kw)
+    out = lax.conv_general_dilated(
+        xp[:, None, :, :], k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DN, precision=lax.Precision.HIGHEST,
+    )
+    return out[:, 0]
+
+
+_LAPLACE = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
+_SOBEL_H = np.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]]) / 4.0
+
+
+def laplace(x: jnp.ndarray) -> jnp.ndarray:
+    """3×3 cross Laplacian (ref pipeline/metrics.py:48)."""
+    return _conv2(x, _LAPLACE, "symmetric")
+
+
+def sobel_h(x: jnp.ndarray) -> jnp.ndarray:
+    """Smoothed horizontal-edge Sobel, /4 (ref pipeline/metrics.py:62)."""
+    return _conv2(x, _SOBEL_H, "symmetric")
+
+
+def sobel_v(x: jnp.ndarray) -> jnp.ndarray:
+    return _conv2(x, _SOBEL_H.T, "symmetric")
+
+
+def gradient_magnitude(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.hypot(sobel_h(x), sobel_v(x))
+
+
+def _sep_conv(x: jnp.ndarray, kcol: jnp.ndarray, krow: jnp.ndarray,
+              pad: tuple[int, int, int, int], pad_mode: str) -> jnp.ndarray:
+    """Separable conv: column filter then row filter, explicit padding."""
+    pt, pb, pl, pr = pad
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr)), mode=pad_mode)
+    kc = kcol.astype(x.dtype).reshape(1, 1, -1, 1)
+    kr = krow.astype(x.dtype).reshape(1, 1, 1, -1)
+    out = lax.conv_general_dilated(
+        xp[:, None, :, :], kc, (1, 1), "VALID", dimension_numbers=_DN, precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID", dimension_numbers=_DN, precision=lax.Precision.HIGHEST)
+    return out[:, 0]
+
+
+def box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Mean filter, SciPy ``uniform_filter`` semantics (left-heavy window for
+    even sizes, reflect boundary). Ref pipeline/metrics.py:125-126,195-196."""
+    k = jnp.full((size,), 1.0 / size)
+    lo = size // 2
+    hi = size - lo - 1
+    return _sep_conv(x, k, k, (lo, hi, lo, hi), "symmetric")
+
+
+def local_variance(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """max(E[x²] − E[x]², 0) over a size×size window."""
+    m = box_filter(x, size)
+    m2 = box_filter(x * x, size)
+    return jnp.maximum(m2 - m * m, 0.0)
+
+
+# Max unsharp radius is 3.0 (PARAM_BOUNDS) → kernel radius ≤ int(4·3+0.5)=12.
+_GAUSS_MAX_RADIUS = 12
+
+
+def _gauss_taps(sigma: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Fixed-support Gaussian taps for traced sigma (scalar or [N])."""
+    r = _GAUSS_MAX_RADIUS
+    taps = jnp.arange(-r, r + 1, dtype=dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    if sigma.ndim == 1:
+        taps = taps[None, :]
+        sigma = sigma[:, None]
+    radius_eff = jnp.floor(4.0 * sigma + 0.5)
+    w = jnp.exp(-0.5 * jnp.square(taps / jnp.maximum(sigma, 1e-6)))
+    w = jnp.where(jnp.abs(taps) <= radius_eff, w, 0.0)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian with *traced* sigma on a fixed support.
+
+    Matches skimage ``gaussian(mode='nearest', truncate=4)``: taps beyond
+    ``int(4σ+0.5)`` are masked to exactly zero, so a dynamic sigma never
+    changes the compiled program. A per-image ``sigma`` of shape [N] runs as
+    a depthwise (grouped) convolution with the batch as channels.
+    Ref pipeline/enhancement.py:202-205.
+    """
+    r = _GAUSS_MAX_RADIUS
+    w = _gauss_taps(sigma, x.dtype)
+    if w.ndim == 1:
+        return _sep_conv(x, w, w, (r, r, r, r), "edge")
+    # per-image kernels: batch-as-channels depthwise conv
+    n = x.shape[0]
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")[None]  # [1,N,H+2r,W+2r]
+    kc = w.reshape(n, 1, 2 * r + 1, 1)
+    kr = w.reshape(n, 1, 1, 2 * r + 1)
+    out = lax.conv_general_dilated(xp, kc, (1, 1), "VALID",
+                                   dimension_numbers=_DN, feature_group_count=n, precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID",
+                                   dimension_numbers=_DN, feature_group_count=n, precision=lax.Precision.HIGHEST)
+    return out[0]
+
+
+def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray) -> jnp.ndarray:
+    """x + (x − gaussian(x, radius))·amount (ref pipeline/enhancement.py:202)."""
+    amount = jnp.asarray(amount, x.dtype)
+    if amount.ndim == 1:  # per-image
+        amount = amount[:, None, None]
+    return x + (x - gaussian_blur(x, radius)) * amount
+
+
+def adjust_gamma(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
+    """Power-law on [0,1] (ref pipeline/enhancement.py:194). Per-image gamma ok."""
+    gamma = jnp.asarray(gamma, x.dtype)
+    if gamma.ndim == 1:
+        gamma = gamma[:, None, None]
+    return jnp.power(jnp.maximum(x, 0.0), gamma)

@@ -1,0 +1,51 @@
+"""Batched fixed-bin histograms, entropies, percentiles (JAX).
+
+Histogram semantics match ``numpy.histogram(range=(0, hi))``: ``bins`` equal
+width buckets over the range, right-most edge inclusive.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def histogram01(x: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """Per-image histogram of [N,H,W] values over [0, 1] → [N, bins]."""
+    n = x.shape[0]
+    idx = jnp.clip((x.reshape(n, -1) * bins).astype(jnp.int32), 0, bins - 1)
+    base = jnp.arange(n, dtype=jnp.int32)[:, None] * bins
+    flat = (idx + base).reshape(-1)
+    counts = jnp.zeros((n * bins,), jnp.float32).at[flat].add(1.0)
+    return counts.reshape(n, bins)
+
+
+def histogram_scaled(x: jnp.ndarray, bins: int, hi: jnp.ndarray) -> jnp.ndarray:
+    """Per-image histogram over [0, hi_i] with per-image upper edge [N]."""
+    n = x.shape[0]
+    scale = bins / jnp.maximum(hi, 1e-30)[:, None]
+    idx = jnp.clip((x.reshape(n, -1) * scale).astype(jnp.int32), 0, bins - 1)
+    base = jnp.arange(n, dtype=jnp.int32)[:, None] * bins
+    counts = jnp.zeros((n * bins,), jnp.float32).at[(idx + base).reshape(-1)].add(1.0)
+    return counts.reshape(n, bins)
+
+
+def entropy_from_hist(hist: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy (bits) per image from [N, bins] counts, zero bins
+    excluded (ref pipeline/metrics.py:112-117)."""
+    total = jnp.sum(hist, axis=-1, keepdims=True)
+    p = hist / jnp.maximum(total, 1.0)
+    logp = jnp.where(p > 0, jnp.log2(jnp.maximum(p, 1e-30)), 0.0)
+    return -jnp.sum(p * logp, axis=-1)
+
+
+def shannon_entropy01(x: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
+    return entropy_from_hist(histogram01(x, bins))
+
+
+def percentiles(x: jnp.ndarray, qs) -> jnp.ndarray:
+    """Per-image percentiles (linear interpolation): [N,H,W] → [len(qs), N].
+
+    One sort per image serves all requested percentiles.
+    """
+    n = x.shape[0]
+    return jnp.percentile(x.reshape(n, -1), jnp.asarray(qs), axis=-1)

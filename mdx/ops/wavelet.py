@@ -1,0 +1,173 @@
+"""Batched separable 2-D DWT / BayesShrink wavelet denoising (JAX).
+
+Mirrors the conventions of ``mdx.refimpl.wavelet_np`` (symmetric half-sample
+extension, analysis length ``floor((n+L−1)/2)``, orthogonal reconstruction),
+which itself encodes the PyWavelets behaviour the reference relies on:
+
+* ``estimate_sigma`` — ref pipeline/metrics.py:47 (db2 HH MAD / Φ⁻¹(0.75))
+* ``denoise_wavelet`` — ref pipeline/enhancement.py:169-174 (db1 BayesShrink)
+
+All transforms are batched over [N, H, W]; decomposition depth is static
+(derived from the static shape) so the whole multi-level denoise compiles to
+one XLA program.  Thresholds are per-image traced scalars.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from mdx.refimpl.wavelet_np import FILTERS, MAD_TO_SIGMA, qmf_pair, max_level
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+
+
+def _filters(wavelet: str, dtype):
+    lo, hi = qmf_pair(wavelet)
+    return (jnp.asarray(lo, dtype), jnp.asarray(hi, dtype))
+
+
+def _analysis_last(x: jnp.ndarray, wavelet: str):
+    """One analysis step along the last axis of [..., n] → (a, d)."""
+    lo, hi = _filters(wavelet, x.dtype)
+    L = lo.shape[0]
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(L - 1, L - 1)]
+    ext = jnp.pad(x, pad, mode="symmetric")[..., 1:]
+    lead = x.shape[:-1]
+    flat = ext.reshape((-1, 1, ext.shape[-1]))
+    # Two output channels (approx, detail) in one strided conv.
+    k = jnp.stack([lo[::-1], hi[::-1]])[:, None, :]  # [2,1,L]
+    out = lax.conv_general_dilated(
+        flat, k, window_strides=(2,), padding="VALID",
+        dimension_numbers=lax.conv_dimension_numbers(
+            flat.shape, k.shape, ("NCH", "OIH", "NCH")), precision=lax.Precision.HIGHEST)  # [B, 2, n_out]
+    n_out = (n + L - 1) // 2
+    out = out[..., :n_out].reshape(lead + (2, n_out))
+    return out[..., 0, :], out[..., 1, :]
+
+
+def _synthesis_last(a: jnp.ndarray, d: jnp.ndarray, wavelet: str, n_out: int):
+    """Inverse of :func:`_analysis_last`, cropped to n_out samples."""
+    lo, hi = _filters(wavelet, a.dtype)
+    L = lo.shape[0]
+    m = a.shape[-1]
+    up = jnp.zeros(a.shape[:-1] + (2 * m,), a.dtype)
+    ua = up.at[..., ::2].set(a)
+    ud = up.at[..., ::2].set(d)
+    flat = jnp.stack([ua, ud], axis=-2).reshape((-1, 2, 2 * m))
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (L - 1, L - 1)))
+    # sum of full convs with reconstruction filters (= reversed dec filters);
+    # XLA conv is correlation, so pass the un-reversed decomposition filters.
+    k = jnp.stack([lo, hi])[None, :, :]  # [1,2,L] → single output channel
+    out = lax.conv_general_dilated(
+        flat, k, window_strides=(1,), padding="VALID",
+        dimension_numbers=lax.conv_dimension_numbers(
+            flat.shape, k.shape, ("NCH", "OIH", "NCH")), precision=lax.Precision.HIGHEST)[:, 0]
+    start = L - 2
+    out = out[..., start:start + n_out]
+    return out.reshape(a.shape[:-1] + (n_out,))
+
+
+def _swap_hw(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def dwt2(x: jnp.ndarray, wavelet: str = "db1"):
+    """Single-level batched 2-D DWT of [N,H,W] → (LL, (LH, HL, HH))."""
+    a, d = _analysis_last(_swap_hw(x), wavelet)       # along H
+    a, d = _swap_hw(a), _swap_hw(d)
+    ll, lh = _analysis_last(a, wavelet)               # along W
+    hl, hh = _analysis_last(d, wavelet)
+    return ll, (lh, hl, hh)
+
+
+def idwt2(ll, details, wavelet: str, out_shape):
+    h, w = out_shape
+    lh, hl, hh = details
+    a = _synthesis_last(ll, lh, wavelet, w)
+    d = _synthesis_last(hl, hh, wavelet, w)
+    return _swap_hw(_synthesis_last(_swap_hw(a), _swap_hw(d), wavelet, h))
+
+
+def wavedec2(x: jnp.ndarray, wavelet: str, level: int):
+    shapes, details = [], []
+    ll = x
+    for _ in range(level):
+        shapes.append(ll.shape[-2:])
+        ll, det = dwt2(ll, wavelet)
+        details.append(det)
+    return ll, details[::-1], shapes[::-1]
+
+
+def waverec2(ll, details, shapes, wavelet: str):
+    for det, shp in zip(details, shapes):
+        ll = idwt2(ll, det, wavelet, shp)
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# Noise sigma + BayesShrink denoise
+# ---------------------------------------------------------------------------
+
+
+def estimate_sigma(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-image wavelet-MAD noise sigma, [N] (ref pipeline/metrics.py:47)."""
+    _, (_, _, hh) = dwt2(x, "db2")
+    n = x.shape[0]
+    med = jnp.median(jnp.abs(hh.reshape(n, -1)), axis=-1)
+    return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
+
+
+def _soft(x, t):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+def _hard(x, t):
+    return jnp.where(jnp.abs(x) > t, x, 0.0)
+
+
+_LEVEL_OFFSET = 3  # levels = max_level − 3, min 1 (skimage convention)
+
+
+def default_levels(shape: tuple[int, int], wavelet: str = "db1") -> int:
+    return max(max_level(shape, wavelet) - _LEVEL_OFFSET, 1)
+
+
+def denoise_wavelet(
+    x: jnp.ndarray,
+    sigma: jnp.ndarray | None = None,
+    mode: str = "soft",
+    wavelet: str = "db1",
+    wavelet_levels: int | None = None,
+    soft_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched BayesShrink wavelet denoise of [N,H,W].
+
+    ``sigma`` may be None (estimated per image from the finest HH subband),
+    a scalar, or a per-image [N] vector.  ``soft_mask`` ([N] bool) optionally
+    selects soft/hard thresholding per image (overrides ``mode``), enabling
+    mixed-mode candidate batches in the tuning loop.
+    """
+    n = x.shape[0]
+    if wavelet_levels is None:
+        wavelet_levels = default_levels(x.shape[-2:], wavelet)
+    ll, details, shapes = wavedec2(x, wavelet, wavelet_levels)
+    if sigma is None:
+        hh1 = details[-1][2]
+        sigma = jnp.median(jnp.abs(hh1.reshape(n, -1)), axis=-1) * jnp.asarray(
+            MAD_TO_SIGMA, x.dtype)
+    sigma = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (n,))
+    noise_var = sigma * sigma
+    eps = jnp.asarray(np.finfo(np.float32).eps, x.dtype)
+
+    def _shrink(band):
+        dvar = jnp.mean(band.reshape(n, -1) ** 2, axis=-1)
+        t = (noise_var / jnp.sqrt(jnp.maximum(dvar - noise_var, eps)))[:, None, None]
+        if soft_mask is not None:
+            return jnp.where(soft_mask[:, None, None], _soft(band, t), _hard(band, t))
+        return _soft(band, t) if mode == "soft" else _hard(band, t)
+
+    new_details = [tuple(_shrink(b) for b in det) for det in details]
+    return waverec2(ll, new_details, shapes, wavelet)

@@ -8,14 +8,22 @@ multi-chip sharding is exercised without TPU hardware.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Tests run on a virtual
+# 8-device CPU mesh by default; set MDX_TEST_TPU=1 to run them on hardware.
+if not os.environ.get("MDX_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("MDX_DB_PATH", "")  # set per-test via tmp_path
+
+# Persistent compilation cache: the fused programs are expensive to compile
+# on the CPU backend; cache them across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np
 import pytest

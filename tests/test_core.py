@@ -1,0 +1,152 @@
+"""Tests for the fused core (mdx.core): metric parity with the NumPy spec,
+detection logic, enhancement-chain parity, validation + objective parity,
+and batching/vectorised-plan semantics.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mdx.core import enhance as E
+from mdx.core import metrics as M
+from mdx.core import qa
+from mdx.core.score import objective_score
+from mdx.core.validate import validate
+from mdx.refimpl import pipeline_np as P
+
+# per-metric absolute tolerances for f32 device vs f64 host
+_ATOL = {
+    "sigma": 5e-5, "lap_var": 5e-6, "std": 1e-5, "pct_low": 1e-6,
+    "pct_high": 1e-6, "entropy": 2e-3, "edge_density": 1e-4,
+    "gradient_mag_mean": 1e-5, "gradient_mag_std": 1e-5,
+    "laplacian_energy": 1e-5, "histogram_spread": 1e-5,
+    "local_contrast_std": 1e-5, "gradient_strength": 1e-4,
+    "gradient_entropy": 5e-3,
+}
+_RTOL = {"snr_proxy": 2e-3, "cnr_proxy": 2e-3}
+
+
+def _b(*imgs):
+    return jnp.stack([jnp.asarray(np.asarray(i, np.float32)) for i in imgs])
+
+
+class TestFusedMetrics:
+    def test_metric_parity(self, clean_image, noisy_image, low_contrast_image,
+                           clipped_image):
+        imgs = [clean_image, noisy_image, low_contrast_image, clipped_image]
+        got = M.compute_metrics(_b(*imgs))
+        assert set(got) == set(M.METRIC_KEYS)
+        for i, img in enumerate(imgs):
+            want = P.compute_metrics(img)
+            for k in M.METRIC_KEYS:
+                g = float(got[k][i])
+                if k in _RTOL:
+                    assert g == pytest.approx(want[k], rel=_RTOL[k]), (k, i)
+                else:
+                    assert g == pytest.approx(want[k], abs=_ATOL[k]), (k, i)
+
+    def test_niqe_edge_ratio_parity(self, noisy_image, clean_image):
+        s = M.image_stats(_b(noisy_image, clean_image))
+        for i, img in enumerate([noisy_image, clean_image]):
+            assert float(s["niqe"][i]) == pytest.approx(P.compute_niqe(img), abs=5e-4)
+            assert float(s["edge_ratio"][i]) == pytest.approx(
+                P.compute_edge_ratio(img), abs=1e-4)
+
+    def test_detection_masks(self, noisy_image, low_contrast_image, clipped_image,
+                             clean_image):
+        imgs = [noisy_image, low_contrast_image, clipped_image, clean_image]
+        stats, issues = qa.detect(_b(*imgs))
+        ref_issues = [P.detect_issues(P.compute_metrics(i)) for i in imgs]
+        for i, want in enumerate(ref_issues):
+            got = [k for k in M.ISSUE_ORDER if bool(issues[k][i])]
+            assert got == want, i
+
+
+class TestEnhancement:
+    def test_issue_driven_parity(self, noisy_image, low_contrast_image,
+                                 clipped_image, clean_image):
+        imgs = [noisy_image, low_contrast_image, clipped_image, clean_image]
+        x = _b(*imgs)
+        stats, issues = qa.detect(x)
+        out, flags = E.apply_issue_driven(x, issues)
+        for i, img in enumerate(imgs):
+            ref_issues = P.detect_issues(P.compute_metrics(img))
+            want, _ = P.apply_enhancements(img, ref_issues)
+            got = np.asarray(out[i], np.float64)
+            np.testing.assert_allclose(got, want, atol=2e-4,
+                                       err_msg=f"image {i} issues={ref_issues}")
+
+    def test_plan_parity_full_chain(self, noisy_image):
+        params = {
+            "clahe_clip_limit": 0.02, "clahe_tile_size": 16, "gamma": 0.9,
+            "unsharp_radius": 1.0, "unsharp_amount": 0.8, "denoise_mode": "soft",
+            "post_denoise_strength": 0.3, "bilateral_d": 5,
+            "bilateral_sigma_color": 0.05, "bilateral_sigma_space": 0.05,
+            "tv_denoise_weight": 0.05,
+        }
+        ops = ["denoise", "clahe", "gamma", "unsharp", "post_denoise",
+               "bilateral", "tv_denoise"]
+        want, _ = P.apply_plan(noisy_image, ops, params)
+
+        static = E.PlanStatic(ops=tuple(ops), tile_size=16, bilateral_d=5,
+                              plan_order=tuple(ops))
+        dyn = E.PlanDynamic(
+            clahe_clip_limit=0.02, gamma=0.9, unsharp_radius=1.0,
+            unsharp_amount=0.8, post_denoise_strength=0.3,
+            bilateral_sigma_color=0.05, bilateral_sigma_space=0.05,
+            tv_denoise_weight=0.05, denoise_soft=True)
+        out, flags = E.apply_plan(_b(noisy_image), static, dyn)
+        np.testing.assert_allclose(np.asarray(out[0], np.float64), want, atol=5e-4)
+
+    def test_plan_no_ops_is_identity(self, clean_image):
+        static = E.PlanStatic(ops=(), tile_size=16, bilateral_d=0)
+        out, _ = E.apply_plan(_b(clean_image), static, E.PlanDynamic())
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   np.asarray(clean_image, np.float32), atol=1e-7)
+
+    def test_vectorised_candidate_plans(self, noisy_image):
+        """One image × K candidate params in a single batched call."""
+        k = 4
+        x = jnp.broadcast_to(jnp.asarray(noisy_image)[None], (k,) + noisy_image.shape)
+        static = E.PlanStatic(ops=("clahe", "gamma"), tile_size=16)
+        gammas = jnp.asarray([0.7, 0.9, 1.1, 1.3])
+        dyn = E.PlanDynamic(gamma=gammas, clahe_clip_limit=jnp.full((k,), 0.015))
+        out, _, val, score = qa.qa_plan(x, static, dyn)
+        # different gammas → different outputs and scores
+        means = np.asarray(out.mean(axis=(1, 2)))
+        assert len(np.unique(np.round(means, 6))) == k
+        assert np.asarray(score).shape == (k,)
+
+
+class TestValidationScore:
+    def test_validation_parity(self, noisy_image):
+        enhanced, _ = P.apply_enhancements(noisy_image, ["noise"])
+        want = P.compute_validation(noisy_image, enhanced)
+        got = validate(_b(noisy_image), _b(enhanced.astype(np.float32)))
+        assert float(got["ssim"][0]) == pytest.approx(want["ssim"], abs=1e-4)
+        assert float(got["psnr"][0]) == pytest.approx(want["psnr"], abs=1e-2)
+        assert float(got["quality_improvement"][0]) == pytest.approx(
+            want["quality_improvement"], abs=1e-3)
+        assert bool(got["passes"][0]) == want["passes"]
+        assert float(got["niqe_after"][0]) == pytest.approx(want["niqe_after"], abs=1e-3)
+
+    def test_objective_parity(self, noisy_image):
+        enhanced, _ = P.apply_enhancements(noisy_image, ["noise"])
+        want_score, want_bd = P.compute_objective_score(
+            P.compute_validation(noisy_image, enhanced))
+        got_v = validate(_b(noisy_image), _b(enhanced.astype(np.float32)))
+        got_score, got_bd = objective_score(got_v)
+        assert float(got_score[0]) == pytest.approx(want_score, abs=5e-3)
+        for k in ("halo_penalty", "snr_reward", "niqe_degradation"):
+            assert float(got_bd[k][0]) == pytest.approx(want_bd[k], abs=5e-3)
+
+    def test_qa_deterministic_end_to_end(self, noisy_image, clean_image):
+        x = _b(noisy_image, clean_image)
+        enhanced, stats, issues, flags, validation, score = qa.qa_deterministic(x)
+        # clean image has no issues → unchanged
+        np.testing.assert_allclose(np.asarray(enhanced[1]),
+                                   np.asarray(clean_image, np.float32), atol=1e-7)
+        # noisy image got denoised
+        assert float(stats["sigma"][0]) > float(
+            M.image_stats(enhanced[:1])["sigma"][0])
+        assert np.asarray(score).shape == (2,)
