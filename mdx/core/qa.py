@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from mdx.core import enhance as E
 from mdx.core import metrics as M
-from mdx.core import validate as V
+from mdx.core.validate import validate as _validate
 from mdx.core.score import objective_score
 
 
@@ -49,7 +49,7 @@ def qa_deterministic(x: jnp.ndarray):
     any_issue = jnp.stack([issues[k] for k in M.ISSUE_ORDER]).any(axis=0)
     # reference semantics: no issues → image passes through unchanged
     enhanced = jnp.where(any_issue[:, None, None], enhanced, x)
-    validation = V.validate(x, enhanced, stats_before=stats)
+    validation = _validate(x, enhanced, stats_before=stats)
     score, breakdown = objective_score(validation)
     return enhanced, stats, issues, flags, validation, score
 
@@ -61,7 +61,7 @@ def qa_plan(x: jnp.ndarray, static: E.PlanStatic, dyn: E.PlanDynamic):
     Returns (enhanced, guard flags, validation, score).
     """
     enhanced, flags = E.apply_plan(x, static, dyn)
-    validation = V.validate(x, enhanced)
+    validation = _validate(x, enhanced)
     score, _ = objective_score(validation)
     return enhanced, flags, validation, score
 

@@ -28,6 +28,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import numpy as np
 import pytest
 
+# A pytest plugin may import jax before this conftest runs, in which case jax
+# snapshotted JAX_PLATFORMS from the launch environment (on the TPU host that
+# is the remote "axon" tunnel — tests would then compile over the network).
+# Re-apply the platform choice through jax.config, which works as long as the
+# backend has not been initialised yet.
+if not os.environ.get("MDX_TEST_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def rng():
@@ -36,10 +46,13 @@ def rng():
 
 @pytest.fixture()
 def clean_image():
-    """Smooth diagonal gradient with mild structure — no quality issues."""
-    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
-    img = 0.25 + 0.5 * (xx + yy) / 126.0
-    img += 0.05 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+    """Full-range gradient + fine texture — triggers no quality issues.
+
+    Tuned against the detection thresholds: std≈0.23 (>0.12), σ̂≈0.01
+    (<0.08), lap_var≈0.002 (>0.001), no clipped pixels.
+    """
+    img = np.linspace(0.1, 0.9, 64 * 64).reshape(64, 64).astype(np.float32)
+    img += np.random.default_rng(42).normal(0, 0.01, img.shape).astype(np.float32)
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
