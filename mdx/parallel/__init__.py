@@ -1,0 +1,29 @@
+"""Parallelism layer: device meshes, sharded QA, spatial (halo) sharding.
+
+The reference has no parallelism of any kind (SURVEY.md §2.9 — its only
+concurrency is one daemon thread per web run).  This package is therefore
+net-new capability, designed TPU-first:
+
+* :mod:`mdx.parallel.mesh` — ``jax.sharding.Mesh`` construction over the
+  available chips, with a ``data`` (batch/slice) axis and an optional
+  ``space`` (row-block) axis.
+* :mod:`mdx.parallel.batch` — data-parallel QA: all frames of a DICOM
+  series (which the reference reduces to the middle slice,
+  ref pipeline/dicom_io.py:60-81) are sharded over the ``data`` axis and run
+  the fused detect→enhance→validate program with zero collectives (every
+  metric reduction is per-image).
+* :mod:`mdx.parallel.spatial` — 2-D spatial sharding for slices too large
+  for one chip: row blocks over the ``space`` axis, stencil halos exchanged
+  with ``lax.ppermute`` over ICI, global reductions via ``psum``/``pmax``
+  collectives, distributed quantiles via histogram-CDF inversion.
+"""
+
+from mdx.parallel.mesh import make_mesh, data_sharding, spatial_sharding
+from mdx.parallel.batch import pad_batch, qa_deterministic_sharded, qa_plan_sharded
+from mdx.parallel import spatial
+
+__all__ = [
+    "make_mesh", "data_sharding", "spatial_sharding",
+    "pad_batch", "qa_deterministic_sharded", "qa_plan_sharded",
+    "spatial",
+]

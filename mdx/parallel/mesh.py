@@ -1,0 +1,65 @@
+"""Device-mesh construction and canonical shardings.
+
+Axis conventions for the whole framework:
+
+* ``data``  — the batch axis of ``[N, H, W]`` image stacks (slices of a
+  series, files of a directory, candidate plans of a tuning sweep).
+* ``space`` — row blocks of a single slice, used only when one slice does
+  not fit (or saturate) a chip; stencil ops exchange halos over ICI.
+
+Within a pod slice the two axes ride ICI; across hosts JAX's distributed
+initialisation puts ``data`` on DCN, which is the right layout because the
+``data`` axis needs no collectives at all (SURVEY.md §2.9: every metric
+reduction is per-image) while ``space`` needs latency-bound halo exchanges.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_space: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(data, space)`` mesh.
+
+    With defaults, all visible devices go on the ``data`` axis.  ``n_space``
+    splits off a spatial axis for row-block sharding of very large slices;
+    ``n_data × n_space`` must not exceed the device count.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = max(len(devices) // n_space, 1)
+    need = n_data * n_space
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {n_data}×{n_space} needs {need} devices, have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, axis_names=("data", "space"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """[N, H, W] sharded on N over ``data``, replicated over ``space``."""
+    return NamedSharding(mesh, P("data", None, None))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """[N, H, W] sharded on N over ``data`` and on H (row blocks) over
+    ``space`` — the hybrid layout for big-slice series."""
+    return NamedSharding(mesh, P("data", "space", None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def divisible_batch(n: int, mesh: Mesh) -> int:
+    """Smallest multiple of the ``data`` axis size ≥ n (padding target)."""
+    d = mesh.shape["data"]
+    return int(math.ceil(n / d) * d)
