@@ -1,0 +1,132 @@
+"""Headline benchmark: images/sec/chip, 16-metric + 7-step enhance pass, 512².
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Measured program (matches BASELINE.json's headline metric): one jitted XLA
+program that computes all 16 quality metrics (ref pipeline/metrics.py:42-158)
+AND runs the full 7-op enhancement chain with its three safeguards
+(ref pipeline/enhancement.py:235-369) on a device batch of 512×512 slices.
+
+Baseline: the reference is pure NumPy/scikit-image on CPU with no published
+numbers (BASELINE.md).  Its cost is reproduced by ``mdx.refimpl`` — a
+NumPy float64 implementation of the same formulas (golden-tested against
+the JAX path in tests/test_ops_golden.py) — timed here on one 512² image,
+single-threaded, as images/sec.  ``vs_baseline`` = TPU throughput / that.
+
+Env knobs: MDX_BENCH_BATCH (default 32), MDX_BENCH_REPS (default 10),
+MDX_BENCH_SKIP_BASELINE=1 reuses the last recorded baseline value.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+# The benched plan: all seven ops active with mid-range parameters
+# (ref pipeline/schemas.py PARAM_BOUNDS midpoints, bilateral d=5).
+_PLAN_OPS = ("denoise", "clahe", "gamma", "unsharp", "post_denoise",
+             "bilateral", "tv_denoise")
+_PLAN_PARAMS = dict(
+    clahe_clip_limit=0.02, clahe_tile_size=16, gamma=0.95,
+    unsharp_radius=1.0, unsharp_amount=0.6, denoise_mode="soft",
+    post_denoise_strength=0.3, bilateral_d=5, bilateral_sigma_color=0.05,
+    bilateral_sigma_space=0.05, tv_denoise_weight=0.05)
+
+
+def _make_batch(n: int, hw: int = 512) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    base = 0.35 + 0.3 * np.sin(xx / 37.0) * np.cos(yy / 53.0)
+    imgs = base[None] + rng.normal(0, 0.06, (n, hw, hw))
+    return np.clip(imgs, 0.0, 1.0).astype(np.float32)
+
+
+def _measure_tpu(batch: np.ndarray, reps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mdx.core import enhance as E
+    from mdx.core import metrics as M
+
+    static = PlanStaticAll = E.PlanStatic(
+        ops=_PLAN_OPS, tile_size=_PLAN_PARAMS["clahe_tile_size"],
+        bilateral_d=_PLAN_PARAMS["bilateral_d"], plan_order=_PLAN_OPS)
+    dyn = E.PlanDynamic(
+        clahe_clip_limit=_PLAN_PARAMS["clahe_clip_limit"],
+        gamma=_PLAN_PARAMS["gamma"],
+        unsharp_radius=_PLAN_PARAMS["unsharp_radius"],
+        unsharp_amount=_PLAN_PARAMS["unsharp_amount"],
+        post_denoise_strength=_PLAN_PARAMS["post_denoise_strength"],
+        bilateral_sigma_color=_PLAN_PARAMS["bilateral_sigma_color"],
+        bilateral_sigma_space=_PLAN_PARAMS["bilateral_sigma_space"],
+        tv_denoise_weight=_PLAN_PARAMS["tv_denoise_weight"],
+        denoise_soft=True)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("s",), donate_argnums=())
+    def fused_pass(x, s, d):
+        stats = M.image_stats(x)               # all 16 metrics + niqe
+        enhanced, flags = E.apply_plan(x, s, d)  # 7-op chain + 3 safeguards
+        return stats["sigma"], enhanced
+
+    x = jax.device_put(jnp.asarray(batch))
+    # Warm-up / compile
+    out = fused_pass(x, static, dyn)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fused_pass(x, static, dyn)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch.shape[0] * reps / dt
+
+
+def _measure_baseline(img: np.ndarray) -> float:
+    """Single-image NumPy float64 reference-spec pass (metrics + 7-op chain)."""
+    from mdx.refimpl import pipeline_np as R
+
+    t0 = time.perf_counter()
+    R.compute_metrics(img)
+    R.compute_niqe(img)
+    R.apply_plan(img, list(_PLAN_OPS), dict(_PLAN_PARAMS))
+    dt = time.perf_counter() - t0
+    return 1.0 / dt
+
+
+def main() -> None:
+    batch_n = int(os.environ.get("MDX_BENCH_BATCH", "32"))
+    reps = int(os.environ.get("MDX_BENCH_REPS", "10"))
+
+    batch = _make_batch(batch_n)
+    value = _measure_tpu(batch, reps)
+
+    baseline = None
+    if os.environ.get("MDX_BENCH_SKIP_BASELINE") and os.path.exists(_BASELINE_CACHE):
+        with open(_BASELINE_CACHE) as f:
+            baseline = json.load(f).get("baseline_images_per_sec")
+    if baseline is None:
+        baseline = _measure_baseline(batch[0].astype(np.float64))
+        try:
+            with open(_BASELINE_CACHE, "w") as f:
+                json.dump({"baseline_images_per_sec": baseline}, f)
+        except OSError:
+            pass
+
+    print(json.dumps({
+        "metric": "images/sec/chip, 16-metric + 7-step enhance pass, 512^2",
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""mdx CLI — TPU-native medical imaging QA (same flag surface as the
+reference CLI, ref main.py:19-67: --input, --output, --no-show, --genai,
+--model, --max-iters, --plan-only, --no-redact, --verbose, plus the
+mdx-only --batch for whole-series / directory runs on the device mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+logger = logging.getLogger("mdx")
+
+_DEFAULT_MODEL = os.environ.get("OPENAI_MODEL", "gpt-5-mini")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="mdx",
+        description="TPU-native Multi-Agent Medical Imaging Quality "
+                    "Assurance (DICOM QA)")
+    parser.add_argument("--input", required=True,
+                        help="Path to a DICOM file (or, with --batch, a "
+                             "directory / multi-frame series)")
+    parser.add_argument("--output", default="outputs",
+                        help="Output directory for report and visuals "
+                             "(default: outputs)")
+    parser.add_argument("--no-show", action="store_true",
+                        help="Do not display a matplotlib window "
+                             "(still saves figures)")
+    parser.add_argument("--genai", action="store_true",
+                        help="Enable GenAI agentic mode "
+                             "(requires OPENAI_API_KEY)")
+    parser.add_argument("--model", default=_DEFAULT_MODEL,
+                        help=f"LLM model for GenAI agents "
+                             f"(default: {_DEFAULT_MODEL})")
+    parser.add_argument("--max-iters", type=int, default=4,
+                        help="Max tuning iterations for the GenAI "
+                             "TuningAgent (default: 4)")
+    parser.add_argument("--plan-only", action="store_true",
+                        help="GenAI generates the plan JSON but does not "
+                             "execute enhancement")
+    parser.add_argument("--no-redact", action="store_true",
+                        help="Disable metadata redaction "
+                             "(default: redact enabled)")
+    parser.add_argument("--verbose", action="store_true",
+                        help="Enable verbose / debug logging")
+    parser.add_argument("--batch", action="store_true",
+                        help="mdx extension: QA every frame of a series / "
+                             "every DICOM in a directory, sharded across "
+                             "the device mesh")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s [%(levelname)s] %(name)s: %(message)s")
+
+    if args.no_show:
+        import matplotlib
+        matplotlib.use("Agg")
+
+    if args.no_redact:
+        os.environ["MDX_NO_REDACT"] = "1"
+
+    try:
+        if args.batch:
+            from mdx.pipeline.batch_runner import run_pipeline_batch
+
+            context = run_pipeline_batch(
+                input_path=args.input, output_dir=args.output,
+                save_artifacts=True)
+        else:
+            from mdx.pipeline.runner import run_pipeline
+
+            context = run_pipeline(
+                input_path=args.input, output_dir=args.output,
+                genai=args.genai, model=args.model,
+                max_iters=args.max_iters, plan_only=args.plan_only,
+                save_artifacts=True, no_show=args.no_show)
+    except RuntimeError as exc:
+        print(f"ERROR: {exc}")
+        return 1
+    except Exception as exc:
+        print(f"Error: {exc}")
+        logger.exception("Pipeline failed")
+        return 1
+
+    if context.get("plan_only") and context.get("plan"):
+        print("\n=== GenAI Enhancement Plan (JSON) ===\n")
+        print(context["plan"].model_dump_json(indent=2))
+        if context.get("stop_reason"):
+            print(f"\nStop reason: {context['stop_reason']}")
+        return 0
+
+    report_md = context.get("report_md", "")
+    if report_md:
+        print(report_md)
+
+    if context.get("genai_fell_back"):
+        print(f"\nWARNING: GenAI failed ({context.get('genai_error')}). "
+              f"Used deterministic fallback.")
+
+    if not args.no_show:
+        try:
+            import matplotlib.pyplot as plt
+
+            plt.show()
+        except Exception:
+            pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -341,7 +341,7 @@ def image_stats_spatial(x: jnp.ndarray, mesh: Mesh) -> dict[str, jnp.ndarray]:
         mesh=mesh,
         in_specs=P("data", _AXIS, None),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     return jax.jit(fn)(x)
@@ -416,7 +416,7 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
         mesh=mesh,
         in_specs=P("data", _AXIS, None),
         out_specs=P("data", _AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     return jax.jit(fn)(x)

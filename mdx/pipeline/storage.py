@@ -165,12 +165,12 @@ def get_run_status(run_id: str) -> Optional[Dict[str, str]]:
     return dict(row) if row else None
 
 
-def list_runs(limit: int = 50) -> List[Dict[str, Any]]:
+def list_runs(limit: int = 50, offset: int = 0) -> List[Dict[str, Any]]:
     with _connect() as conn:
         rows = conn.execute(
             "SELECT run_id, created_at, input_filename, status, issues,"
-            " genai_model FROM runs ORDER BY created_at DESC LIMIT ?",
-            (limit,)).fetchall()
+            " genai_model FROM runs ORDER BY created_at DESC LIMIT ? OFFSET ?",
+            (limit, offset)).fetchall()
     out = []
     for row in rows:
         d = dict(row)
