@@ -138,14 +138,16 @@ def _pvar_img(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray) -> jnp.ndarray:
-    """Global per-image histogram over [0, hi_i] → [N, bins]."""
+    """Global per-image histogram over [0, hi_i] → [N, bins].
+
+    Local count via broadcast-compare-reduce (scatter-free, see
+    mdx.ops.hist._count_by_bin), then psum across shards."""
     n = v.shape[0]
     scale = bins / jnp.maximum(hi, 1e-30)[:, None]
     idx = jnp.clip((v.reshape(n, -1) * scale).astype(jnp.int32), 0, bins - 1)
-    base = jnp.arange(n, dtype=jnp.int32)[:, None] * bins
-    counts = jnp.zeros((n * bins,), jnp.float32).at[
-        (idx + base).reshape(-1)].add(1.0)
-    return lax.psum(counts.reshape(n, bins), _AXIS)
+    ids = jnp.arange(bins, dtype=jnp.int32)
+    counts = jnp.sum((idx[:, :, None] == ids).astype(jnp.float32), axis=1)
+    return lax.psum(counts, _AXIS)
 
 
 def _quantile_from_hist(hist: jnp.ndarray, hi: jnp.ndarray,

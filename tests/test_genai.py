@@ -1,0 +1,305 @@
+"""GenAI orchestration tests with a scripted fake LLM transport.
+
+The reference left every LLM-dependent path untested (SURVEY.md §4 "the
+untested seam").  Here the from-scratch client's injectable transport
+plays back scripted completions, so the full 5-phase orchestration — tool
+dispatch into the fused device programs, clamping, cost guard, fallbacks,
+iteration records — runs for real with zero network.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from mdx.genai import client as llm
+from mdx.genai import tools as T
+from mdx.genai.orchestrator import (
+    _MAX_LLM_CALLS,
+    GenAIPipelineResult,
+    run_genai_pipeline,
+    sanitise_metadata,
+)
+from mdx.pipeline.schemas import EnhancementPlan
+
+
+@pytest.fixture(autouse=True)
+def _clean_transport():
+    yield
+    llm.set_transport(None)
+    T.clear_image_store()
+
+
+def _msg(content=None, tool_calls=None):
+    return {"choices": [{"message": {"content": content,
+                                     "tool_calls": tool_calls or []}}]}
+
+
+def _plan_json(**over):
+    plan = {
+        "recommended_ops": ["denoise", "clahe"],
+        "params": {"clahe_clip_limit": 0.02, "denoise_mode": "soft"},
+        "risk_warnings": [], "rationale": "test", "safety": "",
+        "stop_reason": None,
+    }
+    plan.update(over)
+    return json.dumps(plan)
+
+
+class ScriptedTransport:
+    """Plays back a list of responses; records every request."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.requests = []
+
+    def __call__(self, model, payload):
+        self.requests.append((model, payload))
+        if not self.responses:
+            raise llm.LLMError("script exhausted")
+        r = self.responses.pop(0)
+        if isinstance(r, Exception):
+            raise r
+        return r
+
+
+class TestClient:
+    def test_temperature_omitted_for_reasoning_models(self):
+        tr = ScriptedTransport([_msg("hi"), _msg("hi")])
+        llm.set_transport(tr)
+        llm.chat_completion("gpt-4o", [{"role": "user", "content": "x"}])
+        llm.chat_completion("o4-mini", [{"role": "user", "content": "x"}])
+        assert "temperature" in tr.requests[0][1]
+        assert "temperature" not in tr.requests[1][1]
+
+    def test_extract_json_variants(self):
+        assert llm.extract_json('{"a": 1}') == {"a": 1}
+        assert llm.extract_json('```json\n{"a": 1}\n```') == {"a": 1}
+        assert llm.extract_json('Best plan:\n{"a": {"b": 2}} done') == \
+            {"a": {"b": 2}}
+        with pytest.raises(llm.LLMError):
+            llm.extract_json("no json here")
+
+
+class TestTools:
+    def test_image_store_roundtrip(self, noisy_image):
+        key = T.register_image(noisy_image, "original")
+        np.testing.assert_array_equal(T.get_image(key), noisy_image)
+        T.clear_image_store()
+        with pytest.raises(KeyError):
+            T.get_image(key)
+
+    def test_get_metrics(self, noisy_image):
+        T.register_image(noisy_image, "original")
+        out = json.loads(T.tool_get_metrics("original"))
+        assert len(out) == 16 and out["sigma"] > 0.08
+
+    def test_get_metrics_missing_image(self):
+        out = json.loads(T.tool_get_metrics("nope"))
+        assert "error" in out
+
+    def test_apply_validate_score_chain(self, noisy_image):
+        T.register_image(noisy_image, "original")
+        out = json.loads(T.tool_apply_enhancement("original", _plan_json()))
+        assert "enhanced_image_id" in out
+        assert "denoise" in out["applied_ops"]
+        val = json.loads(T.tool_validate("original",
+                                         out["enhanced_image_id"]))
+        assert 0.0 < val["ssim"] <= 1.0
+        score = json.loads(T.tool_score_plan(json.dumps(val)))
+        assert isinstance(score["score"], float)
+
+    def test_absurd_params_clamped(self, noisy_image):
+        """Clamping of absurd params doesn't crash (ref
+        tests/test_pipeline.py:54-66)."""
+        T.register_image(noisy_image, "original")
+        crazy = _plan_json(params={
+            "clahe_clip_limit": 99.0, "gamma": -5.0, "unsharp_amount": 1e9,
+            "denoise_mode": "bogus"})
+        out = json.loads(T.tool_apply_enhancement("original", crazy))
+        assert "enhanced_image_id" in out
+
+    def test_clamp_plan_bounds(self):
+        plan = EnhancementPlan.model_validate_json(_plan_json(params={
+            "clahe_clip_limit": 1.0, "unsharp_amount": 100.0}))
+        c = T.clamp_plan(plan)
+        assert c.params.clahe_clip_limit <= 0.08
+        assert c.params.unsharp_amount <= 2.5
+        assert c.params.denoise_mode in ("soft", "hard")
+
+
+class TestSanitise:
+    def test_metadata_whitelist(self):
+        meta = {"Modality": "CT", "PatientName": "REDACT ME",
+                "BodyPartExamined": "CHEST", "StudyDescription": "x" * 300}
+        out = sanitise_metadata(meta)
+        assert "PatientName" not in out
+        assert out["Modality"] == "CT"
+        assert len(out["StudyDescription"]) == 100
+
+    def test_control_chars_stripped(self):
+        out = sanitise_metadata({"Modality": "C\x00T\x1f"})
+        assert out["Modality"] == "CT"
+
+
+class TestOrchestration:
+    def _run(self, image, transport, **kw):
+        llm.set_transport(transport)
+        return run_genai_pipeline(
+            image=image, metadata={"Modality": "CT"}, issues=["noise"],
+            metrics={"sigma": 0.12, "std": 0.2}, model="gpt-5-mini",
+            **kw)
+
+    def test_happy_path(self, noisy_image):
+        tr = ScriptedTransport([
+            _msg(_plan_json()),                       # planner
+            _msg(_plan_json(recommended_ops=["denoise"])),  # tuning final
+            _msg(json.dumps({                          # explainability
+                "detected_issues": "noise found",
+                "corrective_measures": "denoise",
+                "enhancement_applied": "wavelet",
+                "validation_outcome": "ok",
+                "limitations": "not for diagnosis",
+                "image_summary": "CT with noise",
+                "actionable_suggestions": ["a"],
+                "next_steps": ["b"]})),
+        ])
+        r = self._run(noisy_image, tr)
+        assert not r.fell_back_to_deterministic
+        assert r.best_plan.normalized_ops() == ["denoise"]
+        assert r.enhanced_image is not None
+        assert r.explainability.detected_issues == "noise found"
+        assert r.llm_call_count == 3
+        phases = [t["phase"] for t in r.agent_traces]
+        assert "planner" in phases and "tuning" in phases
+
+    def test_planner_failure_falls_back(self, noisy_image):
+        tr = ScriptedTransport([llm.LLMError("boom"), llm.LLMError("boom2")])
+        r = self._run(noisy_image, tr)
+        assert r.fell_back_to_deterministic
+        assert "planner" in r.error
+
+    def test_model_fallback_on_first_failure(self, noisy_image):
+        tr = ScriptedTransport([
+            llm.LLMError("primary down"),             # planner on primary
+            _msg(_plan_json(stop_reason="image is fine",
+                            recommended_ops=[])),     # planner on fallback
+        ])
+        r = self._run(noisy_image, tr)
+        assert not r.fell_back_to_deterministic
+        assert r.model_name == "o4-mini"
+        assert tr.requests[1][0] == "o4-mini"
+
+    def test_stop_reason_short_circuit(self, noisy_image):
+        tr = ScriptedTransport([
+            _msg(_plan_json(stop_reason="already good",
+                            recommended_ops=[]))])
+        r = self._run(noisy_image, tr)
+        np.testing.assert_array_equal(r.enhanced_image, noisy_image)
+        assert r.explainability is not None
+        assert "already good" in r.explainability.detected_issues
+
+    def test_plan_only(self, noisy_image):
+        tr = ScriptedTransport([_msg(_plan_json())])
+        r = self._run(noisy_image, tr, plan_only=True)
+        assert r.plan_only and r.plan is not None
+
+    def test_tuning_failure_keeps_seed_plan(self, noisy_image):
+        tr = ScriptedTransport([
+            _msg(_plan_json()),                       # planner ok
+            llm.LLMError("tuning down"),              # tuning primary
+            llm.LLMError("tuning fallback down"),     # tuning fallback
+            llm.LLMError("expl down"),                # explainability
+            llm.LLMError("expl fallback down"),
+        ])
+        r = self._run(noisy_image, tr)
+        assert not r.fell_back_to_deterministic
+        assert r.best_plan.normalized_ops() == ["denoise", "clahe"]
+        # template explainability fallback kicked in
+        assert "diagnosis" in r.explainability.limitations
+
+    def test_tuning_tool_loop_populates_iterations(self, noisy_image):
+        """The tuning agent calls apply→validate→score, then answers; the
+        orchestrator must materialise IterationRecords (fix-forward of the
+        reference's always-empty iterations table, SURVEY.md §2.3)."""
+        apply_call = {"id": "c1", "function": {
+            "name": "tool_apply_enhancement",
+            "arguments": json.dumps({"image_id": "original",
+                                     "plan_json": _plan_json()})}}
+        score_call = {"id": "c2", "function": {
+            "name": "tool_score_plan",
+            "arguments": json.dumps({"validation_json": json.dumps({
+                "contrast_gain": 0.1, "sharpness_gain": 0.1,
+                "noise_change": -0.1, "niqe_after": 1.0, "niqe_before": 1.2,
+                "passes": True, "edge_ratio": 0.9, "entropy_change": 0.0,
+                "snr_change": 0.5, "histogram_spread_change": 0.0,
+                "local_contrast_change": 0.0,
+                "gradient_strength_change": 0.0,
+                "gradient_entropy_change": 0.0})})}}
+        tr = ScriptedTransport([
+            _msg(_plan_json()),                           # planner
+            _msg(None, [apply_call]),                     # tuning turn 1
+            _msg(None, [score_call]),                     # tuning turn 2
+            _msg(_plan_json()),                           # tuning final
+            llm.LLMError("no expl"), llm.LLMError("no expl fb"),
+        ])
+        r = self._run(noisy_image, tr)
+        assert len(r.iterations) == 1
+        assert r.iterations[0].score > -10
+        assert r.iterations[0].chosen
+
+    def test_cost_guard_limits_calls(self, noisy_image, monkeypatch):
+        """An agent that never stops calling tools hits the LLM budget."""
+        loop_call = {"id": "c", "function": {
+            "name": "tool_get_metrics",
+            "arguments": json.dumps({"image_id": "original"})}}
+        tr = ScriptedTransport([_msg(None, [loop_call])] * 50)
+        r = self._run(noisy_image, tr)
+        assert r.fell_back_to_deterministic
+        assert len(tr.requests) <= _MAX_LLM_CALLS
+
+
+class TestChat:
+    def test_chat_without_llm_uses_stored_summary(self, tmp_path,
+                                                  monkeypatch):
+        monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "c.db"))
+        monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+        from mdx.pipeline import chat, storage
+        storage.init_db()
+        storage.save_run(
+            run_id="r1", input_filename="x.dcm", metadata_summary={},
+            issues=["noise"], metrics_before={}, metrics_after={},
+            plan_json="", validation={"ssim": 0.91, "psnr": 30.0},
+            applied_ops=["denoise"], explainability={}, report_path="",
+            before_after_path="", agent_logs=[], status="completed")
+        reply = chat.handle_chat("r1", "what happened?")
+        assert "noise" in reply and "denoise" in reply
+        hist = storage.get_chat_history("r1")
+        assert [m["role"] for m in hist] == ["user", "assistant"]
+
+    def test_chat_with_scripted_llm(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "c.db"))
+        from mdx.pipeline import chat, storage
+        storage.init_db()
+        storage.save_run(
+            run_id="r2", input_filename="x.dcm", metadata_summary={},
+            issues=[], metrics_before={}, metrics_after={}, plan_json="",
+            validation={}, applied_ops=[], explainability={},
+            report_path="", before_after_path="", agent_logs=[],
+            status="completed")
+        tr = ScriptedTransport([_msg("The run found no issues.")])
+        llm.set_transport(tr)
+        reply = chat.handle_chat("r2", "any problems?")
+        assert reply == "The run found no issues."
+        # run context reached the model, pixel-free
+        sys_prompt = tr.requests[0][1]["messages"][0]["content"]
+        assert "r2" in sys_prompt
+
+    def test_chat_unknown_run(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "c.db"))
+        from mdx.pipeline import chat, storage
+        storage.init_db()
+        with pytest.raises(KeyError):
+            chat.handle_chat("missing", "hi")
