@@ -48,13 +48,24 @@ def _make_batch(n: int, hw: int = 512) -> np.ndarray:
 
 
 def _measure_tpu(batch: np.ndarray, reps: int) -> float:
+    """Time the fused pass with tunnel-safe methodology.
+
+    Through the remote-TPU tunnel ``block_until_ready`` returns before the
+    device finishes and bulk downloads are slow, so: (1) the ``reps``
+    passes run inside ONE jitted ``fori_loop`` with a data dependency
+    between iterations, (2) only a scalar leaves the device, and (3) the
+    measured per-call round-trip latency of a trivial program is
+    subtracted.
+    """
     import jax
     import jax.numpy as jnp
+
+    from functools import partial
 
     from mdx.core import enhance as E
     from mdx.core import metrics as M
 
-    static = PlanStaticAll = E.PlanStatic(
+    static = E.PlanStatic(
         ops=_PLAN_OPS, tile_size=_PLAN_PARAMS["clahe_tile_size"],
         bilateral_d=_PLAN_PARAMS["bilateral_d"], plan_order=_PLAN_OPS)
     dyn = E.PlanDynamic(
@@ -68,24 +79,29 @@ def _measure_tpu(batch: np.ndarray, reps: int) -> float:
         tv_denoise_weight=_PLAN_PARAMS["tv_denoise_weight"],
         denoise_soft=True)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("s",), donate_argnums=())
-    def fused_pass(x, s, d):
-        stats = M.image_stats(x)               # all 16 metrics + niqe
-        enhanced, flags = E.apply_plan(x, s, d)  # 7-op chain + 3 safeguards
-        return stats["sigma"], enhanced
-
     x = jax.device_put(jnp.asarray(batch))
-    # Warm-up / compile
-    out = fused_pass(x, static, dyn)
-    jax.block_until_ready(out)
 
+    # Per-call round-trip latency baseline (compile + 5 timed calls).
+    tiny = jax.jit(lambda v: jnp.sum(v))
+    float(tiny(x))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fused_pass(x, static, dyn)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    for _ in range(5):
+        float(tiny(x))
+    rtt = (time.perf_counter() - t0) / 5
+
+    @partial(jax.jit, static_argnames=("s", "n"))
+    def fused_loop(v, s, d, n):
+        def body(i, carry):
+            stats = M.image_stats(carry)           # 16 metrics + niqe
+            enh, _flags = E.apply_plan(carry, s, d)  # 7 ops + 3 safeguards
+            # chain iterations so none can be elided or overlapped
+            return enh * (1.0 + 1e-12 * stats["sigma"][0])
+        return jnp.sum(jax.lax.fori_loop(0, n, body, v))
+
+    float(fused_loop(x, static, dyn, reps))  # compile + warm
+    t0 = time.perf_counter()
+    float(fused_loop(x, static, dyn, reps))
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     return batch.shape[0] * reps / dt
 
 

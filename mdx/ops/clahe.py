@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def clahe(
+def clahe_xla(
     x: jnp.ndarray,
     clip_limit: jnp.ndarray,
     tile_size: int = 16,
@@ -87,3 +87,34 @@ def clahe(
     v11 = _sample(y1, x1)
     out = (1 - wy) * ((1 - wx) * v00 + wx * v01) + wy * ((1 - wx) * v10 + wx * v11)
     return out[:, :h, :w]
+
+
+def clahe(
+    x: jnp.ndarray,
+    clip_limit: jnp.ndarray,
+    tile_size: int = 16,
+    nbins: int = 256,
+) -> jnp.ndarray:
+    """Platform-dispatching CLAHE.
+
+    On TPU the whole op runs as one Pallas kernel per image
+    (mdx/ops/pallas_kernels.py) — the XLA lowering's per-tile scatter-add
+    histogram and four 8M-element LUT gathers serialise on TPU (measured
+    477 ms vs the kernel's VMEM-resident loop-over-bins formulation).  On
+    CPU (tests, virtual meshes) the gather/scatter lowering is fine and
+    keeps golden parity, so the XLA path is used.  Both are numerically
+    equivalent (tests/test_pallas.py asserts ≤2e-6).
+    """
+    import jax
+
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from mdx.ops.pallas_kernels import clahe_tpu
+
+        return clahe_tpu(x, jnp.broadcast_to(
+            jnp.asarray(clip_limit, jnp.float32).reshape(-1),
+            (x.shape[0],)), tile_size, nbins)
+    return clahe_xla(x, clip_limit, tile_size, nbins)
