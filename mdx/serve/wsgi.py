@@ -19,6 +19,7 @@ from wsgiref.simple_server import WSGIServer, WSGIRequestHandler, make_server
 
 _STATUS_TEXT = {
     200: "200 OK", 202: "202 Accepted", 204: "204 No Content",
+    302: "302 Found",
     400: "400 Bad Request", 403: "403 Forbidden", 404: "404 Not Found",
     405: "405 Method Not Allowed", 413: "413 Payload Too Large",
     500: "500 Internal Server Error",

@@ -1,0 +1,142 @@
+"""Legacy server-rendered UI smoke tests (ref tests/test_flask.py:
+upload page 200, reports 200, 404, no-file post — plus a full synchronous
+run and CSRF rejection, which the reference never covered)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def client(tmp_path, monkeypatch):
+    monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "mdx.db"))
+    monkeypatch.setenv("UPLOAD_DIR", str(tmp_path / "uploads"))
+    monkeypatch.setenv("OUTPUT_DIR", str(tmp_path / "outputs"))
+    import importlib
+
+    from mdx.serve import config, legacy
+
+    importlib.reload(config)
+    importlib.reload(legacy)
+    return _Client(legacy.create_legacy_app())
+
+
+class _Client:
+    def __init__(self, app):
+        self.app = app
+
+    def request(self, method, path, body=b"", content_type="text/html"):
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = int(status.split()[0])
+            captured["headers"] = dict(headers)
+
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": "",
+            "CONTENT_LENGTH": str(len(body)),
+            "CONTENT_TYPE": content_type,
+            "wsgi.input": io.BytesIO(body),
+        }
+        payload = b"".join(self.app(environ, start_response))
+        return captured["status"], captured["headers"], payload
+
+    def get(self, path):
+        return self.request("GET", path)
+
+    def post_multipart(self, path, fields=None, files=None):
+        boundary = "legacyboundary1"
+        parts = []
+        for k, v in (fields or {}).items():
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; '
+                f'name="{k}"\r\n\r\n{v}\r\n'.encode())
+        for k, (fname, content) in (files or {}).items():
+            parts.append(
+                f'--{boundary}\r\nContent-Disposition: form-data; '
+                f'name="{k}"; filename="{fname}"\r\n\r\n'.encode()
+                + content + b"\r\n")
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        return self.request(
+            "POST", path, body,
+            f"multipart/form-data; boundary={boundary}")
+
+
+def _csrf(client) -> str:
+    _, _, body = client.get("/")
+    marker = b'name="csrf_token" value="'
+    i = body.index(marker) + len(marker)
+    return body[i:body.index(b'"', i)].decode()
+
+
+class TestPages:
+    def test_upload_page(self, client):
+        s, _, body = client.get("/")
+        assert s == 200 and b"DICOM" in body and b"csrf_token" in body
+
+    def test_reports_empty(self, client):
+        s, _, body = client.get("/reports")
+        assert s == 200 and b"No runs yet" in body
+
+    def test_unknown_run_404(self, client):
+        s, _, _ = client.get("/reports/deadbeef")
+        assert s == 404
+
+    def test_unknown_route_404(self, client):
+        s, _, _ = client.get("/nope")
+        assert s == 404
+
+    def test_run_without_file(self, client):
+        token = _csrf(client)
+        s, _, body = client.post_multipart("/run",
+                                           fields={"csrf_token": token})
+        assert s == 400 and b"No file selected" in body
+
+    def test_run_bad_csrf(self, client):
+        s, _, body = client.post_multipart(
+            "/run", fields={"csrf_token": "bogus.bogus"},
+            files={"file": ("a.dcm", b"xx")})
+        assert s == 400 and b"CSRF" in body
+
+    def test_static_served(self, client):
+        s, headers, body = client.get("/static/style.css")
+        assert s == 200 and b"topbar" in body
+
+    def test_chat_validation(self, client):
+        s, _, body = client.request(
+            "POST", "/api/chat", json.dumps({}).encode(),
+            "application/json")
+        assert s == 400
+
+
+class TestSynchronousRun:
+    def test_full_run_flow(self, client, tmp_path):
+        from mdx.io.dicom_write import write_synthetic_dicom
+
+        p = tmp_path / "n.dcm"
+        write_synthetic_dicom(str(p), kind="noisy", size=64)
+        token = _csrf(client)
+        s, headers, _ = client.post_multipart(
+            "/run", fields={"csrf_token": token},
+            files={"file": ("n.dcm", p.read_bytes())})
+        assert s == 302
+        loc = headers["Location"]
+        assert loc.startswith("/result/")
+
+        s, _, body = client.get(loc)
+        assert s == 200 and b"noise" in body
+
+        run_id = loc.split("/")[-1]
+        s, _, body = client.get(f"/reports/{run_id}")
+        assert s == 200 and b"chat" in body
+
+        s, _, body = client.get(f"/reports/{run_id}/download")
+        assert s == 200 and b"#" in body
+
+        s, _, body = client.get(f"/logs/{run_id}")
+        assert s == 200
