@@ -1,0 +1,133 @@
+"""ctypes bindings for the native ingest kernels (native/mdxio.cpp).
+
+Builds ``libmdxio.so`` with ``make`` on first use (g++ is part of the
+deployment toolchain) and falls back silently to the NumPy path when the
+toolchain or the build is unavailable — callers guard with try/except
+(mdx/io/dicom.py:_rescale_and_orient).  Set ``MDX_NO_NATIVE=1`` to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmdxio.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+_SUFFIX = {
+    np.dtype(np.uint8): "u8", np.dtype(np.int8): "s8",
+    np.dtype(np.uint16): "u16", np.dtype(np.int16): "s16",
+    np.dtype(np.uint32): "u32", np.dtype(np.int32): "s32",
+}
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _load() -> ctypes.CDLL:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed or os.environ.get("MDX_NO_NATIVE"):
+        raise NativeUnavailable("native kernels disabled or build failed")
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True,
+                    capture_output=True, timeout=120)
+            except Exception as exc:
+                _build_failed = True
+                raise NativeUnavailable(f"build failed: {exc}") from exc
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as exc:
+            _build_failed = True
+            raise NativeUnavailable(f"load failed: {exc}") from exc
+
+        f32p = ctypes.POINTER(ctypes.c_float)
+        for sfx in _SUFFIX.values():
+            fn = getattr(lib, f"mdxio_rescale_f32_{sfx}")
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,
+                           ctypes.c_float, f32p]
+            fn.restype = None
+            fn2 = getattr(lib, f"mdxio_rescale_norm_{sfx}")
+            fn2.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,
+                            ctypes.c_float, ctypes.c_int, f32p]
+            fn2.restype = None
+        lib.mdxio_minmax_f32.argtypes = [f32p, ctypes.c_int64, f32p, f32p]
+        lib.mdxio_minmax_f32.restype = None
+        lib.mdxio_normalize_f32.argtypes = [f32p, ctypes.c_int64,
+                                            ctypes.c_float, ctypes.c_float]
+        lib.mdxio_normalize_f32.restype = None
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def _f32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def rescale_f32(src: np.ndarray, slope: float, intercept: float) -> np.ndarray:
+    """src (int dtype, any shape) → float32 * slope + intercept."""
+    lib = _load()
+    dt = src.dtype.newbyteorder("=")
+    sfx = _SUFFIX.get(np.dtype(dt))
+    if sfx is None:
+        raise NativeUnavailable(f"unsupported dtype {src.dtype}")
+    src = np.ascontiguousarray(src, dtype=dt)
+    out = np.empty(src.shape, np.float32)
+    getattr(lib, f"mdxio_rescale_f32_{sfx}")(
+        src.ctypes.data_as(ctypes.c_void_p), src.size,
+        ctypes.c_float(slope), ctypes.c_float(intercept), _f32p(out))
+    return out
+
+
+def rescale_normalize(src: np.ndarray, slope: float, intercept: float,
+                      invert: bool) -> np.ndarray:
+    """Fused rescale + MONOCHROME1 inversion + min-max normalise → [0,1]."""
+    lib = _load()
+    dt = src.dtype.newbyteorder("=")
+    sfx = _SUFFIX.get(np.dtype(dt))
+    if sfx is None:
+        raise NativeUnavailable(f"unsupported dtype {src.dtype}")
+    src = np.ascontiguousarray(src, dtype=dt)
+    out = np.empty(src.shape, np.float32)
+    getattr(lib, f"mdxio_rescale_norm_{sfx}")(
+        src.ctypes.data_as(ctypes.c_void_p), src.size,
+        ctypes.c_float(slope), ctypes.c_float(intercept),
+        1 if invert else 0, _f32p(out))
+    return out
+
+
+def normalize01(img: np.ndarray) -> np.ndarray:
+    """Min-max normalise a float32 array in one native pass."""
+    lib = _load()
+    out = np.ascontiguousarray(img, np.float32).copy()
+    lo = ctypes.c_float()
+    hi = ctypes.c_float()
+    lib.mdxio_minmax_f32(_f32p(out), out.size, ctypes.byref(lo),
+                         ctypes.byref(hi))
+    lib.mdxio_normalize_f32(_f32p(out), out.size, lo, hi)
+    return out

@@ -31,8 +31,16 @@ def to_grayscale(image: np.ndarray) -> np.ndarray:
 
 def normalize_image(image: np.ndarray) -> np.ndarray:
     """Min-max normalise to [0, 1] float32; constant images → zeros
-    (ref pipeline/dicom_io.py:84-91)."""
+    (ref pipeline/dicom_io.py:84-91).  Large images take the native
+    single-pass kernel (mdx/io/native.py) when it is available."""
     image = np.asarray(image, np.float32)
+    if image.size >= 1 << 20:
+        try:
+            from mdx.io import native
+
+            return native.normalize01(image)
+        except Exception:
+            pass
     lo = float(image.min())
     hi = float(image.max())
     if hi - lo < 1e-8:

@@ -1,0 +1,106 @@
+// mdxio — native host-side kernels for the mdx DICOM ingest path.
+//
+// The reference is pure Python (zero native code, SURVEY.md: requirements
+// are numpy/scipy/skimage only); its per-pixel work is delegated to NumPy.
+// On a TPU-VM host the ingest path (unpack → modality rescale → min-max
+// normalise) competes with the feeding of the device queue, so these
+// kernels do the conversion in one or two streaming passes with OpenMP
+// across frames, replacing three temporary-allocating NumPy sweeps.
+//
+// Exposed C ABI (see mdx/io/native.py ctypes bindings):
+//   mdxio_rescale_f32_<src>  : src → float32 * slope + intercept
+//   mdxio_minmax_f32         : min/max of a float32 buffer
+//   mdxio_normalize_f32      : in-place (x - lo) / (hi - lo)
+//   mdxio_rescale_norm_<src> : fused rescale + per-call min-max normalise
+//
+// Build: make -C native  (g++ -O3 -march=native -fopenmp -shared -fPIC)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstddef>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+#define RESCALE_IMPL(suffix, SRC_T)                                         \
+  void mdxio_rescale_f32_##suffix(const SRC_T *src, int64_t n, float slope, \
+                                  float intercept, float *out) {            \
+    _Pragma("omp parallel for schedule(static)")                            \
+    for (int64_t i = 0; i < n; ++i) {                                       \
+      out[i] = static_cast<float>(src[i]) * slope + intercept;              \
+    }                                                                       \
+  }
+
+RESCALE_IMPL(u8, uint8_t)
+RESCALE_IMPL(s8, int8_t)
+RESCALE_IMPL(u16, uint16_t)
+RESCALE_IMPL(s16, int16_t)
+RESCALE_IMPL(u32, uint32_t)
+RESCALE_IMPL(s32, int32_t)
+
+void mdxio_minmax_f32(const float *src, int64_t n, float *lo_out,
+                      float *hi_out) {
+  float lo = src[0], hi = src[0];
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) reduction(min : lo) \
+    reduction(max : hi)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    lo = std::min(lo, src[i]);
+    hi = std::max(hi, src[i]);
+  }
+  *lo_out = lo;
+  *hi_out = hi;
+}
+
+void mdxio_normalize_f32(float *buf, int64_t n, float lo, float hi) {
+  const float range = hi - lo;
+  if (range <= 0.0f) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; ++i) buf[i] = 0.0f;
+    return;
+  }
+  const float inv = 1.0f / range;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) buf[i] = (buf[i] - lo) * inv;
+}
+
+// Fused: rescale into `out`, then min-max normalise, optionally inverting
+// first (MONOCHROME1: x → max - x happens implicitly by negating slope and
+// normalising — the caller passes invert=1 to flip).
+#define RESCALE_NORM_IMPL(suffix, SRC_T)                                     \
+  void mdxio_rescale_norm_##suffix(const SRC_T *src, int64_t n, float slope, \
+                                   float intercept, int invert,              \
+                                   float *out) {                             \
+    mdxio_rescale_f32_##suffix(src, n, slope, intercept, out);               \
+    float lo, hi;                                                            \
+    mdxio_minmax_f32(out, n, &lo, &hi);                                      \
+    if (invert) {                                                            \
+      const float range = hi - lo;                                           \
+      if (range <= 0.0f) {                                                   \
+        mdxio_normalize_f32(out, n, lo, hi);                                 \
+        return;                                                              \
+      }                                                                      \
+      const float inv = 1.0f / range;                                        \
+      _Pragma("omp parallel for schedule(static)")                           \
+      for (int64_t i = 0; i < n; ++i) out[i] = (hi - out[i]) * inv;          \
+    } else {                                                                 \
+      mdxio_normalize_f32(out, n, lo, hi);                                   \
+    }                                                                        \
+  }
+
+RESCALE_NORM_IMPL(u8, uint8_t)
+RESCALE_NORM_IMPL(s8, int8_t)
+RESCALE_NORM_IMPL(u16, uint16_t)
+RESCALE_NORM_IMPL(s16, int16_t)
+RESCALE_NORM_IMPL(u32, uint32_t)
+RESCALE_NORM_IMPL(s32, int32_t)
+
+}  // extern "C"
