@@ -9,7 +9,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import sys
+
 
 logger = logging.getLogger("mdx")
 

@@ -8,7 +8,7 @@ responses, CORS, and a max-body-size guard.  Pure stdlib.
 
 from __future__ import annotations
 
-import io
+
 import json
 import mimetypes
 import os

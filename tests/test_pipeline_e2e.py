@@ -1,0 +1,155 @@
+"""End-to-end pipeline + CLI + batch tests (ref tests/test_pipeline.py
+full 5-agent E2E smoke) — exercising mdx's real entry points on synthetic
+DICOM files written by our own writer."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from mdx.io.dicom_write import write_synthetic_dicom
+
+
+@pytest.fixture(autouse=True)
+def _db(tmp_path, monkeypatch):
+    monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "e2e.db"))
+
+
+class TestDicomRoundTrip:
+    def test_write_read_16bit(self, tmp_path):
+        from mdx.io import load_dicom
+
+        p = str(tmp_path / "a.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64)
+        img, meta = load_dicom(p)
+        assert img.shape == (64, 64) and img.dtype == np.float32
+        assert meta["Modality"] == "CT"
+
+    def test_monochrome1_inverts(self, tmp_path):
+        from mdx.io import load_dicom
+
+        grad = (np.linspace(0, 1, 64 * 64).reshape(64, 64) * 65535
+                ).astype(np.uint16)
+        from mdx.io.dicom_write import write_dicom
+
+        p1 = str(tmp_path / "m2.dcm")
+        p2 = str(tmp_path / "m1.dcm")
+        write_dicom(p1, grad, photometric="MONOCHROME2")
+        write_dicom(p2, grad, photometric="MONOCHROME1")
+        a, _ = load_dicom(p1)
+        b, _ = load_dicom(p2)
+        # MONOCHROME1 = inverted grayscale
+        np.testing.assert_allclose(a + b, np.full_like(a, a.max()),
+                                   atol=1e-2)
+
+    def test_rescale_applied(self, tmp_path):
+        from mdx.io import load_dicom
+
+        from mdx.io.dicom_write import write_dicom
+
+        pix = np.full((32, 32), 2048, np.uint16)
+        pix[0, 0] = 0
+        p = str(tmp_path / "ct.dcm")
+        write_dicom(p, pix, rescale_slope=1.0, rescale_intercept=-1024.0)
+        img, _ = load_dicom(p)
+        # after rescale the data spans [-1024, 1024] → normalisation later
+        assert img.min() == -1024.0 and img.max() == 1024.0
+
+    def test_multiframe_series(self, tmp_path):
+        from mdx.io import load_dicom, load_series
+
+        p = str(tmp_path / "vol.dcm")
+        write_synthetic_dicom(p, kind="phantom", size=32, frames=5)
+        stack, _ = load_series(p)
+        assert stack.shape == (5, 32, 32)
+        # single-slice path keeps reference middle-frame behaviour
+        mid, _ = load_dicom(p)
+        np.testing.assert_allclose(mid, stack[2])
+
+
+class TestRunnerE2E:
+    def test_deterministic_run(self, tmp_path):
+        from mdx.pipeline.runner import run_pipeline
+
+        p = str(tmp_path / "noisy.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64)
+        ctx = run_pipeline(input_path=p, output_dir=str(tmp_path / "out"),
+                           no_show=True)
+        assert "noise" in ctx["issues"]
+        assert ctx["report_md"].startswith("# ")
+        assert "Wavelet denoise" in " ".join(ctx["applied_ops"])
+        assert os.path.isfile(ctx["report_path"])
+        assert ctx["enhanced_image"].shape == (64, 64)
+        # persisted
+        from mdx.pipeline import storage
+
+        assert storage.get_run(ctx["run_id"])["status"] in (
+            "completed", "PASS", "WARN", "FAIL")
+
+    def test_clean_image_no_ops(self, tmp_path):
+        from mdx.pipeline.runner import run_pipeline
+
+        p = str(tmp_path / "clean.dcm")
+        # full-range gradient + light noise → no issues
+        rng = np.random.default_rng(42)
+        img = np.linspace(0.1, 0.9, 64 * 64).reshape(64, 64)
+        img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+        from mdx.io.dicom_write import write_dicom
+
+        write_dicom(str(tmp_path / "clean.dcm"),
+                    (img * 65535).astype(np.uint16))
+        ctx = run_pipeline(input_path=str(tmp_path / "clean.dcm"),
+                           output_dir=str(tmp_path / "out"), no_show=True)
+        assert ctx["issues"] == []
+        assert ctx["applied_ops"] == []
+        np.testing.assert_allclose(ctx["enhanced_image"],
+                                   ctx["original_image"])
+
+
+class TestCLI:
+    def test_cli_deterministic(self, tmp_path, capsys):
+        import main as cli
+
+        p = str(tmp_path / "n.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64)
+        rc = cli.main(["--input", p, "--output", str(tmp_path / "out"),
+                       "--no-show"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "# " in out and "noise" in out
+
+    def test_cli_missing_file(self, tmp_path, capsys):
+        import main as cli
+
+        rc = cli.main(["--input", str(tmp_path / "missing.dcm"),
+                       "--no-show"])
+        assert rc == 1
+
+
+class TestBatchRunner:
+    def test_multiframe_batch(self, tmp_path):
+        from mdx.pipeline.batch_runner import run_pipeline_batch
+
+        p = str(tmp_path / "vol.dcm")
+        write_synthetic_dicom(p, kind="phantom", size=64, frames=3)
+        ctx = run_pipeline_batch(input_path=p,
+                                 output_dir=str(tmp_path / "out"))
+        assert ctx["batch"] and len(ctx["frames"]) == 3
+        assert all(f["shape"] == [64, 64] for f in ctx["frames"])
+        assert os.path.isfile(os.path.join(tmp_path, "out",
+                                           "batch_report.md"))
+
+    def test_directory_batch(self, tmp_path):
+        from mdx.pipeline.batch_runner import run_pipeline_batch
+
+        d = tmp_path / "series"
+        d.mkdir()
+        for i, kind in enumerate(["noisy", "low_contrast"]):
+            write_synthetic_dicom(str(d / f"{i}.dcm"), kind=kind, size=64)
+        ctx = run_pipeline_batch(input_path=str(d),
+                                 output_dir=str(tmp_path / "out"))
+        assert len(ctx["frames"]) == 2
+        issues = {f["source"]: f["issues"] for f in ctx["frames"]}
+        assert "noise" in issues["0.dcm"]
