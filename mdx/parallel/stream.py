@@ -1,0 +1,149 @@
+"""Host→device streaming: decode-ahead pipeline for batch QA.
+
+SURVEY.md §2.9 row 3: the reference decodes and computes serially in one
+thread (ref pipeline/runner.py:79-153).  Here host-side DICOM decode +
+normalisation (NumPy / native C++ kernels) runs in a thread pool that
+stays ≥``prefetch`` batches ahead of the device, and each ready batch is
+``jax.device_put`` onto the mesh while the previous one computes — the
+classic double-buffered input pipeline, with the host threads doing real
+work (pydicom-free decode, mdx/io/dicom.py) while XLA owns the chips.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class DecodeStream:
+    """Iterator of device-resident [B,H,W] batches, decoded ahead of use.
+
+    ``items`` are opaque work units; ``decode_fn(item) -> np.ndarray [H,W]``
+    runs on host threads.  Batches are formed in submission order so
+    results remain aligned with ``items``.
+    """
+
+    def __init__(
+        self,
+        items: Sequence,
+        decode_fn: Callable[[object], np.ndarray],
+        batch_size: int,
+        *,
+        prefetch: int = 2,
+        workers: int = 4,
+        device_put: Callable[[np.ndarray], object] | None = None,
+    ):
+        if batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+        self._items = list(items)
+        self._decode = decode_fn
+        self._bs = batch_size
+        self._prefetch = max(prefetch, 1)
+        self._workers = max(workers, 1)
+        self._device_put = device_put
+        self._out: "queue.Queue" = queue.Queue(maxsize=self._prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    # -- producer side ----------------------------------------------------
+
+    def _producer(self) -> None:
+        try:
+            slots: dict[int, np.ndarray | Exception] = {}
+            lock = threading.Lock()
+            ready = threading.Condition(lock)
+            next_idx = 0
+            work = queue.Queue()
+            for i, item in enumerate(self._items):
+                work.put((i, item))
+
+            def worker():
+                while not self._stop.is_set():
+                    try:
+                        i, item = work.get_nowait()
+                    except queue.Empty:
+                        return
+                    try:
+                        arr = np.asarray(self._decode(item), np.float32)
+                    except Exception as exc:  # surfaced at batch boundary
+                        arr = exc
+                    with ready:
+                        slots[i] = arr
+                        ready.notify_all()
+
+            threads = [threading.Thread(target=worker, daemon=True)
+                       for _ in range(self._workers)]
+            for t in threads:
+                t.start()
+
+            n = len(self._items)
+            while next_idx < n and not self._stop.is_set():
+                hi = min(next_idx + self._bs, n)
+                with ready:
+                    ready.wait_for(lambda: all(
+                        i in slots for i in range(next_idx, hi)))
+                    chunk = [slots.pop(i) for i in range(next_idx, hi)]
+                errs = [c for c in chunk if isinstance(c, Exception)]
+                if errs:
+                    self._out.put(errs[0])
+                    return
+                batch = np.stack(chunk)
+                if self._device_put is not None:
+                    batch = self._device_put(batch)
+                self._out.put((next_idx, batch))
+                next_idx = hi
+            self._out.put(None)
+        except Exception as exc:  # pragma: no cover — defensive
+            self._out.put(exc)
+
+    # -- consumer side ----------------------------------------------------
+
+    def __iter__(self) -> Iterator:
+        while True:
+            got = self._out.get()
+            if got is None:
+                return
+            if isinstance(got, Exception):
+                raise got
+            yield got
+
+    def close(self) -> None:
+        self._stop.set()
+
+
+def stream_batches(
+    paths: Iterable[str],
+    batch_size: int = 8,
+    *,
+    mesh=None,
+    prefetch: int = 2,
+    workers: int = 4,
+):
+    """Decode DICOM files ahead of the device: yields (start_index,
+    sharded [B,H,W] device array).  Shapes must be homogeneous — bucket
+    first (mdx/pipeline/batch_runner.py)."""
+    import jax
+
+    from mdx.io import load_dicom, normalize_image
+    from mdx.parallel.mesh import data_sharding
+
+    def _decode(path: str) -> np.ndarray:
+        img, _meta = load_dicom(path)
+        return normalize_image(img)
+
+    put = None
+    if mesh is not None:
+        sharding = data_sharding(mesh)
+
+        def put(batch):  # noqa: F811
+            return jax.device_put(batch, sharding)
+
+    return DecodeStream(list(paths), _decode, batch_size,
+                        prefetch=prefetch, workers=workers, device_put=put)
