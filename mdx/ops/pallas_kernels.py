@@ -10,12 +10,14 @@ clip + redistribute, CDF LUTs, 4-corner bilinear remap — inside VMEM for
 one image per grid step, replacing every gather/scatter with
 loop-over-bins broadcast arithmetic on the VPU:
 
-* histogram:  for b in bins:  hist[b] = Σ_tile (q == b)
-* remap:      for b in bins:  out += (q == b) · bilinear_upsample(lut[b])
+* histogram:  for b in bins:  hist[b] = Rowᵀ · (q == b) · Col   (MXU)
+* remap:      for b in bins:  out += (q == b) · (Wr · lut[b] · Wc)
 
-The bilinear upsample of a [gy, gx] LUT slice to pixel resolution is two
-``pltpu.repeat``s of edge-padded, half-tile-shifted copies — no gathers.
-Cost: ~2·nbins elementwise sweeps over the image, all VMEM-resident.
+Row/Col are constant 0/1 tile-membership matrices and Wr/Wc constant
+bilinear-interpolation matrices (clamped half-tile-shifted hat weights),
+so the per-tile reduction and the LUT upsample are plain [H,gy]-shaped
+matmuls on the MXU — no reshapes, no gathers, no scatters.  The only VPU
+sweeps are the (q == b) compares.
 """
 
 from __future__ import annotations
@@ -29,30 +31,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _clahe_kernel(clip_ref, x_ref, out_ref, hist_ref, lut_ref, *,
+def _tile_membership(n_pix: int, t: int) -> np.ndarray:
+    """[n_pix, n_pix//t] 0/1 matrix: pixel p belongs to tile p//t."""
+    g = n_pix // t
+    m = np.zeros((n_pix, g), np.float32)
+    m[np.arange(n_pix), np.arange(n_pix) // t] = 1.0
+    return m
+
+
+def _interp_matrix(n_pix: int, t: int) -> np.ndarray:
+    """[n_pix//t, n_pix] bilinear LUT-upsample weights.
+
+    Column p carries the two clamped hat weights of skimage
+    equalize_adapthist's tile interpolation: f = (p+0.5)/t − 0.5,
+    g0 = clip(floor(f)), g1 = min(g0+1, g−1), w = clip(f − g0, 0, 1).
+    """
+    g = n_pix // t
+    m = np.zeros((g, n_pix), np.float32)
+    p = np.arange(n_pix)
+    f = (p + 0.5) / t - 0.5
+    g0 = np.clip(np.floor(f).astype(int), 0, g - 1)
+    g1 = np.minimum(g0 + 1, g - 1)
+    wgt = np.clip(f - g0, 0.0, 1.0)
+    m[g0, p] += 1.0 - wgt
+    m[g1, p] += wgt
+    return m
+
+
+def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
+                  w_col_ref, out_ref, hist_ref, lut_ref, *,
                   h: int, w: int, t: int, nbins: int):
     """One image per grid step; everything stays in VMEM.
 
-    clip_ref: SMEM [1,1] per-image clip limit (traced — sweeps don't
-    recompile).  hist_ref/lut_ref: VMEM scratch [nbins, gy, gx].
+    clip_ref: SMEM [N] per-image clip limits (traced — sweeps don't
+    recompile), indexed by the grid position.  The four constant selector /
+    interpolation matrices arrive as (grid-invariant) VMEM inputs.
+    hist_ref/lut_ref: VMEM scratch [nbins, gy, gx].
     """
     gy, gx = h // t, w // t
     x = x_ref[0]
     q = jnp.minimum((x * nbins).astype(jnp.int32), nbins - 1)
 
-    # ---- per-tile histograms: loop over bins, reduce within tiles -------
+    row_sel = row_sel_ref[:]                                 # [gy, h]
+    col_sel = col_sel_ref[:]                                 # [w, gx]
+
+    # ---- per-tile histograms: Rowᵀ·(q==b)·Col on the MXU ---------------
     def hist_body(b, _):
         mask = (q == b).astype(jnp.float32)
-        s1 = jnp.sum(mask.reshape(h, gx, t), axis=2)        # [h, gx]
-        s2 = jnp.sum(s1.reshape(gy, t, gx), axis=1)         # [gy, gx]
-        hist_ref[b] = s2
+        s1 = jnp.dot(row_sel, mask,
+                     preferred_element_type=jnp.float32)     # [gy, w]
+        hist_ref[b] = jnp.dot(s1, col_sel,
+                              preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, nbins, hist_body, 0)
 
     # ---- clip + uniform redistribution + running CDF --------------------
     npix = float(t * t)
-    clim = jnp.maximum(clip_ref[0, 0] * npix, 1.0)
+    clim = jnp.maximum(clip_ref[pl.program_id(0)] * npix, 1.0)
 
     def excess_body(b, acc):
         return acc + jnp.maximum(hist_ref[b] - clim, 0.0)
@@ -71,44 +107,18 @@ def _clahe_kernel(clip_ref, x_ref, out_ref, hist_ref, lut_ref, *,
     cdf0 = lut_ref[0]
     denom = jnp.maximum(total - cdf0, 1e-12)
 
-    # ---- remap: accumulate bilinear-upsampled LUT slices ----------------
-    ht = t // 2
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    # interior interpolation weight: frac((p + 0.5)/t − 0.5); at the outer
-    # half-tiles both corners clamp to the same tile so the weight is moot.
-    wy = ((jnp.maximum(row - ht, 0) % t).astype(jnp.float32) + 0.5) / t
-    wy = jnp.where(row < ht, 0.0, wy)
-    wx = ((jnp.maximum(col - ht, 0) % t).astype(jnp.float32) + 0.5) / t
-    wx = jnp.where(col < ht, 0.0, wx)
+    # ---- remap: out += (q==b) · (Wr · lut[b] · Wc) on the MXU -----------
+    w_row = w_row_ref[:]                                     # [h, gy]
+    w_col = w_col_ref[:]                                     # [gx, w]
 
     out_ref[0] = jnp.zeros((h, w), jnp.float32)
 
-    def _repeat_rows(a, reps):
-        """Element-wise repeat along axis 0 (broadcast + sublane reshape)."""
-        r, c = a.shape
-        return jnp.broadcast_to(a[:, None, :], (r, reps, c)).reshape(
-            r * reps, c)
-
-    def _repeat_cols(a, reps):
-        r, c = a.shape
-        return jnp.broadcast_to(a[:, :, None], (r, c, reps)).reshape(
-            r, c * reps)
-
     def remap_body(b, _):
         lb = (lut_ref[b] - cdf0) / denom                     # [gy, gx]
-        # rows: edge-clamped shifted repeats → y0/y1 corner values
-        lp = jnp.concatenate([lb[:1], lb], axis=0)           # [gy+1, gx]
-        lq = jnp.concatenate([lb, lb[-1:]], axis=0)
-        top = _repeat_rows(lp, t)[ht:ht + h]                 # [h, gx]
-        bot = _repeat_rows(lq, t)[ht:ht + h]
-        rowmix = (1.0 - wy) * top + wy * bot                 # [h, gx]
-        # cols: same construction along the lane axis
-        cl = jnp.concatenate([rowmix[:, :1], rowmix], axis=1)
-        cr = jnp.concatenate([rowmix, rowmix[:, -1:]], axis=1)
-        left = _repeat_cols(cl, t)[:, ht:ht + w]             # [h, w]
-        right = _repeat_cols(cr, t)[:, ht:ht + w]
-        blend = (1.0 - wx) * left + wx * right
+        rows = jnp.dot(w_row, lb,
+                       preferred_element_type=jnp.float32)   # [h, gx]
+        blend = jnp.dot(rows, w_col,
+                        preferred_element_type=jnp.float32)  # [h, w]
         out_ref[0] = out_ref[0] + jnp.where(q == b, blend, 0.0)
         return 0
 
@@ -138,18 +148,29 @@ def clahe_tpu(
     gy, gx = ph // t, pw // t
 
     clip_arr = jnp.broadcast_to(
-        jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,)
-    ).reshape(n, 1)
+        jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,))
+
+    row_sel = jnp.asarray(_tile_membership(ph, t).T)         # [gy, ph]
+    col_sel = jnp.asarray(_tile_membership(pw, t))           # [pw, gx]
+    w_row = jnp.asarray(_interp_matrix(ph, t).T)             # [ph, gy]
+    w_col = jnp.asarray(_interp_matrix(pw, t))               # [gx, pw]
+
+    def _const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_clahe_kernel, h=ph, w=pw, t=t, nbins=nbins)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            _const_spec(row_sel.shape),
+            _const_spec(col_sel.shape),
+            _const_spec(w_row.shape),
+            _const_spec(w_col.shape),
         ],
         out_specs=pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -159,5 +180,5 @@ def clahe_tpu(
             pltpu.VMEM((nbins, gy, gx), jnp.float32),
         ],
         interpret=interpret,
-    )(clip_arr, xp)
+    )(clip_arr, xp, row_sel, col_sel, w_row, w_col)
     return out[:, :h, :w]

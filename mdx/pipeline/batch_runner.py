@@ -29,18 +29,29 @@ logger = logging.getLogger(__name__)
 
 
 def _collect_inputs(input_path: str) -> list[tuple[str, np.ndarray, dict]]:
-    """Return [(label, [F,H,W] stack, metadata)] for a file or directory."""
+    """Return [(label, [F,H,W] stack, metadata)] for a file or directory.
+
+    Directory decode runs on a host thread pool (the pipeline-parallel
+    ingest of SURVEY.md §2.9 row 3 — decode overlaps decode; the
+    device-overlap half lives in mdx/parallel/stream.py)."""
     out = []
     if os.path.isdir(input_path):
+        from concurrent.futures import ThreadPoolExecutor
+
         names = sorted(
             n for n in os.listdir(input_path)
             if os.path.splitext(n)[1].lower() in (".dcm", ".dicom"))
-        for name in names:
+
+        def _one(name: str):
             try:
                 img, meta = load_dicom(os.path.join(input_path, name))
-                out.append((name, img[None], meta))
+                return (name, img[None], meta)
             except Exception as exc:
                 logger.warning("Skipping %s: %s", name, exc)
+                return None
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            out = [r for r in pool.map(_one, names) if r is not None]
     else:
         stack, meta = load_series(input_path)
         label = os.path.basename(input_path)
