@@ -77,9 +77,17 @@ def _run_deterministic_path(
     *, run_id, image, metadata, input_path, output_dir, base_name,
     save_artifacts,
 ) -> dict[str, Any]:
+    import jax
+
+    from mdx.pipeline.profiler import maybe_profile, phase_timer
+
+    trace = AgentTraceLogger()
     x = jnp.asarray(image, jnp.float32)[None]
-    enhanced_dev, stats, issue_masks, flags, validation_dev, _score = (
-        qa.qa_deterministic(x))
+    with maybe_profile("qa_deterministic"), \
+            phase_timer(trace, "device_qa",
+                        sync=lambda: jax.block_until_ready(enhanced_dev)):
+        enhanced_dev, stats, issue_masks, flags, validation_dev, _score = (
+            qa.qa_deterministic(x))
 
     issues = [k for k in ISSUE_ORDER if bool(issue_masks[k][0])]
     metrics_before = _metrics_dict(stats)
@@ -134,7 +142,7 @@ def _run_deterministic_path(
             metrics_after=metrics_after, plan_json="", validation=validation,
             applied_ops=applied_ops, explainability={},
             report_path=report_path, before_after_path=before_after_path,
-            agent_logs=[], status=validation.status)
+            agent_logs=trace.to_list(), status=validation.status)
     return context
 
 
