@@ -303,3 +303,61 @@ class TestChat:
         storage.init_db()
         with pytest.raises(KeyError):
             chat.handle_chat("missing", "hi")
+
+
+class TestGenAIThroughRunner:
+    """GenAI mode through the real run_pipeline entry (runner integration)."""
+
+    def _write_dcm(self, tmp_path):
+        from mdx.io.dicom_write import write_synthetic_dicom
+
+        p = str(tmp_path / "noisy.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64)
+        return p
+
+    def test_genai_run_end_to_end(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "g.db"))
+        p = self._write_dcm(tmp_path)
+        tr = ScriptedTransport([
+            _msg(_plan_json()),                       # planner
+            _msg(_plan_json()),                       # tuning final
+            llm.LLMError("no expl"), llm.LLMError("no expl fb"),
+        ])
+        llm.set_transport(tr)
+        from mdx.pipeline.runner import run_pipeline
+
+        ctx = run_pipeline(input_path=p, output_dir=str(tmp_path / "out"),
+                           genai=True, model="gpt-5-mini", no_show=True)
+        assert not ctx.get("genai_fell_back")
+        assert ctx["genai_plan"] is not None
+        assert "denoise" in ctx["applied_ops"]
+        assert "## 🧠 GenAI" in ctx["report_md"] or "GenAI" in ctx["report_md"]
+        from mdx.pipeline import storage
+
+        run = storage.get_run(ctx["run_id"])
+        assert run["genai_model"] == "gpt-5-mini"
+        assert any(e.get("phase") == "planner" for e in run["agent_logs"])
+
+    def test_genai_failure_falls_back_to_deterministic(self, tmp_path,
+                                                       monkeypatch):
+        monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "g.db"))
+        p = self._write_dcm(tmp_path)
+        llm.set_transport(ScriptedTransport(
+            [llm.LLMError("down"), llm.LLMError("down2")]))
+        from mdx.pipeline.runner import run_pipeline
+
+        ctx = run_pipeline(input_path=p, output_dir=str(tmp_path / "out"),
+                           genai=True, no_show=True)
+        assert ctx["genai_fell_back"]
+        assert "noise" in ctx["issues"]          # deterministic path ran
+        assert ctx["report_md"]
+
+    def test_plan_only_through_runner(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("MDX_DB_PATH", str(tmp_path / "g.db"))
+        p = self._write_dcm(tmp_path)
+        llm.set_transport(ScriptedTransport([_msg(_plan_json())]))
+        from mdx.pipeline.runner import run_pipeline
+
+        ctx = run_pipeline(input_path=p, output_dir=str(tmp_path / "out"),
+                           genai=True, plan_only=True, no_show=True)
+        assert ctx["plan_only"] and ctx["plan"] is not None
