@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def tv_chambolle(
+def tv_chambolle_xla(
     x: jnp.ndarray,
     weight: jnp.ndarray,
     eps: float = 2e-4,
@@ -70,3 +70,28 @@ def tv_chambolle(
     _, _, out, _, _ = lax.while_loop(
         cond, body, (jnp.asarray(1), p1, out0, e0, jnp.ones((n,), bool)))
     return out
+
+
+def tv_chambolle(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    eps: float = 2e-4,
+    max_iter: int = 200,
+) -> jnp.ndarray:
+    """Platform-dispatching TV denoise.
+
+    On TPU the dual-ascent solve runs as a VMEM-resident Pallas kernel
+    (mdx/ops/pallas_kernels.py) — the XLA while_loop streams ~10 full-image
+    HBM buffers per iteration; keeping the state on-chip makes iterations
+    VPU-bound.  Parity ≤1e-7 (tests/test_pallas.py)."""
+    import jax
+
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from mdx.ops.pallas_kernels import tv_chambolle_tpu
+
+        return tv_chambolle_tpu(x, weight, eps=eps, max_iter=max_iter)
+    return tv_chambolle_xla(x, weight, eps=eps, max_iter=max_iter)

@@ -55,3 +55,30 @@ class TestClahePallas:
                         interpret=True)
         o = np.asarray(out)
         assert o.min() >= -1e-6 and o.max() <= 1.0 + 1e-6
+
+
+class TestTvPallas:
+    def test_matches_xla(self, batch):
+        from mdx.ops.pallas_kernels import tv_chambolle_tpu
+        from mdx.ops.tv import tv_chambolle_xla
+
+        w = jnp.asarray([0.05, 0.12], jnp.float32)
+        a = tv_chambolle_xla(batch, w)
+        b = tv_chambolle_tpu(batch, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_matches_refimpl(self, noisy_image):
+        from mdx.refimpl.filters_np import tv_chambolle as tv_np
+        from mdx.ops.pallas_kernels import tv_chambolle_tpu
+
+        ref = tv_np(np.asarray(noisy_image, np.float64), 0.08)
+        got = tv_chambolle_tpu(jnp.asarray(noisy_image, jnp.float32)[None],
+                               jnp.asarray([0.08]), interpret=True)
+        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=1e-5)
+
+    def test_zero_weightish_is_gentle(self, clean_image):
+        from mdx.ops.pallas_kernels import tv_chambolle_tpu
+
+        x = jnp.asarray(clean_image, jnp.float32)[None]
+        out = tv_chambolle_tpu(x, jnp.asarray([1e-6]), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-3)
