@@ -106,15 +106,19 @@ def _measure_tpu(batch: np.ndarray, reps: int) -> float:
 
 
 def _measure_baseline(img: np.ndarray) -> float:
-    """Single-image NumPy float64 reference-spec pass (metrics + 7-op chain)."""
+    """Single-image NumPy float64 reference-spec pass (metrics + 7-op
+    chain).  Best of 3 runs — the most favourable number for the reference,
+    i.e. the most conservative vs_baseline for us."""
     from mdx.refimpl import pipeline_np as R
 
-    t0 = time.perf_counter()
-    R.compute_metrics(img)
-    R.compute_niqe(img)
-    R.apply_plan(img, list(_PLAN_OPS), dict(_PLAN_PARAMS))
-    dt = time.perf_counter() - t0
-    return 1.0 / dt
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        R.compute_metrics(img)
+        R.compute_niqe(img)
+        R.apply_plan(img, list(_PLAN_OPS), dict(_PLAN_PARAMS))
+        best = max(best, 1.0 / (time.perf_counter() - t0))
+    return best
 
 
 def main() -> None:
@@ -124,12 +128,19 @@ def main() -> None:
     batch = _make_batch(batch_n)
     value = _measure_tpu(batch, reps)
 
-    baseline = None
-    if os.environ.get("MDX_BENCH_SKIP_BASELINE") and os.path.exists(_BASELINE_CACHE):
-        with open(_BASELINE_CACHE) as f:
-            baseline = json.load(f).get("baseline_images_per_sec")
-    if baseline is None:
+    cached = None
+    if os.path.exists(_BASELINE_CACHE):
+        try:
+            with open(_BASELINE_CACHE) as f:
+                cached = json.load(f).get("baseline_images_per_sec")
+        except (OSError, ValueError):
+            cached = None
+    if os.environ.get("MDX_BENCH_SKIP_BASELINE") and cached:
+        baseline = cached
+    else:
         baseline = _measure_baseline(batch[0].astype(np.float64))
+        # keep the fastest baseline ever observed (conservative for us)
+        baseline = max(baseline, cached or 0.0)
         try:
             with open(_BASELINE_CACHE, "w") as f:
                 json.dump({"baseline_images_per_sec": baseline}, f)
