@@ -150,6 +150,12 @@ def clahe_tpu(
     clip_arr = jnp.broadcast_to(
         jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,))
 
+    if ph * pw > _WHOLE_IMAGE_LIMIT:
+        # image + LUT state would overflow VMEM — use the banded 2-phase
+        # kernels (per-tile-row grid) instead.
+        out = _clahe_banded(xp, clip_arr, t, nbins, interpret)
+        return out[:, :h, :w]
+
     row_sel = jnp.asarray(_tile_membership(ph, t).T)         # [gy, ph]
     col_sel = jnp.asarray(_tile_membership(pw, t))           # [pw, gx]
     w_row = jnp.asarray(_interp_matrix(ph, t).T)             # [ph, gy]
@@ -278,3 +284,138 @@ def tv_chambolle_tpu(
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
         interpret=interpret,
     )(weight_arr, x)
+
+
+# ---------------------------------------------------------------------------
+# Banded CLAHE for large slices (whole image exceeds VMEM at ≥1024²)
+# ---------------------------------------------------------------------------
+
+
+def _clahe_hist_kernel(x_ref, col_sel_ref, hist_ref, *, t: int, w: int,
+                       nbins: int):
+    """Grid (N, gy): per-tile histograms of one tile-row band [t, W]."""
+    band = x_ref[0, 0]                                        # [t, w]
+    q = jnp.minimum((band * nbins).astype(jnp.int32), nbins - 1)
+    col_sel = col_sel_ref[:]                                  # [w, gx]
+    ones = jnp.ones((1, t), jnp.float32)
+
+    def body(b, _):
+        mask = (q == b).astype(jnp.float32)                   # [t, w]
+        rowsum = jnp.dot(ones, mask,
+                         preferred_element_type=jnp.float32)  # [1, w]
+        hist_ref[0, 0, b] = jnp.dot(
+            rowsum, col_sel, preferred_element_type=jnp.float32)[0]
+        return 0
+
+    jax.lax.fori_loop(0, nbins, body, 0)
+
+
+def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_ref, w_row_ref, out_ref, *,
+                        t: int, w: int, nbins: int, gx: int):
+    """Grid (N, gy): remap one band through its 3-tile-row LUT window.
+
+    ``lutwin_ref`` [1, 1, 3, nbins, gx] carries the (clamped) LUT rows
+    g−1, g, g+1.  Within band g, pixel row r uses tile rows y0 ∈ {g−1, g}
+    and y1 ∈ {g, g+1} with hat weights; expressed as two constant [t, 3]
+    row-interpolation matrices folded into one.
+    """
+    band = x_ref[0, 0]
+    q = jnp.minimum((band * nbins).astype(jnp.int32), nbins - 1)
+    w_col = w_col_ref[:]                                      # [gx, w]
+
+    w_row = w_row_ref[:]                                      # [t, 3]
+
+    def body(b, _):
+        lut3 = lutwin_ref[0, 0, :, b, :]                      # [3, gx]
+        rows = jnp.dot(w_row, lut3,
+                       preferred_element_type=jnp.float32)    # [t, gx]
+        blend = jnp.dot(rows, w_col,
+                        preferred_element_type=jnp.float32)   # [t, w]
+        out_ref[0, 0] = out_ref[0, 0] + jnp.where(q == b, blend, 0.0)
+        return 0
+
+    out_ref[0, 0] = jnp.zeros((t, w), jnp.float32)
+    jax.lax.fori_loop(0, nbins, body, 0)
+
+
+def _banded_row_weights(t: int) -> np.ndarray:
+    """[t, 3] hat weights of band-local rows onto LUT rows (g−1, g, g+1):
+    f = (i+0.5)/t − 0.5; top tile g+floor(f) with weight 1−frac(f)."""
+    i = np.arange(t)
+    f = (i + 0.5) / t - 0.5
+    up = np.floor(f).astype(int)
+    wgt = (f - up).astype(np.float32)
+    wr = np.zeros((t, 3), np.float32)
+    wr[i, up + 1] += 1.0 - wgt
+    wr[i, up + 2] += wgt
+    return wr
+
+
+def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
+                  nbins: int, interpret: bool) -> jnp.ndarray:
+    """Two-phase CLAHE: per-band hist kernel → XLA clip/CDF → per-band
+    remap kernel with a 3-row LUT window.  Handles slices whose whole-image
+    state would not fit VMEM (e.g. 2048² CXR batches, BASELINE config 2)."""
+    n, ph, pw = xp.shape
+    gy, gx = ph // t, pw // t
+
+    col_sel = jnp.asarray(_tile_membership(pw, t))            # [pw, gx]
+    xb = xp.reshape(n, gy, t, pw)
+
+    hists = pl.pallas_call(
+        functools.partial(_clahe_hist_kernel, t=t, w=pw, nbins=nbins),
+        grid=(n, gy),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((pw, gx), lambda i, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nbins, gx),
+                               lambda i, g: (i, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, gy, nbins, gx), jnp.float32),
+        interpret=interpret,
+    )(xb, col_sel)
+
+    # clip + redistribute + CDF + normalise (tiny: [N, gy, nbins, gx])
+    npix = float(t * t)
+    clim = jnp.maximum(clip_arr * npix, 1.0)[:, None, None, None]
+    excess = jnp.sum(jnp.maximum(hists - clim, 0.0), axis=2, keepdims=True)
+    hists = jnp.minimum(hists, clim) + excess / nbins
+    cdf = jnp.cumsum(hists, axis=2)
+    cdf0 = cdf[:, :, :1, :]
+    total = cdf[:, :, -1:, :]
+    lut = (cdf - cdf0) / jnp.maximum(total - cdf0, 1e-12)    # [N,gy,nbins,gx]
+
+    # 3-row sliding windows with edge clamping: [N, gy, 3, nbins, gx]
+    lut_pad = jnp.concatenate(
+        [lut[:, :1], lut, lut[:, -1:]], axis=1)               # [N, gy+2, ...]
+    win = jnp.stack([lut_pad[:, i:i + gy] for i in range(3)], axis=2)
+
+    out = pl.pallas_call(
+        functools.partial(_clahe_remap_kernel, t=t, w=pw, nbins=nbins,
+                          gx=gx),
+        grid=(n, gy),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, nbins, gx),
+                         lambda i, g: (i, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gx, pw), lambda i, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 3), lambda i, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, gy, t, pw), jnp.float32),
+        interpret=interpret,
+    )(xb, win, jnp.asarray(_interp_matrix(pw, t)),
+      jnp.asarray(_banded_row_weights(t)))
+    return out.reshape(n, ph, pw)
+
+
+# Whole-image kernel VMEM budget: image + out + 2×(nbins·gy·gx) floats.
+_WHOLE_IMAGE_LIMIT = 768 * 768

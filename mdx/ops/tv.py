@@ -90,7 +90,10 @@ def tv_chambolle(
         on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
         on_tpu = False
-    if on_tpu:
+    h, w = x.shape[-2:]
+    # the kernel keeps x/out/p0/p1 (+temps) in VMEM — only safe for
+    # slices up to ~640²; larger images use the XLA while_loop
+    if on_tpu and h * w <= 640 * 640:
         from mdx.ops.pallas_kernels import tv_chambolle_tpu
 
         return tv_chambolle_tpu(x, weight, eps=eps, max_iter=max_iter)

@@ -82,3 +82,28 @@ class TestTvPallas:
         x = jnp.asarray(clean_image, jnp.float32)[None]
         out = tv_chambolle_tpu(x, jnp.asarray([1e-6]), interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-3)
+
+
+class TestClaheBanded:
+    def test_banded_matches_xla(self, batch):
+        from mdx.ops import pallas_kernels as PK
+
+        clip = jnp.asarray([0.02, 0.05], jnp.float32)
+        a = clahe_xla(batch, clip, 16)
+        b = PK._clahe_banded(jnp.clip(batch, 0, 1), clip, 16, 256,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    def test_banded_tile8(self, batch):
+        from mdx.ops import pallas_kernels as PK
+
+        clip = jnp.asarray([0.03, 0.03], jnp.float32)
+        a = clahe_xla(batch, clip, 8)
+        b = PK._clahe_banded(jnp.clip(batch, 0, 1), clip, 8, 256,
+                             interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    def test_dispatch_threshold(self):
+        from mdx.ops import pallas_kernels as PK
+
+        assert 512 * 512 <= PK._WHOLE_IMAGE_LIMIT < 1024 * 1024
