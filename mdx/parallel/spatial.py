@@ -47,28 +47,32 @@ _QBINS = 4096
 # ---------------------------------------------------------------------------
 
 
-def _halo_rows(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+def _halo_rows(x: jnp.ndarray, up: int, down: int,
+               edge_mode: str = "symmetric") -> jnp.ndarray:
     """Extend [N, Hs, W] row blocks with ``up``/``down`` halo rows.
 
     Interior halos come from the ring neighbours via ``ppermute``; the first
-    and last shard use symmetric (reflect-with-edge) padding of their own
-    rows, matching ``jnp.pad(mode="symmetric")`` on the unsharded array.
+    and last shard pad their own rows with ``edge_mode`` — "symmetric"
+    (= ``jnp.pad(mode="symmetric")``, edge row repeated) or "reflect"
+    (edge row excluded) — matching the unsharded op's boundary handling.
     """
     k = lax.axis_size(_AXIS)
     idx = lax.axis_index(_AXIS)
+    off = 0 if edge_mode == "symmetric" else 1
     parts = []
     if up:
         # shard j sends its bottom `up` rows to shard j+1
         from_above = lax.ppermute(
             x[:, -up:, :], _AXIS, [(j, j + 1) for j in range(k - 1)])
-        top_pad = x[:, :up, :][:, ::-1, :]          # symmetric: rows up-1..0
+        top_pad = x[:, off:up + off, :][:, ::-1, :]
         parts.append(jnp.where(idx == 0, top_pad, from_above))
     parts.append(x)
     if down:
         # shard j sends its top `down` rows to shard j-1
         from_below = lax.ppermute(
             x[:, :down, :], _AXIS, [(j + 1, j) for j in range(k - 1)])
-        bot_pad = x[:, -down:, :][:, ::-1, :]
+        stop = x.shape[1] - off
+        bot_pad = x[:, stop - down:stop, :][:, ::-1, :]
         parts.append(jnp.where(idx == k - 1, bot_pad, from_below))
     return jnp.concatenate(parts, axis=1)
 
@@ -391,30 +395,71 @@ def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
     return out[:, 0]
 
 
+def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,
+                    sigma_space: jnp.ndarray) -> jnp.ndarray:
+    """Edge-preserving bilateral filter across row blocks (reflect boundary
+    at the global edges, halo rows from neighbours).  Same unrolled
+    shifted-MAC formulation as mdx/ops/bilateral.py."""
+    d = min(int(d), 9)
+    if d % 2 == 0:
+        d += 1
+    r = d // 2
+    n, hs, w = x.shape
+    inv_2sc2 = 1.0 / (2.0 * sigma_color * sigma_color)
+    inv_2ss2d2 = 1.0 / (2.0 * sigma_space * sigma_space * float(d * d))
+    xp = _halo_rows(x, r, r, edge_mode="reflect")
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (r, r)), mode="reflect")
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = xp[:, r + dy:r + dy + hs, r + dx:r + dx + w]
+            sw = jnp.exp(-float(dx * dx + dy * dy) * inv_2ss2d2)
+            iw = jnp.exp(-jnp.square(x - shifted) * inv_2sc2)
+            wgt = sw * iw
+            num = num + wgt * shifted
+            den = den + wgt
+    return num / (den + 1e-10)
+
+
 def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    unsharp_radius: jnp.ndarray,
-                   unsharp_amount: jnp.ndarray) -> jnp.ndarray:
-    """Halo-local enhancement subset on row blocks: gamma → unsharp.
+                   unsharp_amount: jnp.ndarray,
+                   bilateral_d: int,
+                   bilateral_sigma_color: jnp.ndarray,
+                   bilateral_sigma_space: jnp.ndarray) -> jnp.ndarray:
+    """Halo-local enhancement subset on row blocks:
+    gamma → unsharp → bilateral.
 
-    The spatially-local ops (gamma power law, unsharp masking) are the ones
-    that matter for single-huge-slice latency; the full chain (wavelet
-    denoise, CLAHE) stays on the batch-sharded path where it is exact.
+    The spatially-local ops are the ones that matter for single-huge-slice
+    latency; the globally-coupled ops (multi-level wavelet denoise, CLAHE)
+    stay on the batch-sharded path where they are exact.
     """
     y = jnp.power(jnp.maximum(x, 0.0), gamma)
     blur = _gaussian_blur_halo(y, unsharp_radius)
     y = y + (y - blur) * unsharp_amount
+    if bilateral_d > 0:
+        y = _bilateral_halo(jnp.clip(y, 0.0, 1.0), bilateral_d,
+                            bilateral_sigma_color, bilateral_sigma_space)
     return jnp.clip(y, 0.0, 1.0)
 
 
 def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                     unsharp_radius: float = 0.8,
-                    unsharp_amount: float = 0.5) -> jnp.ndarray:
-    """Spatially-sharded gamma+unsharp enhancement of [N,H,W] row blocks."""
+                    unsharp_amount: float = 0.5,
+                    bilateral_d: int = 0,
+                    bilateral_sigma_color: float = 0.05,
+                    bilateral_sigma_space: float = 0.05) -> jnp.ndarray:
+    """Spatially-sharded gamma → unsharp → bilateral enhancement of
+    [N,H,W] row blocks."""
     fn = shard_map(
         partial(_enhance_block,
                 gamma=jnp.float32(gamma),
                 unsharp_radius=jnp.float32(unsharp_radius),
-                unsharp_amount=jnp.float32(unsharp_amount)),
+                unsharp_amount=jnp.float32(unsharp_amount),
+                bilateral_d=int(bilateral_d),
+                bilateral_sigma_color=jnp.float32(bilateral_sigma_color),
+                bilateral_sigma_space=jnp.float32(bilateral_sigma_space)),
         mesh=mesh,
         in_specs=P("data", _AXIS, None),
         out_specs=P("data", _AXIS, None),

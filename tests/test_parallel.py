@@ -126,3 +126,19 @@ class TestSpatialSharding:
                         0.0, 1.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+class TestSpatialBilateral:
+    def test_bilateral_matches_dense(self, mesh24, noisy_image):
+        from mdx.ops.bilateral import bilateral as dense_bilateral
+
+        x = _stack(noisy_image, noisy_image)
+        got = spatial.enhance_spatial(
+            x, mesh24, gamma=1.0, unsharp_radius=0.8, unsharp_amount=0.0,
+            bilateral_d=5, bilateral_sigma_color=0.08,
+            bilateral_sigma_space=0.08)
+        want = jnp.clip(dense_bilateral(
+            jnp.clip(x, 0, 1), 5, jnp.full((2,), 0.08),
+            jnp.full((2,), 0.08)), 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
