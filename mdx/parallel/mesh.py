@@ -16,6 +16,7 @@ reduction is per-image) while ``space`` needs latency-bound halo exchanges.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import numpy as np
@@ -63,3 +64,26 @@ def divisible_batch(n: int, mesh: Mesh) -> int:
     """Smallest multiple of the ``data`` axis size ≥ n (padding target)."""
     d = mesh.shape["data"]
     return int(math.ceil(n / d) * d)
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with env-var
+    defaults (SURVEY.md §2.9: DCN across hosts, ICI within a slice).
+
+    On single-host deployments this is a no-op; on a multi-host TPU pod
+    call it once per process before building meshes — ``jax.devices()``
+    then spans all hosts and :func:`make_mesh` lays the ``data`` axis
+    across DCN (no collectives needed there) and ``space`` across ICI.
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("MDX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address
+        or os.environ.get("MDX_COORDINATOR", None),
+        num_processes=num_processes,
+        process_id=(process_id if process_id is not None
+                    else int(os.environ.get("MDX_PROCESS_ID", "0"))))

@@ -70,14 +70,31 @@ def _buckets(items: list[tuple[str, np.ndarray, dict]]):
     return by_shape
 
 
+def _completed_frames() -> set[str]:
+    """input_filename keys (``label#frameN``) of already-completed runs —
+    the resume index for restartable batch jobs (SURVEY.md §5: batch jobs
+    restartable at slice granularity)."""
+    try:
+        return {r["input_filename"] for r in storage.list_runs(limit=100000)
+                if r.get("status") == "completed"
+                and "#frame" in r.get("input_filename", "")}
+    except Exception:
+        return set()
+
+
 def run_pipeline_batch(
     input_path: str,
     output_dir: str = "outputs",
     *,
     save_artifacts: bool = True,
     mesh=None,
+    resume: bool = False,
 ) -> dict[str, Any]:
     """QA all frames of a series / directory, sharded across the mesh.
+
+    With ``resume=True`` frames whose ``label#frameN`` key already has a
+    completed run in the DB are skipped — a crashed batch restarts at
+    slice granularity instead of from zero.
 
     Returns a summary context with per-frame statuses and metric digests.
     """
@@ -97,11 +114,21 @@ def run_pipeline_batch(
     if not items:
         raise RuntimeError(f"No DICOM inputs found at {input_path}")
 
+    done = _completed_frames() if resume else set()
+
     if save_artifacts:
         os.makedirs(output_dir, exist_ok=True)
 
+    skipped = 0
     results: list[dict[str, Any]] = []
     for (h, w), frames in sorted(_buckets(items).items()):
+        if done:
+            kept = [f for f in frames
+                    if f"{f[0]}#frame{f[1]}" not in done]
+            skipped += len(frames) - len(kept)
+            frames = kept
+            if not frames:
+                continue
         x = np.stack([f[2] for f in frames]).astype(np.float32)
         xp, n_valid = pad_batch(jnp.asarray(x), mesh)
         xp = jax.device_put(xp, data_sharding(mesh))
@@ -174,6 +201,7 @@ def run_pipeline_batch(
     return {
         "batch": True,
         "frames": results,
+        "skipped": skipped,
         "report_md": report_md,
         "mesh": dict(mesh.shape),
     }

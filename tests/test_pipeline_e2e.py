@@ -153,3 +153,18 @@ class TestBatchRunner:
         assert len(ctx["frames"]) == 2
         issues = {f["source"]: f["issues"] for f in ctx["frames"]}
         assert "noise" in issues["0.dcm"]
+
+
+class TestBatchResume:
+    def test_resume_skips_completed_frames(self, tmp_path):
+        from mdx.pipeline.batch_runner import run_pipeline_batch
+
+        p = str(tmp_path / "vol.dcm")
+        write_synthetic_dicom(p, kind="phantom", size=64, frames=3)
+        first = run_pipeline_batch(input_path=p,
+                                   output_dir=str(tmp_path / "out"))
+        assert len(first["frames"]) == 3 and first["skipped"] == 0
+        second = run_pipeline_batch(input_path=p,
+                                    output_dir=str(tmp_path / "out"),
+                                    resume=True)
+        assert second["skipped"] == 3 and second["frames"] == []
