@@ -26,6 +26,12 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: first compile of the fused pass through
+# the remote-TPU tunnel takes minutes; cache it across invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 # The benched plan: all seven ops active with mid-range parameters
@@ -122,7 +128,7 @@ def _measure_baseline(img: np.ndarray) -> float:
 
 
 def main() -> None:
-    batch_n = int(os.environ.get("MDX_BENCH_BATCH", "32"))
+    batch_n = int(os.environ.get("MDX_BENCH_BATCH", "64"))
     reps = int(os.environ.get("MDX_BENCH_REPS", "10"))
 
     batch = _make_batch(batch_n)
