@@ -27,6 +27,7 @@ from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
 from mdx.io import build_markdown_report, load_dicom, normalize_image, save_visuals
 from mdx.pipeline import storage
 from mdx.pipeline.agents import (
+    DetectionResult,
     RecommendationAgent,
     _metrics_dict,
     build_validation_result,
@@ -92,7 +93,7 @@ def _run_deterministic_path(
     issues = [k for k in ISSUE_ORDER if bool(issue_masks[k][0])]
     metrics_before = _metrics_dict(stats)
     recommendations = RecommendationAgent().run(
-        type("D", (), {"issues": issues})())
+        DetectionResult(issues=issues, metrics=metrics_before))
 
     if issues:
         enhanced_image = np.asarray(enhanced_dev[0])
@@ -201,7 +202,8 @@ def _run_genai_path(
         recommendations_text.extend(f"⚠️ {w}" for w in result.best_plan.risk_warnings)
     if not recommendations_text:
         recommendations_text = RecommendationAgent().run(
-            type("D", (), {"issues": issues})()).recommendations
+            DetectionResult(issues=issues,
+                            metrics=metrics_before)).recommendations
 
     context: dict[str, Any] = {
         "run_id": run_id,
