@@ -21,7 +21,11 @@ _DEFAULT_DB = "mdx_runs.db"
 
 
 def db_path() -> str:
-    return os.environ.get("MDX_DB_PATH") or _DEFAULT_DB
+    # MDIMG_DB_PATH honoured for drop-in compatibility with reference
+    # deployments (ref backend/config.py:26, README env inventory).
+    return (os.environ.get("MDX_DB_PATH")
+            or os.environ.get("MDIMG_DB_PATH")
+            or _DEFAULT_DB)
 
 
 def _connect() -> sqlite3.Connection:

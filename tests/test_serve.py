@@ -182,3 +182,28 @@ class TestEndToEndRun:
 
         s, lst = client.get_json("/api/runs")
         assert any(r["run_id"] == run_id for r in lst["runs"])
+
+
+class TestErrorPaths:
+    def test_corrupt_dicom_run_errors(self, client, tmp_path):
+        """A run on an undecodable file must end status=error with the
+        message persisted (executor failure detection, SURVEY.md §5)."""
+        s, up = client.upload("/api/upload", "file", "bad.dcm",
+                              b"not a dicom at all")
+        assert s == 200
+        s, run = client.post_json("/api/run", {"file_id": up["file_id"]})
+        assert s == 202
+        run_id = run["run_id"]
+        deadline = time.time() + 60
+        status = "pending"
+        while time.time() < deadline:
+            s, st = client.get_json(f"/api/runs/{run_id}/status")
+            status = st["status"]
+            if status in ("completed", "error"):
+                break
+            time.sleep(0.3)
+        assert status == "error"
+        from mdx.pipeline import storage
+
+        row = storage.get_run_status(run_id)
+        assert row["error"]
