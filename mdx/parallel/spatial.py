@@ -467,3 +467,128 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
     )
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     return jax.jit(fn)(x)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-sharded validation + full QA step
+# ---------------------------------------------------------------------------
+
+
+def _ssim_block(x: jnp.ndarray, y: jnp.ndarray,
+                data_range: float = 1.0, win_size: int = 7) -> jnp.ndarray:
+    """Distributed SSIM on row blocks → [N] (skimage semantics:
+    7×7 uniform window, unbiased covariance, (win−1)//2 border crop —
+    the crop applies to the *global* image border, so only the first/last
+    shards drop rows; column crop is local)."""
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1.0)
+    ux = _box_halo(x, win_size)
+    uy = _box_halo(y, win_size)
+    uxx = _box_halo(x * x, win_size)
+    uyy = _box_halo(y * y, win_size)
+    uxy = _box_halo(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2))
+
+    pad = (win_size - 1) // 2
+    n, hs, w = x.shape
+    idx = lax.axis_index(_AXIS)
+    k = lax.axis_size(_AXIS)
+    row = lax.broadcasted_iota(jnp.int32, (1, hs, 1), 1)
+    valid = jnp.ones((1, hs, 1), jnp.float32)
+    valid = jnp.where((idx == 0) & (row < pad), 0.0, valid)
+    valid = jnp.where((idx == k - 1) & (row >= hs - pad), 0.0, valid)
+    s = s[:, :, pad:-pad] * valid
+    total = lax.psum(jnp.sum(s.reshape(n, -1), axis=-1), _AXIS)
+    cnt = lax.psum(jnp.sum(valid) * (w - 2 * pad), _AXIS)
+    return total / cnt
+
+
+def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
+                data_range: float = 1.0) -> jnp.ndarray:
+    mse = _pmean_img(jnp.square(x - y))
+    return 10.0 * jnp.log10((data_range * data_range) / mse)
+
+
+def qa_spatial(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    gamma: float = 0.95,
+    unsharp_radius: float = 0.8,
+    unsharp_amount: float = 0.5,
+    bilateral_d: int = 5,
+    bilateral_sigma_color: float = 0.05,
+    bilateral_sigma_space: float = 0.05,
+) -> dict:
+    """Full spatially-sharded QA on huge slices: one SPMD program running
+    detect → halo-local enhancement → before/after metrics + SSIM/PSNR +
+    the reference's three-way pass rule — entirely on the (data × space)
+    mesh.  Globally-coupled ops (wavelet denoise, CLAHE) are not in this
+    chain; route slices that need them through the batch-sharded path.
+
+    Returns {stats_before, stats_after, issues, enhanced, ssim, psnr,
+    quality_improvement, passes} with [N]-shaped scalars replicated and
+    ``enhanced`` sharded like the input.
+    """
+    from mdx.core.metrics import THRESHOLDS
+
+    k = mesh.shape[_AXIS]
+    h = x.shape[1]
+    if h % k or (h // k) % 2:
+        raise ValueError(
+            f"H={h} must split into even-sized row blocks over {k} shards")
+
+    def _block(xb):
+        before = _image_stats_block(xb)
+        enhanced = _enhance_block(
+            xb, jnp.float32(gamma), jnp.float32(unsharp_radius),
+            jnp.float32(unsharp_amount), int(bilateral_d),
+            jnp.float32(bilateral_sigma_color),
+            jnp.float32(bilateral_sigma_space))
+        after = _image_stats_block(enhanced)
+        s = _ssim_block(xb, enhanced)
+        p = _psnr_block(xb, enhanced)
+        eps = 1e-8
+        contrast_gain = (after["std"] - before["std"]) / jnp.maximum(
+            before["std"], eps)
+        sharpness_gain = (after["lap_var"] - before["lap_var"]) / jnp.maximum(
+            before["lap_var"], eps)
+        noise_reduction = (before["sigma"] - after["sigma"]) / jnp.maximum(
+            before["sigma"], eps)
+        qi = (0.35 * contrast_gain + 0.35 * sharpness_gain
+              + 0.30 * noise_reduction)
+        meets_ssim = s >= THRESHOLDS["ssim"]
+        meets_psnr = p >= THRESHOLDS["psnr"]
+        meets_improvement = qi >= THRESHOLDS["quality_improvement"]
+        niqe_ok = after["niqe"] <= before["niqe"]
+        passes = ((meets_ssim & meets_psnr)
+                  | (meets_ssim & meets_improvement)
+                  | (meets_psnr & meets_improvement & niqe_ok))
+        return before, after, enhanced, s, p, qi, passes
+
+    fn = shard_map(
+        _block, mesh=mesh,
+        in_specs=P("data", _AXIS, None),
+        out_specs=(P("data"), P("data"), P("data", _AXIS, None),
+                   P("data"), P("data"), P("data"), P("data")),
+        check_vma=False)
+    x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
+    before, after, enhanced, s, p, qi, passes = jax.jit(fn)(x)
+    from mdx.core.metrics import detect_issues
+
+    return {
+        "stats_before": before,
+        "stats_after": after,
+        "issues": detect_issues(before),
+        "enhanced": enhanced,
+        "ssim": s,
+        "psnr": p,
+        "quality_improvement": qi,
+        "passes": passes,
+    }

@@ -142,3 +142,19 @@ class TestSpatialBilateral:
             jnp.full((2,), 0.08)), 0.0, 1.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+class TestSpatialQA:
+    def test_qa_spatial_end_to_end(self, mesh24, noisy_image):
+        from mdx.ops.ssim import psnr as dense_psnr, ssim as dense_ssim
+
+        x = _stack(noisy_image, noisy_image)
+        out = spatial.qa_spatial(x, mesh24, bilateral_d=5)
+        assert out["enhanced"].shape == x.shape
+        assert bool(out["issues"]["noise"][0])
+        # SSIM/PSNR must match the dense computation on the same pair
+        enh = jnp.asarray(np.asarray(out["enhanced"]))
+        np.testing.assert_allclose(np.asarray(out["ssim"]),
+                                   np.asarray(dense_ssim(x, enh)), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["psnr"]),
+                                   np.asarray(dense_psnr(x, enh)), rtol=1e-4)
