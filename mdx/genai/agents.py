@@ -159,8 +159,17 @@ def run_agent(
                 except json.JSONDecodeError:
                     args = {}
                 impl = TOOL_IMPLS.get(fn_name)
-                out = (impl(**args) if impl
-                       else json.dumps({"error": f"unknown tool {fn_name}"}))
+                if impl is None:
+                    out = json.dumps({"error": f"unknown tool {fn_name}"})
+                else:
+                    try:
+                        out = impl(**args)
+                    except TypeError as exc:
+                        # malformed/missing arguments from the model — feed
+                        # the error back as the tool result so the agent can
+                        # self-correct instead of aborting the whole pass
+                        out = json.dumps({"error": f"bad arguments for "
+                                                   f"{fn_name}: {exc}"})
                 res.tool_calls_made += 1
                 if on_tool_call is not None:
                     on_tool_call(fn_name, json.dumps(args))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 import uuid
 from typing import Any
 
@@ -25,23 +26,38 @@ from mdx.pipeline.schemas import PARAM_BOUNDS, EnhancementPlan
 
 logger = logging.getLogger(__name__)
 
-_IMAGE_STORE: dict[str, np.ndarray] = {}
+# The store is THREAD-LOCAL: the run executor (mdx/serve/executor.py) and
+# the legacy UI run up to MDX_MAX_CONCURRENT_RUNS GenAI pipelines on
+# parallel worker threads, each of which registers its image under the
+# fixed key "original".  A process-global dict would let run B overwrite
+# run A's pixels (enhancing the wrong patient's image) and let whichever
+# run finishes first clear the other's store mid-tuning.
+_STORE_TLS = threading.local()
+
+
+def _store() -> dict[str, np.ndarray]:
+    store = getattr(_STORE_TLS, "images", None)
+    if store is None:
+        store = {}
+        _STORE_TLS.images = store
+    return store
 
 
 def register_image(image: np.ndarray, name: str | None = None) -> str:
     key = name or f"img_{uuid.uuid4().hex[:8]}"
-    _IMAGE_STORE[key] = np.array(image, copy=True)
+    _store()[key] = np.array(image, copy=True)
     return key
 
 
 def get_image(image_id: str) -> np.ndarray:
-    if image_id not in _IMAGE_STORE:
+    store = _store()
+    if image_id not in store:
         raise KeyError(f"Image '{image_id}' not found in store.")
-    return _IMAGE_STORE[image_id]
+    return store[image_id]
 
 
 def clear_image_store() -> None:
-    _IMAGE_STORE.clear()
+    _store().clear()
 
 
 def clamp_plan(plan: EnhancementPlan) -> EnhancementPlan:

@@ -108,7 +108,7 @@ def clahe(
     import jax
 
     try:
-        on_tpu = jax.default_backend() not in ("cpu",)
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
     if on_tpu:

@@ -87,7 +87,7 @@ def tv_chambolle(
     import jax
 
     try:
-        on_tpu = jax.default_backend() not in ("cpu",)
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
     h, w = x.shape[-2:]

@@ -40,6 +40,10 @@ from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
 _AXIS = "space"
 _QBINS = 4096
+# Widest one-shard stencil halo: the unsharp Gaussian's fixed support
+# (radius 12, mdx/ops/filters.py _GAUSS_MAX_RADIUS); box16 needs 8,
+# bilateral ≤4, the db2 DWT 3.  Row blocks must cover it.
+_MIN_ROWS_PER_SHARD = 16
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +346,11 @@ def image_stats_spatial(x: jnp.ndarray, mesh: Mesh) -> dict[str, jnp.ndarray]:
     if h % k or (h // k) % 2:
         raise ValueError(
             f"H={h} must split into even-sized row blocks over {k} shards")
+    if h // k < _MIN_ROWS_PER_SHARD:
+        raise ValueError(
+            f"H={h} over {k} shards gives {h // k} rows/shard — the widest "
+            f"stencil halo needs {_MIN_ROWS_PER_SHARD}; use fewer spatial "
+            f"shards or the batch-sharded path")
     fn = shard_map(
         _image_stats_block,
         mesh=mesh,
@@ -452,6 +461,11 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                     bilateral_sigma_space: float = 0.05) -> jnp.ndarray:
     """Spatially-sharded gamma → unsharp → bilateral enhancement of
     [N,H,W] row blocks."""
+    k = mesh.shape[_AXIS]
+    if x.shape[1] % k or x.shape[1] // k < _MIN_ROWS_PER_SHARD:
+        raise ValueError(
+            f"H={x.shape[1]} over {k} shards: need ≥{_MIN_ROWS_PER_SHARD} "
+            f"rows per shard for the stencil halos")
     fn = shard_map(
         partial(_enhance_block,
                 gamma=jnp.float32(gamma),
@@ -543,6 +557,11 @@ def qa_spatial(
     if h % k or (h // k) % 2:
         raise ValueError(
             f"H={h} must split into even-sized row blocks over {k} shards")
+    if h // k < _MIN_ROWS_PER_SHARD:
+        raise ValueError(
+            f"H={h} over {k} shards gives {h // k} rows/shard — the widest "
+            f"stencil halo needs {_MIN_ROWS_PER_SHARD}; use fewer spatial "
+            f"shards or the batch-sharded path")
 
     def _block(xb):
         before = _image_stats_block(xb)

@@ -58,8 +58,13 @@ class DecodeStream:
         try:
             slots: dict[int, np.ndarray | Exception] = {}
             lock = threading.Lock()
-            ready = threading.Condition(lock)
+            ready = self._ready = threading.Condition(lock)
             next_idx = 0
+            # decode-ahead window: frames beyond `watermark` wait, so host
+            # memory is bounded by (prefetch+1) batches of decoded frames —
+            # not the whole input list
+            window = (self._prefetch + 1) * self._bs
+            state = {"watermark": window}
             work = queue.Queue()
             for i, item in enumerate(self._items):
                 work.put((i, item))
@@ -69,6 +74,12 @@ class DecodeStream:
                     try:
                         i, item = work.get_nowait()
                     except queue.Empty:
+                        return
+                    with ready:
+                        ready.wait_for(
+                            lambda: i < state["watermark"]
+                            or self._stop.is_set())
+                    if self._stop.is_set():
                         return
                     try:
                         arr = np.asarray(self._decode(item), np.float32)
@@ -90,6 +101,8 @@ class DecodeStream:
                     ready.wait_for(lambda: all(
                         i in slots for i in range(next_idx, hi)))
                     chunk = [slots.pop(i) for i in range(next_idx, hi)]
+                    state["watermark"] = hi + window
+                    ready.notify_all()
                 errs = [c for c in chunk if isinstance(c, Exception)]
                 if errs:
                     self._out.put(errs[0])
@@ -116,6 +129,10 @@ class DecodeStream:
 
     def close(self) -> None:
         self._stop.set()
+        ready = getattr(self, "_ready", None)
+        if ready is not None:
+            with ready:
+                ready.notify_all()
 
 
 def stream_batches(

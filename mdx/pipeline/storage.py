@@ -68,6 +68,11 @@ CREATE INDEX IF NOT EXISTS idx_chat_run ON chat_messages(run_id, id);
 
 
 def init_db() -> None:
+    # sqlite cannot create parent directories (fresh deploys default to
+    # <root>/data/mdx.db, which does not exist yet)
+    parent = os.path.dirname(os.path.abspath(db_path()))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with _connect() as conn:
         conn.executescript(_SCHEMA_SQL)
 

@@ -37,8 +37,10 @@ MAX_ITERS: int = int(os.environ.get("MAX_ITERS", "2"))
 # --- Paths ---
 UPLOAD_DIR: str = os.environ.get("UPLOAD_DIR", os.path.join(_ROOT, "uploads"))
 OUTPUT_DIR: str = os.environ.get("OUTPUT_DIR", os.path.join(_ROOT, "outputs"))
-MDX_DB_PATH: str = os.environ.get(
-    "MDX_DB_PATH", os.path.join(_ROOT, "data", "mdx.db"))
+# MDIMG_DB_PATH honoured for drop-in compatibility with reference deploys
+MDX_DB_PATH: str = (os.environ.get("MDX_DB_PATH")
+                    or os.environ.get("MDIMG_DB_PATH")
+                    or os.path.join(_ROOT, "data", "mdx.db"))
 
 # --- HTTP ---
 SECRET_KEY: str = os.environ.get("SECRET_KEY", secrets.token_hex(32))

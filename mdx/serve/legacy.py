@@ -80,19 +80,37 @@ def _form_fields(req: Request) -> dict[str, str]:
     return dict(parse_qsl(req.body.decode("utf-8", "replace")))
 
 
+def _cookie_token(req: Request) -> str:
+    cookies = req.environ.get("HTTP_COOKIE", "")
+    for chunk in cookies.split(";"):
+        k, _, v = chunk.strip().partition("=")
+        if k == "mdx_csrf":
+            return v
+    return ""
+
+
 def create_legacy_app() -> App:
     config.apply_to_env()
     app = App(max_content_length=config.MAX_CONTENT_LENGTH)
+    # Browser-facing HTML app: same-origin only (the wildcard-CORS JSON API
+    # is a separate surface) — wildcard CORS here would let any origin read
+    # a fresh CSRF token out of the page.
+    app.cors = False
     env = _jinja_env()
     os.makedirs(config.UPLOAD_DIR, exist_ok=True)
     os.makedirs(config.OUTPUT_DIR, exist_ok=True)
     storage.init_db()
 
     def page(template: str, status: int = 200, **ctx) -> Response:
-        ctx.setdefault("csrf_token", _csrf_token())
+        token = ctx.pop("csrf_token", None) or _csrf_token()
+        ctx["csrf_token"] = token
         body = env.get_template(template).render(**ctx).encode("utf-8")
-        return Response(body, status,
-                        [("Content-Type", "text/html; charset=utf-8")])
+        # double-submit cookie: the form token must match this cookie on POST
+        return Response(body, status, [
+            ("Content-Type", "text/html; charset=utf-8"),
+            ("Set-Cookie",
+             f"mdx_csrf={token}; Path=/; SameSite=Strict; HttpOnly"),
+        ])
 
     @app.route("/")
     def index(req: Request):
@@ -101,7 +119,9 @@ def create_legacy_app() -> App:
     @app.route("/run", methods=["POST"])
     def run(req: Request):
         fields = _form_fields(req)
-        if not _csrf_ok(fields.get("csrf_token", "")):
+        token = fields.get("csrf_token", "")
+        if (not _csrf_ok(token)
+                or not hmac.compare_digest(token, _cookie_token(req))):
             return page("error.html", 400, message="Invalid CSRF token")
         files = req.files()
         if "file" not in files or not files["file"][0]:

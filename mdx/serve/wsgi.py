@@ -61,12 +61,18 @@ class Request:
             return {}
 
     def files(self) -> dict[str, tuple[str, bytes]]:
-        """Parse multipart/form-data → {field: (filename, content)}."""
+        """Parse multipart/form-data → {field: (filename, content)}.
+        Parsed once and cached (payloads run up to the 50 MB cap)."""
+        cached = getattr(self, "_files", None)
+        if cached is not None:
+            return cached
         ctype = self.environ.get("CONTENT_TYPE", "")
         m = re.search(r'boundary="?([^";]+)"?', ctype)
         if "multipart/form-data" not in ctype or not m:
-            return {}
-        return _parse_multipart(self.body, m.group(1).encode())
+            self._files = {}
+        else:
+            self._files = _parse_multipart(self.body, m.group(1).encode())
+        return self._files
 
     def arg(self, name: str, default=None, type_: Callable | None = None):
         v = self.query.get(name, default)
@@ -221,14 +227,23 @@ def _unquote(s: str) -> str:
 
 
 def _parse_multipart(body: bytes, boundary: bytes) -> dict[str, tuple[str, bytes]]:
-    """RFC 7578 multipart/form-data parser (file parts only)."""
+    """RFC 7578 multipart/form-data parser (file parts only).
+
+    Exactly ONE CRLF is removed on each side of a part — binary payloads
+    legitimately end in 0x0D/0x0A bytes, so ``strip(b"\\r\\n")`` would
+    silently truncate uploads."""
     out: dict[str, tuple[str, bytes]] = {}
     delim = b"--" + boundary
     for part in body.split(delim):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
+        if not part or part.rstrip(b"\r\n-") == b"":
             continue
-        header_blob, _, content = part.partition(b"\r\n\r\n")
+        header_blob, sep, content = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
         headers = header_blob.decode("utf-8", "replace")
         m_name = re.search(r'name="([^"]*)"', headers)
         m_file = re.search(r'filename="([^"]*)"', headers)

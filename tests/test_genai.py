@@ -361,3 +361,34 @@ class TestGenAIThroughRunner:
         ctx = run_pipeline(input_path=p, output_dir=str(tmp_path / "out"),
                            genai=True, plan_only=True, no_show=True)
         assert ctx["plan_only"] and ctx["plan"] is not None
+
+
+class TestImageStoreIsolation:
+    def test_store_is_thread_scoped(self, noisy_image, clean_image):
+        """Regression: two concurrent runs both register 'original' — each
+        thread must see its own pixels, and one thread's clear must not
+        wipe the other's store (mdx/serve/executor.py runs GenAI pipelines
+        on parallel worker threads)."""
+        import threading
+
+        errors = []
+        barrier = threading.Barrier(2)
+
+        def work(img, marker):
+            try:
+                T.register_image(img, "original")
+                barrier.wait(timeout=10)
+                got = T.get_image("original")
+                np.testing.assert_array_equal(got, img, err_msg=marker)
+                T.clear_image_store()
+                barrier.wait(timeout=10)
+                # other thread's clear must not have removed anything here
+                with pytest.raises(KeyError):
+                    T.get_image("original")
+            except Exception as exc:
+                errors.append((marker, exc))
+
+        t1 = threading.Thread(target=work, args=(noisy_image, "A"))
+        t2 = threading.Thread(target=work, args=(clean_image, "B"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errors

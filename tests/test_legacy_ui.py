@@ -27,6 +27,7 @@ def client(tmp_path, monkeypatch):
 class _Client:
     def __init__(self, app):
         self.app = app
+        self.cookies: dict[str, str] = {}
 
     def request(self, method, path, body=b"", content_type="text/html"):
         captured = {}
@@ -34,6 +35,10 @@ class _Client:
         def start_response(status, headers):
             captured["status"] = int(status.split()[0])
             captured["headers"] = dict(headers)
+            for k, v in headers:
+                if k.lower() == "set-cookie":
+                    name, _, rest = v.partition("=")
+                    self.cookies[name] = rest.split(";")[0]
 
         environ = {
             "REQUEST_METHOD": method,
@@ -43,6 +48,9 @@ class _Client:
             "CONTENT_TYPE": content_type,
             "wsgi.input": io.BytesIO(body),
         }
+        if self.cookies:
+            environ["HTTP_COOKIE"] = "; ".join(
+                f"{k}={v}" for k, v in self.cookies.items())
         payload = b"".join(self.app(environ, start_response))
         return captured["status"], captured["headers"], payload
 
@@ -100,6 +108,16 @@ class TestPages:
     def test_run_bad_csrf(self, client):
         s, _, body = client.post_multipart(
             "/run", fields={"csrf_token": "bogus.bogus"},
+            files={"file": ("a.dcm", b"xx")})
+        assert s == 400 and b"CSRF" in body
+
+    def test_run_valid_token_but_no_cookie(self, client):
+        """A signed token alone must NOT pass — it has to match the
+        double-submit cookie (cross-origin token exfiltration defence)."""
+        token = _csrf(client)
+        client.cookies.clear()
+        s, _, body = client.post_multipart(
+            "/run", fields={"csrf_token": token},
             files={"file": ("a.dcm", b"xx")})
         assert s == 400 and b"CSRF" in body
 

@@ -158,3 +158,12 @@ class TestSpatialQA:
                                    np.asarray(dense_ssim(x, enh)), atol=1e-4)
         np.testing.assert_allclose(np.asarray(out["psnr"]),
                                    np.asarray(dense_psnr(x, enh)), rtol=1e-4)
+
+
+class TestHaloGuards:
+    def test_too_few_rows_per_shard_rejected(self, mesh24, noisy_image):
+        x = _stack(noisy_image)[:, :8 * 4, :]  # 8 rows per shard < halo 16
+        with pytest.raises(ValueError, match="rows"):
+            spatial.enhance_spatial(x, mesh24)
+        with pytest.raises(ValueError):
+            spatial.image_stats_spatial(x, mesh24)

@@ -207,3 +207,27 @@ class TestErrorPaths:
 
         row = storage.get_run_status(run_id)
         assert row["error"]
+
+
+class TestMultipartBinaryIntegrity:
+    def test_trailing_crlf_bytes_preserved(self, client, tmp_path):
+        """Regression: binary payloads ending in 0x0D/0x0A must not be
+        truncated by the multipart parser (only the boundary's own CRLF
+        is encapsulation)."""
+        payload = b"\x00\x01BINARY" + b"\r\n\r\n\n\r"
+        s, up = client.upload("/api/upload", "file", "t.dcm", payload)
+        assert s == 200
+        from mdx.serve import config
+
+        stored = os.path.join(config.UPLOAD_DIR, up["stored_name"])
+        with open(stored, "rb") as f:
+            assert f.read() == payload
+
+    def test_leading_crlf_preserved(self, client):
+        payload = b"\r\nleading" + bytes(range(32)) + b"\r"
+        s, up = client.upload("/api/upload", "file", "u.dcm", payload)
+        from mdx.serve import config
+
+        with open(os.path.join(config.UPLOAD_DIR, up["stored_name"]),
+                  "rb") as f:
+            assert f.read() == payload
