@@ -34,7 +34,9 @@ from mdx.ops.wavelet import (
     denoise_wavelet,
     max_level,
 )
-from mdx.ops.hist import histogram01, histogram_scaled, shannon_entropy01, entropy_from_hist, percentiles
+from mdx.ops.hist import (histogram01, histogram_scaled,
+                          shannon_entropy01, entropy_from_hist,
+                          percentiles)
 from mdx.ops.clahe import clahe
 from mdx.ops.bilateral import bilateral
 from mdx.ops.tv import tv_chambolle

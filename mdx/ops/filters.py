@@ -64,8 +64,11 @@ def _sep_conv(x: jnp.ndarray, kcol: jnp.ndarray, krow: jnp.ndarray,
     kc = kcol.astype(x.dtype).reshape(1, 1, -1, 1)
     kr = krow.astype(x.dtype).reshape(1, 1, 1, -1)
     out = lax.conv_general_dilated(
-        xp[:, None, :, :], kc, (1, 1), "VALID", dimension_numbers=_DN, precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID", dimension_numbers=_DN, precision=lax.Precision.HIGHEST)
+        xp[:, None, :, :], kc, (1, 1), "VALID", dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(
+        out, kr, (1, 1), "VALID", dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
     return out[:, 0]
 
 
@@ -121,10 +124,12 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")[None]  # [1,N,H+2r,W+2r]
     kc = w.reshape(n, 1, 2 * r + 1, 1)
     kr = w.reshape(n, 1, 1, 2 * r + 1)
-    out = lax.conv_general_dilated(xp, kc, (1, 1), "VALID",
-                                   dimension_numbers=_DN, feature_group_count=n, precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID",
-                                   dimension_numbers=_DN, feature_group_count=n, precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(
+        xp, kc, (1, 1), "VALID", dimension_numbers=_DN,
+        feature_group_count=n, precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(
+        out, kr, (1, 1), "VALID", dimension_numbers=_DN,
+        feature_group_count=n, precision=lax.Precision.HIGHEST)
     return out[0]
 
 

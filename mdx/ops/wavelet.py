@@ -42,7 +42,8 @@ def _analysis_last(x: jnp.ndarray, wavelet: str):
     out = lax.conv_general_dilated(
         flat, k, window_strides=(2,), padding="VALID",
         dimension_numbers=lax.conv_dimension_numbers(
-            flat.shape, k.shape, ("NCH", "OIH", "NCH")), precision=lax.Precision.HIGHEST)  # [B, 2, n_out]
+            flat.shape, k.shape, ("NCH", "OIH", "NCH")),
+        precision=lax.Precision.HIGHEST)  # [B, 2, n_out]
     n_out = (n + L - 1) // 2
     out = out[..., :n_out].reshape(lead + (2, n_out))
     return out[..., 0, :], out[..., 1, :]
