@@ -51,6 +51,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="mdx extension: QA every frame of a series / "
                              "every DICOM in a directory, sharded across "
                              "the device mesh")
+    parser.add_argument("--window", action="store_true",
+                        help="mdx extension: apply each sample's stored "
+                             "DICOM VOI window before QA (mixed-modality "
+                             "streams)")
     return parser.parse_args(argv)
 
 
@@ -74,7 +78,7 @@ def main(argv=None) -> int:
 
             context = run_pipeline_batch(
                 input_path=args.input, output_dir=args.output,
-                save_artifacts=True)
+                save_artifacts=True, window=args.window)
         else:
             from mdx.pipeline.runner import run_pipeline
 

@@ -288,7 +288,19 @@ def _rescale_and_orient(image: np.ndarray, ds: DicomDataset) -> np.ndarray:
     return out
 
 
-def load_dicom(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
+def apply_window(image: np.ndarray, ds: "DicomDataset") -> np.ndarray:
+    """Apply the dataset's VOI window when present; else return unchanged."""
+    center = ds.get("WindowCenter")
+    width = ds.get("WindowWidth")
+    if center is None or width is None:
+        return image
+    from mdx.io.normalize import window_level
+
+    return window_level(image, float(center), float(width))
+
+
+def load_dicom(path: str, window: bool = False
+               ) -> Tuple[np.ndarray, Dict[str, str]]:
     """Load a DICOM file → (2-D float32 image, non-PHI metadata).
 
     Reference-compatible behaviour (pipeline/dicom_io.py:29-81): modality
@@ -297,6 +309,8 @@ def load_dicom(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     """
     ds = read_dataset(path)
     image = _rescale_and_orient(decode_pixels(ds), ds)
+    if window:
+        image = apply_window(image, ds)
     image = to_grayscale(image)
     metadata = {
         "Modality": str(ds.get("Modality", "Unknown") or "Unknown"),
@@ -306,7 +320,8 @@ def load_dicom(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     return image, metadata
 
 
-def load_series(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
+def load_series(path: str, window: bool = False
+                ) -> Tuple[np.ndarray, Dict[str, str]]:
     """Load a DICOM file keeping *all* frames: → ([F, H, W] float32, metadata).
 
     Extension over the reference (which reduces to the middle slice,
@@ -315,6 +330,8 @@ def load_series(path: str) -> Tuple[np.ndarray, Dict[str, str]]:
     """
     ds = read_dataset(path)
     image = _rescale_and_orient(decode_pixels(ds), ds)
+    if window:
+        image = apply_window(image, ds)
     if image.ndim == 2:
         image = image[None]
     elif image.ndim == 3 and image.shape[-1] in (3, 4):

@@ -38,6 +38,8 @@ def write_dicom(
     photometric: str = "MONOCHROME2",
     rescale_slope: float | None = None,
     rescale_intercept: float | None = None,
+    window_center: float | None = None,
+    window_width: float | None = None,
     signed: bool = False,
 ) -> str:
     """Write ``pixels`` (uint8/uint16/int16 2-D or [F,H,W] 3-D) to *path*."""
@@ -76,6 +78,10 @@ def write_dicom(
         _el(0x0028, 0x0102, b"US", struct.pack("<H", bits - 1)),
         _el(0x0028, 0x0103, b"US", struct.pack("<H", 1 if signed else 0)),
     ])
+    if window_center is not None:
+        body += _el(0x0028, 0x1050, b"DS", _txt(f"{window_center:g}"))
+    if window_width is not None:
+        body += _el(0x0028, 0x1051, b"DS", _txt(f"{window_width:g}"))
     if rescale_intercept is not None:
         body += _el(0x0028, 0x1052, b"DS", _txt(f"{rescale_intercept:g}"))
     if rescale_slope is not None:

@@ -57,3 +57,18 @@ def normalize_batch(images: np.ndarray) -> np.ndarray:
     safe = np.where(rng < 1e-8, 1.0, rng)
     out = (images - lo) / safe
     return np.where(rng < 1e-8, 0.0, out).astype(np.float32)
+
+
+def window_level(image: np.ndarray, center: float, width: float) -> np.ndarray:
+    """DICOM linear VOI windowing (PS3.3 C.11.2.1.2) → [0, 1] float32.
+
+    Capability extension for mixed-modality streams (BASELINE config 5):
+    the reference min-max normalises everything (ref dicom_io.py:84-91),
+    discarding the radiologist-facing window; here a stored or supplied
+    window-center/width maps the diagnostic range to [0,1] before QA.
+    """
+    image = np.asarray(image, np.float32)
+    width = max(float(width), 1.0 + 1e-6)
+    lo = float(center) - 0.5 - (width - 1.0) / 2.0
+    out = (image - lo) / (width - 1.0)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)

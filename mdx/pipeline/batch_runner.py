@@ -28,7 +28,8 @@ from mdx.pipeline import storage
 logger = logging.getLogger(__name__)
 
 
-def _collect_inputs(input_path: str) -> list[tuple[str, np.ndarray, dict]]:
+def _collect_inputs(input_path: str, window: bool = False
+                    ) -> list[tuple[str, np.ndarray, dict]]:
     """Return [(label, [F,H,W] stack, metadata)] for a file or directory.
 
     Directory decode runs on a host thread pool (the pipeline-parallel
@@ -44,7 +45,8 @@ def _collect_inputs(input_path: str) -> list[tuple[str, np.ndarray, dict]]:
 
         def _one(name: str):
             try:
-                img, meta = load_dicom(os.path.join(input_path, name))
+                img, meta = load_dicom(os.path.join(input_path, name),
+                                       window=window)
                 return (name, img[None], meta)
             except Exception as exc:
                 logger.warning("Skipping %s: %s", name, exc)
@@ -53,18 +55,23 @@ def _collect_inputs(input_path: str) -> list[tuple[str, np.ndarray, dict]]:
         with ThreadPoolExecutor(max_workers=8) as pool:
             out = [r for r in pool.map(_one, names) if r is not None]
     else:
-        stack, meta = load_series(input_path)
+        stack, meta = load_series(input_path, window=window)
         label = os.path.basename(input_path)
         out.append((label, stack, meta))
     return out
 
 
-def _buckets(items: list[tuple[str, np.ndarray, dict]]):
-    """Group frames by (H, W) so each bucket compiles once."""
+def _buckets(items: list[tuple[str, np.ndarray, dict]],
+             window: bool = False):
+    """Group frames by (H, W) so each bucket compiles once.
+
+    Windowed frames are already in [0,1] with the diagnostic range mapped
+    by the VOI window — min-max re-normalising would stretch it back."""
     by_shape: dict[tuple[int, int], list] = {}
     for label, stack, meta in items:
         for f in range(stack.shape[0]):
-            frame = normalize_image(stack[f])
+            frame = (np.asarray(stack[f], np.float32) if window
+                     else normalize_image(stack[f]))
             key = frame.shape
             by_shape.setdefault(key, []).append((label, f, frame, meta))
     return by_shape
@@ -89,8 +96,13 @@ def run_pipeline_batch(
     save_artifacts: bool = True,
     mesh=None,
     resume: bool = False,
+    window: bool = False,
 ) -> dict[str, Any]:
     """QA all frames of a series / directory, sharded across the mesh.
+
+    ``window=True`` applies each sample's stored DICOM VOI window
+    (per-sample windowing for mixed-modality streams, BASELINE config 5)
+    before QA instead of relying on min-max normalisation alone.
 
     With ``resume=True`` frames whose ``label#frameN`` key already has a
     completed run in the DB are skipped — a crashed batch restarts at
@@ -110,7 +122,7 @@ def run_pipeline_batch(
     if mesh is None:
         mesh = make_mesh()
 
-    items = _collect_inputs(input_path)
+    items = _collect_inputs(input_path, window=window)
     if not items:
         raise RuntimeError(f"No DICOM inputs found at {input_path}")
 
@@ -121,7 +133,7 @@ def run_pipeline_batch(
 
     skipped = 0
     results: list[dict[str, Any]] = []
-    for (h, w), frames in sorted(_buckets(items).items()):
+    for (h, w), frames in sorted(_buckets(items, window=window).items()):
         if done:
             kept = [f for f in frames
                     if f"{f[0]}#frame{f[1]}" not in done]

@@ -168,3 +168,49 @@ class TestBatchResume:
                                     output_dir=str(tmp_path / "out"),
                                     resume=True)
         assert second["skipped"] == 3 and second["frames"] == []
+
+
+class TestWindowing:
+    def test_voi_window_applied(self, tmp_path):
+        """Config 5: per-sample VOI windowing on 12-bit CT-like data."""
+        from mdx.io import load_dicom
+        from mdx.io.dicom_write import write_dicom
+        from mdx.io.normalize import window_level
+
+        pix = np.arange(0, 4096, dtype=np.uint16).reshape(64, 64)
+        p = str(tmp_path / "w.dcm")
+        write_dicom(p, pix, rescale_slope=1.0, rescale_intercept=-1024.0,
+                    window_center=40.0, window_width=400.0)
+        raw, _ = load_dicom(p)                       # no window: HU values
+        assert raw.min() == -1024.0
+        win, _ = load_dicom(p, window=True)          # windowed → [0,1]
+        assert win.min() >= 0.0 and win.max() <= 1.0
+        want = window_level(raw, 40.0, 400.0)
+        np.testing.assert_allclose(win, want, atol=1e-6)
+        # soft-tissue window saturates the extremes
+        assert float(win[0, 0]) == 0.0 and float(win[-1, -1]) == 1.0
+
+    def test_window_absent_is_noop(self, tmp_path):
+        from mdx.io import load_dicom
+
+        p = str(tmp_path / "nw.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=32)
+        a, _ = load_dicom(p)
+        b, _ = load_dicom(p, window=True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_batch_with_windowing(self, tmp_path):
+        from mdx.io.dicom_write import write_dicom
+        from mdx.pipeline.batch_runner import run_pipeline_batch
+
+        rng = np.random.default_rng(0)
+        pix = rng.integers(0, 4096, (64, 64)).astype(np.uint16)
+        d = tmp_path / "mix"
+        d.mkdir()
+        write_dicom(str(d / "ct.dcm"), pix, rescale_slope=1.0,
+                    rescale_intercept=-1024.0, window_center=40.0,
+                    window_width=400.0)
+        ctx = run_pipeline_batch(input_path=str(d),
+                                 output_dir=str(tmp_path / "out"),
+                                 window=True)
+        assert len(ctx["frames"]) == 1
