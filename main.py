@@ -51,6 +51,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="mdx extension: QA every frame of a series / "
                              "every DICOM in a directory, sharded across "
                              "the device mesh")
+    parser.add_argument("--autotune", action="store_true",
+                        help="mdx extension: LLM-free tuning — sweep a "
+                             "candidate parameter grid in one on-device "
+                             "program and apply the best plan")
     parser.add_argument("--window", action="store_true",
                         help="mdx extension: apply each sample's stored "
                              "DICOM VOI window before QA (mixed-modality "
@@ -86,7 +90,8 @@ def main(argv=None) -> int:
                 input_path=args.input, output_dir=args.output,
                 genai=args.genai, model=args.model,
                 max_iters=args.max_iters, plan_only=args.plan_only,
-                save_artifacts=True, no_show=args.no_show)
+                save_artifacts=True, no_show=args.no_show,
+                autotune=args.autotune)
     except RuntimeError as exc:
         print(f"ERROR: {exc}")
         return 1

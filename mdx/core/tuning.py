@@ -1,0 +1,135 @@
+"""On-device plan autotuning: a candidate sweep as ONE compiled program.
+
+BASELINE config 4 asks for the iterative detect→enhance→validate tuning
+loop fully on-device per iteration.  The reference can only tune via its
+LLM loop — one plan per round-trip, ≈3 full-image passes per iteration
+(SURVEY.md §3.2).  mdx's enhancement chain takes *per-image* parameter
+vectors (mdx/core/enhance.py PlanDynamic), so K candidate plans evaluate
+simultaneously: broadcast the image to K lanes, give every lane its own
+continuous parameters, and one ``qa_plan`` launch returns K objective
+scores.  A whole tuning sweep costs one XLA program — no LLM, no host
+round-trips, no recompilation between candidates.
+
+The GenAI tuning agent remains available for semantic steering; this is
+the deterministic, latency-free alternative (CLI ``--autotune``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from mdx.pipeline.schemas import EnhancementParams, EnhancementPlan, IterationRecord
+
+
+# Conservative-to-assertive grid over the parameters that move the
+# objective most (clip limit, sharpening, gamma); denoise/post-denoise
+# strengths ride along per issue profile.
+_CLIP_GRID = (0.005, 0.015, 0.03)
+_UNSHARP_GRID = (0.3, 0.6, 1.0)
+_GAMMA_GRID = (0.9, 1.0, 1.1)
+
+
+def candidate_grid(issues: list[str]) -> list[dict[str, Any]]:
+    """Issue-aware candidate parameter sets (≤27 lanes)."""
+    noisy = "noise" in issues
+    blur = "blur" in issues
+    dark = "clipping_low" in issues and "clipping_high" not in issues
+    bright = "clipping_high" in issues and "clipping_low" not in issues
+
+    gammas = _GAMMA_GRID
+    if dark:
+        gammas = (0.85, 0.95, 1.0)
+    elif bright:
+        gammas = (1.0, 1.05, 1.15)
+
+    out = []
+    for clip in _CLIP_GRID:
+        for amount in _UNSHARP_GRID if blur else (_UNSHARP_GRID[0],):
+            for gamma in gammas:
+                out.append(dict(
+                    clahe_clip_limit=clip,
+                    gamma=gamma,
+                    unsharp_radius=1.0 if blur else 0.8,
+                    unsharp_amount=amount,
+                    post_denoise_strength=0.4 if noisy else 0.2,
+                    bilateral_sigma_color=0.05,
+                    bilateral_sigma_space=0.05,
+                    tv_denoise_weight=0.0,
+                    denoise_soft=True,
+                ))
+    return out
+
+
+def autotune(
+    image: np.ndarray,
+    issues: list[str],
+    *,
+    ops: tuple[str, ...] = ("denoise", "clahe", "gamma", "unsharp",
+                            "post_denoise"),
+    tile_size: int = 16,
+) -> tuple[EnhancementPlan, np.ndarray, list[IterationRecord]]:
+    """Sweep the candidate grid in one device program; return the best
+    plan, its enhanced image, and per-candidate IterationRecords.
+
+    ``image``: [H, W] float32 in [0,1].
+    """
+    import jax.numpy as jnp
+
+    from mdx.core import qa
+    from mdx.core.enhance import PlanDynamic, PlanStatic
+
+    cands = candidate_grid(issues)
+    k = len(cands)
+    x = jnp.broadcast_to(jnp.asarray(image, jnp.float32)[None],
+                         (k,) + image.shape)
+
+    def vec(key, dtype=np.float32):
+        return jnp.asarray(np.array([c[key] for c in cands], dtype))
+
+    static = PlanStatic(ops=ops, tile_size=tile_size, bilateral_d=0,
+                        plan_order=ops)
+    dyn = PlanDynamic(
+        clahe_clip_limit=vec("clahe_clip_limit"),
+        gamma=vec("gamma"),
+        unsharp_radius=vec("unsharp_radius"),
+        unsharp_amount=vec("unsharp_amount"),
+        post_denoise_strength=vec("post_denoise_strength"),
+        bilateral_sigma_color=vec("bilateral_sigma_color"),
+        bilateral_sigma_space=vec("bilateral_sigma_space"),
+        tv_denoise_weight=vec("tv_denoise_weight"),
+        denoise_soft=vec("denoise_soft", bool),
+    )
+    enhanced, _flags, validation, score = qa.qa_plan(x, static, dyn)
+    scores = np.asarray(score)
+    ssim = np.asarray(validation["ssim"])
+    psnr = np.asarray(validation["psnr"])
+    qi = np.asarray(validation["quality_improvement"])
+    best = int(np.argmax(scores))
+
+    records = []
+    plans = []
+    for i, c in enumerate(cands):
+        plan = EnhancementPlan(
+            recommended_ops=list(ops),
+            params=EnhancementParams(
+                clahe_clip_limit=float(c["clahe_clip_limit"]),
+                clahe_tile_size=tile_size,
+                gamma=float(c["gamma"]),
+                unsharp_radius=float(c["unsharp_radius"]),
+                unsharp_amount=float(c["unsharp_amount"]),
+                post_denoise_strength=float(c["post_denoise_strength"]),
+                denoise_mode="soft"),
+            rationale=("on-device autotune sweep candidate"
+                       if i != best else
+                       "best of on-device autotune sweep "
+                       f"({k} candidates, one compiled program)"))
+        plans.append(plan)
+        records.append(IterationRecord(
+            iteration=i + 1, plan=plan, score=round(float(scores[i]), 4),
+            metrics={"ssim": round(float(ssim[i]), 4),
+                     "psnr": round(float(psnr[i]), 2),
+                     "quality_improvement": round(float(qi[i]), 4)},
+            chosen=(i == best)))
+    return plans[best], np.asarray(enhanced[best]), records

@@ -49,11 +49,14 @@ def run_pipeline(
     save_artifacts: bool = True,
     no_show: bool = True,
     run_id: str | None = None,
+    autotune: bool = False,
 ) -> dict[str, Any]:
     """Run the full medical imaging QA pipeline on one DICOM file.
 
     Same signature/behaviour as the reference entry point
-    (pipeline/runner.py:33-117), plus an explicit optional ``run_id``.
+    (pipeline/runner.py:33-117), plus an explicit optional ``run_id`` and
+    the mdx-only ``autotune`` mode (LLM-free on-device parameter sweep,
+    mdx/core/tuning.py).
     """
     storage.init_db()
     run_id = run_id or storage.generate_run_id()
@@ -62,6 +65,11 @@ def run_pipeline(
     image_raw, metadata = load_dicom(input_path)
     image = normalize_image(image_raw)
 
+    if autotune:
+        return _run_autotune_path(
+            run_id=run_id, image=image, metadata=metadata,
+            input_path=input_path, output_dir=output_dir,
+            base_name=base_name, save_artifacts=save_artifacts)
     if genai:
         return _run_genai_path(
             run_id=run_id, image=image, metadata=metadata, model=model,
@@ -144,6 +152,83 @@ def _run_deterministic_path(
             applied_ops=applied_ops, explainability={},
             report_path=report_path, before_after_path=before_after_path,
             agent_logs=trace.to_list(), status=validation.status)
+    return context
+
+
+def _run_autotune_path(
+    *, run_id, image, metadata, input_path, output_dir, base_name,
+    save_artifacts,
+) -> dict[str, Any]:
+    """LLM-free tuning: detect → one-program candidate sweep → validate."""
+    import jax
+
+    from mdx.core.tuning import autotune as _autotune
+    from mdx.core.validate import validate as _validate
+    from mdx.pipeline.profiler import phase_timer
+
+    trace = AgentTraceLogger()
+    x = jnp.asarray(image, jnp.float32)[None]
+    stats, issue_masks = qa.detect(x)
+    issues = [k for k in ISSUE_ORDER if bool(issue_masks[k][0])]
+    metrics_before = _metrics_dict(stats)
+
+    with phase_timer(trace, "autotune_sweep"):
+        best_plan, enhanced_image, records = _autotune(image, issues)
+        jax.block_until_ready(enhanced_image) if hasattr(
+            enhanced_image, "block_until_ready") else None
+    trace.log_info("autotune",
+                   f"{len(records)} candidates in one device program; "
+                   f"best score {max(r.score for r in records):.4f}")
+
+    vdev = _validate(x, jnp.asarray(enhanced_image, jnp.float32)[None])
+    validation = build_validation_result(vdev, issues)
+    metrics_after = {k: float(np.asarray(vdev["metrics_after"][k])[0])
+                     for k in METRIC_KEYS}
+
+    visuals: dict[str, str] = {}
+    report_path = ""
+    before_after_path = ""
+    if save_artifacts:
+        os.makedirs(output_dir, exist_ok=True)
+        visuals = save_visuals(image, enhanced_image, output_dir, base_name)
+        before_after_path = visuals.get("before_after", "")
+
+    context: dict[str, Any] = {
+        "run_id": run_id,
+        "input_path": input_path,
+        "metadata": metadata,
+        "issues": issues,
+        "recommendations": [best_plan.rationale],
+        "applied_ops": best_plan.normalized_ops(),
+        "metrics_before": metrics_before,
+        "metrics_after": metrics_after,
+        "validation": validation,
+        "visuals": visuals,
+        "notes": validation.notes,
+        "enhanced_image": enhanced_image,
+        "original_image": image,
+        "genai_plan": best_plan,
+        "genai_iterations": records,
+        "genai_model": "on-device autotune",
+        "autotune": True,
+    }
+    context["report_md"] = build_markdown_report(context)
+
+    if save_artifacts:
+        report_path = os.path.join(output_dir, f"{base_name}_report.md")
+        with open(report_path, "w", encoding="utf-8") as f:
+            f.write(context["report_md"])
+        context["report_path"] = report_path
+        _persist_run(
+            run_id=run_id, input_filename=os.path.basename(input_path),
+            metadata=metadata, issues=issues, metrics_before=metrics_before,
+            metrics_after=metrics_after,
+            plan_json=best_plan.model_dump_json(indent=2),
+            validation=validation, applied_ops=best_plan.normalized_ops(),
+            explainability={}, report_path=report_path,
+            before_after_path=before_after_path,
+            agent_logs=trace.to_list(), status=validation.status,
+            genai_model="on-device autotune")
     return context
 
 

@@ -214,3 +214,31 @@ class TestWindowing:
                                  output_dir=str(tmp_path / "out"),
                                  window=True)
         assert len(ctx["frames"]) == 1
+
+
+class TestAutotune:
+    def test_autotune_run(self, tmp_path):
+        from mdx.pipeline.runner import run_pipeline
+
+        p = str(tmp_path / "noisy.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64)
+        ctx = run_pipeline(input_path=p, output_dir=str(tmp_path / "out"),
+                           autotune=True, no_show=True)
+        assert ctx["autotune"]
+        assert len(ctx["genai_iterations"]) >= 9
+        assert sum(1 for r in ctx["genai_iterations"] if r.chosen) == 1
+        best = max(ctx["genai_iterations"], key=lambda r: r.score)
+        assert best.chosen
+        assert ctx["enhanced_image"].shape == (64, 64)
+        # the iteration table lands in the report
+        assert "on-device autotune" in ctx["report_md"] or \
+            ctx["genai_model"] == "on-device autotune"
+
+    def test_autotune_cli(self, tmp_path, capsys):
+        import main as cli
+
+        p = str(tmp_path / "n.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64)
+        rc = cli.main(["--input", p, "--output", str(tmp_path / "out"),
+                       "--no-show", "--autotune"])
+        assert rc == 0
