@@ -90,7 +90,8 @@ def create_app() -> App:
             file_path=os.path.join(config.UPLOAD_DIR, stored),
             genai=bool(data.get("genai", False)),
             model=data.get("model") or None,
-            max_iters=int(max_iters) if max_iters is not None else None)
+            max_iters=int(max_iters) if max_iters is not None else None,
+            autotune=bool(data.get("autotune", False)))
         return {"run_id": run_id, "status": "pending"}, 202
 
     # -- Runs list ---------------------------------------------------------

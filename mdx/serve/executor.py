@@ -55,16 +55,18 @@ def _worker_loop() -> None:
 
 
 def _execute(run_id: str, file_path: str, output_dir: str, genai: bool,
-             model: Optional[str], max_iters: int) -> None:
+             model: Optional[str], max_iters: int,
+             autotune: bool = False) -> None:
     from mdx.pipeline.runner import run_pipeline
 
     try:
         storage.update_run_status(run_id, "running")
-        logger.info("Run %s started (genai=%s model=%s)", run_id, genai, model)
+        logger.info("Run %s started (genai=%s model=%s autotune=%s)",
+                    run_id, genai, model, autotune)
         ctx = run_pipeline(
             input_path=file_path, output_dir=output_dir, genai=genai,
             model=model, max_iters=max_iters, save_artifacts=True,
-            no_show=True, run_id=run_id)
+            no_show=True, run_id=run_id, autotune=autotune)
         storage.update_run_status(run_id, "completed")
         logger.info("Run %s completed.", run_id)
     except Exception as exc:
@@ -79,6 +81,7 @@ def start_run(
     model: str | None = None,
     max_iters: int | None = None,
     output_dir: str | None = None,
+    autotune: bool = False,
 ) -> str:
     """Enqueue a pipeline run; returns its run_id immediately."""
     from mdx.serve import config
@@ -91,7 +94,8 @@ def start_run(
     _queue.put((
         run_id, file_path, output_dir or config.OUTPUT_DIR, genai,
         model or config.OPENAI_MODEL,
-        max_iters if max_iters is not None else config.MAX_ITERS))
+        max_iters if max_iters is not None else config.MAX_ITERS,
+        autotune))
     return run_id
 
 
