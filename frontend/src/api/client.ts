@@ -81,6 +81,7 @@ export async function uploadFile(file: File): Promise<UploadResult> {
 export function startRun(params: {
   file_id: string
   genai?: boolean
+  autotune?: boolean
   model?: string
   max_iters?: number
 }): Promise<RunStartResult> {

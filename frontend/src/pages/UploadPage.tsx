@@ -11,6 +11,7 @@ export default function UploadPage() {
   const navigate = useNavigate()
   const [file, setFile] = useState<File | null>(null)
   const [genai, setGenai] = useState(false)
+  const [autotune, setAutotune] = useState(false)
   const [model, setModel] = useState(MODELS[0])
   const [maxIters, setMaxIters] = useState(4)
   const [phase, setPhase] = useState<'idle' | 'uploading' | 'running'>('idle')
@@ -30,6 +31,7 @@ export default function UploadPage() {
       const run = await startRun({
         file_id: up.file_id,
         genai,
+        autotune,
         model: genai ? model : undefined,
         max_iters: genai ? maxIters : undefined,
       })
@@ -73,6 +75,14 @@ export default function UploadPage() {
             onChange={(e) => setGenai(e.target.checked)}
           />{' '}
           GenAI agentic mode (LLM planner + tuner)
+        </label>
+        <label>
+          <input
+            type="checkbox"
+            checked={autotune}
+            onChange={(e) => setAutotune(e.target.checked)}
+          />{' '}
+          On-device autotune (LLM-free parameter sweep)
         </label>
         {genai && (
           <>
