@@ -107,3 +107,31 @@ class TestClaheBanded:
         from mdx.ops import pallas_kernels as PK
 
         assert 512 * 512 <= PK._WHOLE_IMAGE_LIMIT < 1024 * 1024
+
+
+class TestClaheTileSizeEdges:
+    """PARAM_BOUNDS allows clahe_tile_size ∈ [4, 48]; the kernels must be
+    correct at the extremes, including non-divisible padding."""
+
+    @pytest.mark.parametrize("tile", [4, 48])
+    def test_whole_image_kernel(self, batch, tile):
+        clip = jnp.asarray([0.02, 0.04], jnp.float32)
+        a = clahe_xla(batch, clip, tile)
+        b = clahe_tpu(batch, clip, tile, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    @pytest.mark.parametrize("tile", [4, 48])
+    def test_banded_kernel(self, batch, tile):
+        from mdx.ops import pallas_kernels as PK
+
+        clip = jnp.asarray([0.02, 0.04], jnp.float32)
+        pad_h = (-batch.shape[1]) % tile
+        pad_w = (-batch.shape[2]) % tile
+        xp = jnp.clip(batch, 0, 1)
+        if pad_h or pad_w:
+            xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w)),
+                         mode="reflect")
+        a = clahe_xla(batch, clip, tile)
+        b = PK._clahe_banded(xp, clip, tile, 256, interpret=True)[
+            :, :batch.shape[1], :batch.shape[2]]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
