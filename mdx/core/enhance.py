@@ -134,18 +134,11 @@ def _run_chain(
     return out
 
 
-def _edge_ratio(x: jnp.ndarray) -> jnp.ndarray:
-    n = x.shape[0]
-    lap = jnp.mean(jnp.abs(_f.laplace(x)).reshape(n, -1), axis=-1)
-    grd = jnp.mean(_f.gradient_magnitude(x).reshape(n, -1), axis=-1)
-    return lap / (grd + 1e-8)
-
-
-def _niqe(x: jnp.ndarray) -> jnp.ndarray:
-    n = x.shape[0]
-    lv = _f.local_variance(x, 16).reshape(n, -1)
-    cov = jnp.std(lv, axis=-1) / (jnp.mean(lv, axis=-1) + 1e-8)
-    return cov + jnp.maximum(_edge_ratio(x) - 1.0, 0.0) * 10.0
+# Safeguard formulas shared with the metric pass (single source of truth —
+# a tweak to the NIQE approximation must move the guards and the reported
+# niqe together).
+from mdx.core.metrics import compute_edge_ratio as _edge_ratio  # noqa: E402
+from mdx.core.metrics import compute_niqe as _niqe  # noqa: E402
 
 
 def apply_plan(

@@ -38,6 +38,29 @@ METRIC_KEYS = (
 )
 
 
+def compute_edge_ratio(x: jnp.ndarray) -> jnp.ndarray:
+    """mean(|laplace|)/mean(grad_mag) per image → [N]
+    (ref pipeline/metrics.py:213-217; halo-safeguard input)."""
+    n = x.shape[0]
+    lap = jnp.mean(jnp.abs(_f.laplace(x)).reshape(n, -1), axis=-1)
+    grd = jnp.mean(_f.gradient_magnitude(x).reshape(n, -1), axis=-1)
+    return lap / (grd + 1e-8)
+
+
+def compute_niqe(x: jnp.ndarray) -> jnp.ndarray:
+    """NIQE approximation: CoV of 16×16 local variance + 10·max(0,
+    edge_ratio−1) per image → [N] (ref pipeline/metrics.py:187-210).
+
+    Shared by image_stats and the enhancement safeguards so the guard
+    decisions and the reported niqe cannot drift apart; XLA CSEs the
+    repeated Laplacian/Sobel subexpressions inside a fused program.
+    """
+    n = x.shape[0]
+    lv = _f.local_variance(x, 16).reshape(n, -1)
+    cov = jnp.std(lv, axis=-1) / (jnp.mean(lv, axis=-1) + 1e-8)
+    return cov + jnp.maximum(compute_edge_ratio(x) - 1.0, 0.0) * 10.0
+
+
 def image_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     """All 16 metrics + ``niqe`` + ``edge_ratio`` per image: [N,H,W] → {[N]}.
 

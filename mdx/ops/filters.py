@@ -134,11 +134,13 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
 
 
 def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray) -> jnp.ndarray:
-    """x + (x − gaussian(x, radius))·amount (ref pipeline/enhancement.py:202)."""
+    """clip(x + (x − gaussian(x, radius))·amount, 0, 1)
+    (ref pipeline/enhancement.py:202; skimage clips to the [0,1] value
+    range when preserve_range=False)."""
     amount = jnp.asarray(amount, x.dtype)
     if amount.ndim == 1:  # per-image
         amount = amount[:, None, None]
-    return x + (x - gaussian_blur(x, radius)) * amount
+    return jnp.clip(x + (x - gaussian_blur(x, radius)) * amount, 0.0, 1.0)
 
 
 def adjust_gamma(x: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:

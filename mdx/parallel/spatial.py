@@ -27,7 +27,7 @@ see mdx/core/metrics.py for the per-formula citations.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from mdx.ops.filters import _LAPLACE, _SOBEL_H
+from mdx.ops.hist import entropy_from_hist as _entropy_from_hist
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
 _AXIS = "space"
@@ -145,16 +147,23 @@ def _pvar_img(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return m, jnp.maximum(m2 - m * m, 0.0)
 
 
-def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray) -> jnp.ndarray:
+def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray,
+           weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Global per-image histogram over [0, hi_i] → [N, bins].
 
     Local count via broadcast-compare-reduce (scatter-free, see
-    mdx.ops.hist._count_by_bin), then psum across shards."""
+    mdx.ops.hist._count_by_bin), then psum across shards.  Optional
+    ``weights`` (broadcastable to v) exclude padding samples (weight 0).
+    """
     n = v.shape[0]
     scale = bins / jnp.maximum(hi, 1e-30)[:, None]
     idx = jnp.clip((v.reshape(n, -1) * scale).astype(jnp.int32), 0, bins - 1)
     ids = jnp.arange(bins, dtype=jnp.int32)
-    counts = jnp.sum((idx[:, :, None] == ids).astype(jnp.float32), axis=1)
+    onehot = (idx[:, :, None] == ids).astype(jnp.float32)
+    if weights is not None:
+        w = jnp.broadcast_to(weights, v.shape).reshape(n, -1)
+        onehot = onehot * w[:, :, None]
+    counts = jnp.sum(onehot, axis=1)
     return lax.psum(counts, _AXIS)
 
 
@@ -174,13 +183,6 @@ def _quantile_from_hist(hist: jnp.ndarray, hi: jnp.ndarray,
     frac = jnp.where(h > 0, (target - c_lo) / jnp.maximum(h, 1.0), 0.5)
     width = hi / bins
     return (pos.astype(hist.dtype) + jnp.clip(frac, 0.0, 1.0)) * width
-
-
-def _entropy_from_hist(hist: jnp.ndarray) -> jnp.ndarray:
-    total = jnp.sum(hist, axis=-1, keepdims=True)
-    p = hist / jnp.maximum(total, 1.0)
-    logp = jnp.where(p > 0, jnp.log2(jnp.maximum(p, 1e-30)), 0.0)
-    return -jnp.sum(p * logp, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +227,18 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
     d_hw = lax.conv_general_dilated(
         ext[:, None], kv, (2, 1), "VALID", dimension_numbers=dn,
         precision=lax.Precision.HIGHEST)[:, 0]
-    # keep hs/2 rows per shard (global rows are evenly distributed because
-    # hs is even)
-    return d_hw[:, : hs // 2, :]
+    # Global output count is (H+L-1)//2 = H/2+1 rows (db2, even H): each
+    # shard owns hs/2 rows plus ONE trailing row that (a) on the last shard
+    # is the genuine bottom-boundary output and (b) on interior shards
+    # duplicates the next shard's first row.  Keep hs/2+1 rows and return a
+    # validity weight that keeps the trailing row only on the last shard,
+    # so the distributed MAD matches the single-device transform.
+    keep = d_hw[:, : hs // 2 + 1, :]
+    idx = lax.axis_index(_AXIS)
+    k = lax.axis_size(_AXIS)
+    row = lax.broadcasted_iota(jnp.int32, (1, hs // 2 + 1, 1), 1)
+    valid = jnp.where((row < hs // 2) | (idx == k - 1), 1.0, 0.0)
+    return keep, valid
 
 
 def estimate_sigma_spatial(x: jnp.ndarray) -> jnp.ndarray:
@@ -236,10 +247,12 @@ def estimate_sigma_spatial(x: jnp.ndarray) -> jnp.ndarray:
     The median of |HH| is estimated with the shared histogram-CDF method
     (exact in the single-shard case up to bin width hi/4096).
     """
-    hh = jnp.abs(_hh_subband_halo(x, "db2"))
+    hh, valid = _hh_subband_halo(x, "db2")
+    hh = jnp.abs(hh)
     n = hh.shape[0]
-    hi = lax.pmax(jnp.max(hh.reshape(n, -1), axis=-1), _AXIS) + 1e-12
-    hist = _phist(hh, _QBINS, hi)
+    masked = jnp.where(valid > 0, hh, 0.0)
+    hi = lax.pmax(jnp.max(masked.reshape(n, -1), axis=-1), _AXIS) + 1e-12
+    hist = _phist(hh, _QBINS, hi, weights=valid)
     med = _quantile_from_hist(hist, hi, 50.0)
     return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
 
@@ -247,11 +260,6 @@ def estimate_sigma_spatial(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # The fused spatially-sharded metric pass
 # ---------------------------------------------------------------------------
-
-_LAPLACE = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
-_SOBEL_H = np.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0],
-                     [-1.0, -2.0, -1.0]]) / 4.0
-
 
 def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     """Per-shard body of the fused metric pass (runs under shard_map).
@@ -351,15 +359,22 @@ def image_stats_spatial(x: jnp.ndarray, mesh: Mesh) -> dict[str, jnp.ndarray]:
             f"H={h} over {k} shards gives {h // k} rows/shard — the widest "
             f"stencil halo needs {_MIN_ROWS_PER_SHARD}; use fewer spatial "
             f"shards or the batch-sharded path")
-    fn = shard_map(
+    x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
+    return _stats_program(mesh)(x)
+
+
+@lru_cache(maxsize=8)
+def _stats_program(mesh: Mesh):
+    """One compiled SPMD metric pass per mesh (jax.jit caches by callable
+    identity — rebuilding the shard_map closure per call would recompile
+    every invocation)."""
+    return jax.jit(shard_map(
         _image_stats_block,
         mesh=mesh,
         in_specs=P("data", _AXIS, None),
         out_specs=P("data"),
         check_vma=False,
-    )
-    x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
-    return jax.jit(fn)(x)
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -434,9 +449,9 @@ def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,
 def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    unsharp_radius: jnp.ndarray,
                    unsharp_amount: jnp.ndarray,
-                   bilateral_d: int,
                    bilateral_sigma_color: jnp.ndarray,
-                   bilateral_sigma_space: jnp.ndarray) -> jnp.ndarray:
+                   bilateral_sigma_space: jnp.ndarray,
+                   *, bilateral_d: int) -> jnp.ndarray:
     """Halo-local enhancement subset on row blocks:
     gamma → unsharp → bilateral.
 
@@ -446,7 +461,8 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
     """
     y = jnp.power(jnp.maximum(x, 0.0), gamma)
     blur = _gaussian_blur_halo(y, unsharp_radius)
-    y = y + (y - blur) * unsharp_amount
+    # skimage unsharp_mask clips to [0,1] inside the op
+    y = jnp.clip(y + (y - blur) * unsharp_amount, 0.0, 1.0)
     if bilateral_d > 0:
         y = _bilateral_halo(jnp.clip(y, 0.0, 1.0), bilateral_d,
                             bilateral_sigma_color, bilateral_sigma_space)
@@ -466,21 +482,25 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
         raise ValueError(
             f"H={x.shape[1]} over {k} shards: need ≥{_MIN_ROWS_PER_SHARD} "
             f"rows per shard for the stencil halos")
-    fn = shard_map(
-        partial(_enhance_block,
-                gamma=jnp.float32(gamma),
-                unsharp_radius=jnp.float32(unsharp_radius),
-                unsharp_amount=jnp.float32(unsharp_amount),
-                bilateral_d=int(bilateral_d),
-                bilateral_sigma_color=jnp.float32(bilateral_sigma_color),
-                bilateral_sigma_space=jnp.float32(bilateral_sigma_space)),
+    x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
+    return _enhance_program(mesh, int(bilateral_d))(
+        x, jnp.float32(gamma), jnp.float32(unsharp_radius),
+        jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
+        jnp.float32(bilateral_sigma_space))
+
+
+@lru_cache(maxsize=16)
+def _enhance_program(mesh: Mesh, bilateral_d: int):
+    """Compiled spatial enhancement per (mesh, bilateral diameter); the
+    continuous parameters are traced (replicated) inputs, so parameter
+    sweeps reuse one program."""
+    return jax.jit(shard_map(
+        partial(_enhance_block, bilateral_d=bilateral_d),
         mesh=mesh,
-        in_specs=P("data", _AXIS, None),
+        in_specs=(P("data", _AXIS, None), P(), P(), P(), P(), P()),
         out_specs=P("data", _AXIS, None),
         check_vma=False,
-    )
-    x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
-    return jax.jit(fn)(x)
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +549,49 @@ def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
     return 10.0 * jnp.log10((data_range * data_range) / mse)
 
 
+def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
+              bilateral_sigma_color, bilateral_sigma_space, *, bilateral_d):
+    from mdx.core.metrics import THRESHOLDS
+
+    before = _image_stats_block(xb)
+    enhanced = _enhance_block(
+        xb, gamma, unsharp_radius, unsharp_amount,
+        bilateral_sigma_color, bilateral_sigma_space,
+        bilateral_d=bilateral_d)
+    after = _image_stats_block(enhanced)
+    s = _ssim_block(xb, enhanced)
+    p = _psnr_block(xb, enhanced)
+    eps = 1e-8
+    contrast_gain = (after["std"] - before["std"]) / jnp.maximum(
+        before["std"], eps)
+    sharpness_gain = (after["lap_var"] - before["lap_var"]) / jnp.maximum(
+        before["lap_var"], eps)
+    noise_reduction = (before["sigma"] - after["sigma"]) / jnp.maximum(
+        before["sigma"], eps)
+    qi = (0.35 * contrast_gain + 0.35 * sharpness_gain
+          + 0.30 * noise_reduction)
+    meets_ssim = s >= THRESHOLDS["ssim"]
+    meets_psnr = p >= THRESHOLDS["psnr"]
+    meets_improvement = qi >= THRESHOLDS["quality_improvement"]
+    niqe_ok = after["niqe"] <= before["niqe"]
+    passes = ((meets_ssim & meets_psnr)
+              | (meets_ssim & meets_improvement)
+              | (meets_psnr & meets_improvement & niqe_ok))
+    return before, after, enhanced, s, p, qi, passes
+
+
+@lru_cache(maxsize=16)
+def _qa_program(mesh: Mesh, bilateral_d: int):
+    """Compiled full spatial QA per (mesh, bilateral diameter)."""
+    return jax.jit(shard_map(
+        partial(_qa_block, bilateral_d=bilateral_d),
+        mesh=mesh,
+        in_specs=(P("data", _AXIS, None), P(), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data", _AXIS, None),
+                   P("data"), P("data"), P("data"), P("data")),
+        check_vma=False))
+
+
 def qa_spatial(
     x: jnp.ndarray,
     mesh: Mesh,
@@ -550,8 +613,6 @@ def qa_spatial(
     quality_improvement, passes} with [N]-shaped scalars replicated and
     ``enhanced`` sharded like the input.
     """
-    from mdx.core.metrics import THRESHOLDS
-
     k = mesh.shape[_AXIS]
     h = x.shape[1]
     if h % k or (h // k) % 2:
@@ -563,42 +624,12 @@ def qa_spatial(
             f"stencil halo needs {_MIN_ROWS_PER_SHARD}; use fewer spatial "
             f"shards or the batch-sharded path")
 
-    def _block(xb):
-        before = _image_stats_block(xb)
-        enhanced = _enhance_block(
-            xb, jnp.float32(gamma), jnp.float32(unsharp_radius),
-            jnp.float32(unsharp_amount), int(bilateral_d),
-            jnp.float32(bilateral_sigma_color),
-            jnp.float32(bilateral_sigma_space))
-        after = _image_stats_block(enhanced)
-        s = _ssim_block(xb, enhanced)
-        p = _psnr_block(xb, enhanced)
-        eps = 1e-8
-        contrast_gain = (after["std"] - before["std"]) / jnp.maximum(
-            before["std"], eps)
-        sharpness_gain = (after["lap_var"] - before["lap_var"]) / jnp.maximum(
-            before["lap_var"], eps)
-        noise_reduction = (before["sigma"] - after["sigma"]) / jnp.maximum(
-            before["sigma"], eps)
-        qi = (0.35 * contrast_gain + 0.35 * sharpness_gain
-              + 0.30 * noise_reduction)
-        meets_ssim = s >= THRESHOLDS["ssim"]
-        meets_psnr = p >= THRESHOLDS["psnr"]
-        meets_improvement = qi >= THRESHOLDS["quality_improvement"]
-        niqe_ok = after["niqe"] <= before["niqe"]
-        passes = ((meets_ssim & meets_psnr)
-                  | (meets_ssim & meets_improvement)
-                  | (meets_psnr & meets_improvement & niqe_ok))
-        return before, after, enhanced, s, p, qi, passes
-
-    fn = shard_map(
-        _block, mesh=mesh,
-        in_specs=P("data", _AXIS, None),
-        out_specs=(P("data"), P("data"), P("data", _AXIS, None),
-                   P("data"), P("data"), P("data"), P("data")),
-        check_vma=False)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
-    before, after, enhanced, s, p, qi, passes = jax.jit(fn)(x)
+    before, after, enhanced, s, p, qi, passes = _qa_program(
+        mesh, int(bilateral_d))(
+        x, jnp.float32(gamma), jnp.float32(unsharp_radius),
+        jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
+        jnp.float32(bilateral_sigma_space))
     from mdx.core.metrics import detect_issues
 
     return {

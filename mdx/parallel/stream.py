@@ -94,27 +94,51 @@ class DecodeStream:
             for t in threads:
                 t.start()
 
+            def _emit(obj) -> bool:
+                """Bounded put that aborts instead of blocking forever when
+                the consumer closed the stream."""
+                while not self._stop.is_set():
+                    try:
+                        self._out.put(obj, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             n = len(self._items)
             while next_idx < n and not self._stop.is_set():
                 hi = min(next_idx + self._bs, n)
                 with ready:
                     ready.wait_for(lambda: all(
-                        i in slots for i in range(next_idx, hi)))
+                        i in slots for i in range(next_idx, hi))
+                        or self._stop.is_set())
+                    if self._stop.is_set():
+                        return
                     chunk = [slots.pop(i) for i in range(next_idx, hi)]
                     state["watermark"] = hi + window
                     ready.notify_all()
                 errs = [c for c in chunk if isinstance(c, Exception)]
                 if errs:
-                    self._out.put(errs[0])
+                    _emit(errs[0])
                     return
                 batch = np.stack(chunk)
                 if self._device_put is not None:
                     batch = self._device_put(batch)
-                self._out.put((next_idx, batch))
+                if not _emit((next_idx, batch)):
+                    return
                 next_idx = hi
-            self._out.put(None)
+            _emit(None)
         except Exception as exc:  # pragma: no cover — defensive
-            self._out.put(exc)
+            try:
+                self._out.put_nowait(exc)
+            except queue.Full:
+                pass
+        finally:
+            # unblock and retire the worker pool whatever happened (decode
+            # error, consumer close, normal completion)
+            self._stop.set()
+            with ready:
+                ready.notify_all()
 
     # -- consumer side ----------------------------------------------------
 
@@ -126,6 +150,10 @@ class DecodeStream:
             if isinstance(got, Exception):
                 raise got
             yield got
+
+    def join(self, timeout: float = 5.0) -> None:
+        """Wait for the producer thread to retire (mainly for tests)."""
+        self._thread.join(timeout)
 
     def close(self) -> None:
         self._stop.set()
@@ -158,8 +186,20 @@ def stream_batches(
     put = None
     if mesh is not None:
         sharding = data_sharding(mesh)
+        d = mesh.shape["data"]
 
         def put(batch):  # noqa: F811
+            # a ragged final batch (or batch_size not a multiple of the
+            # data-axis size) must be padded before sharding — NamedSharding
+            # requires dim 0 divisible by the axis size.  Padding replicates
+            # the last frame; consumers recover the valid count as
+            # min(batch_size, len(paths) - start).
+            n = batch.shape[0]
+            target = -(-n // d) * d
+            if target != n:
+                batch = np.concatenate(
+                    [batch, np.broadcast_to(batch[-1:],
+                                            (target - n,) + batch.shape[1:])])
             return jax.device_put(batch, sharding)
 
     return DecodeStream(list(paths), _decode, batch_size,

@@ -78,13 +78,16 @@ def gaussian_blur(image: np.ndarray, sigma: float, mode: str = "nearest") -> np.
 
 
 def unsharp_mask(image: np.ndarray, radius: float, amount: float) -> np.ndarray:
-    """result = image + (image − gaussian(image, radius)) · amount.
+    """result = clip(image + (image − gaussian(image, radius)) · amount, 0, 1).
 
-    Ref pipeline/enhancement.py:202-205 (skimage ``unsharp_mask`` on float
-    input, no clipping here; the chain clips at the end).
+    Ref pipeline/enhancement.py:202-205: skimage ``unsharp_mask`` with
+    preserve_range=False clips its output to the [0, 1] value range
+    (skimage/filters/_unsharp_mask.py ``np.clip(result, vrange...)``), so
+    downstream ops (post-denoise, safeguards) see clipped values.
     """
     blurred = gaussian_blur(image, radius)
-    return np.asarray(image, np.float64) + (image - blurred) * amount
+    out = np.asarray(image, np.float64) + (image - blurred) * amount
+    return np.clip(out, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,41 @@ class TestStreamBatches:
         assert np.asarray(batches[0][1]).shape == (2, 32, 32)
         arr = np.asarray(batches[0][1])
         assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+class TestStreamLifecycle:
+    def test_error_retires_workers(self):
+        def bad(i):
+            if i == 2:
+                raise ValueError("corrupt")
+            return np.zeros((2, 2))
+
+        stream = DecodeStream(list(range(50)), bad, batch_size=2, workers=4)
+        with pytest.raises(ValueError):
+            list(stream)
+        stream.join()
+        assert not stream._thread.is_alive()
+
+    def test_close_retires_producer(self):
+        stream = DecodeStream(list(range(50)),
+                              lambda i: np.zeros((2, 2)), batch_size=2,
+                              prefetch=1)
+        it = iter(stream)
+        next(it)
+        stream.close()
+        stream.join()
+        assert not stream._thread.is_alive()
+
+    def test_mesh_pads_ragged_final_batch(self, tmp_path):
+        from mdx.io.dicom_write import write_synthetic_dicom
+        from mdx.parallel import make_mesh
+
+        mesh = make_mesh(n_data=4, n_space=1)
+        paths = []
+        for i in range(5):  # final batch of 1 on a 4-device axis
+            p = str(tmp_path / f"{i}.dcm")
+            write_synthetic_dicom(p, kind="noisy", size=32, seed=i)
+            paths.append(p)
+        batches = list(stream_batches(paths, batch_size=4, mesh=mesh))
+        assert [s for s, _ in batches] == [0, 4]
+        assert np.asarray(batches[1][1]).shape[0] == 4  # padded 1 → 4
