@@ -89,6 +89,46 @@ def _completed_frames() -> set[str]:
         return set()
 
 
+def _collect(frames, stats_np, issues_np, score_np, ssim_np, psnr_np,
+             qi_np, passes_np, h, w, results, save_artifacts):
+    """Materialise per-frame records + DB rows for one device chunk."""
+    from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
+
+    for i, (label, fidx, _frame, meta) in enumerate(frames):
+        frame_issues = [k for k in ISSUE_ORDER if bool(issues_np[k][i])]
+        run_id = storage.generate_run_id()
+        rec = {
+            "run_id": run_id,
+            "source": label,
+            "frame": fidx,
+            "shape": [h, w],
+            "issues": frame_issues,
+            "metrics": {k: float(stats_np[k][i]) for k in METRIC_KEYS},
+            "ssim": float(ssim_np[i]),
+            "psnr": float(psnr_np[i]),
+            "quality_improvement": float(qi_np[i]),
+            "passed": bool(passes_np[i]),
+            "objective_score": float(score_np[i]),
+        }
+        results.append(rec)
+        if save_artifacts:
+            try:
+                storage.save_run(
+                    run_id=run_id,
+                    input_filename=f"{label}#frame{fidx}",
+                    metadata_summary=meta, issues=frame_issues,
+                    metrics_before=rec["metrics"], metrics_after={},
+                    plan_json="", validation={
+                        "ssim": rec["ssim"], "psnr": rec["psnr"],
+                        "quality_improvement": rec["quality_improvement"],
+                        "passes": rec["passed"]},
+                    applied_ops=[], explainability={}, report_path="",
+                    before_after_path="", agent_logs=[],
+                    status="completed")
+            except Exception as exc:
+                logger.error("Persist failed for %s: %s", run_id, exc)
+
+
 def run_pipeline_batch(
     input_path: str,
     output_dir: str = "outputs",
@@ -131,6 +171,13 @@ def run_pipeline_batch(
     if save_artifacts:
         os.makedirs(output_dir, exist_ok=True)
 
+    # Device sub-batch size: a multiple of the data axis large enough to
+    # saturate the chips but bounded, so a 10k-slice series never
+    # materialises as one giant device array.  jax's async dispatch
+    # overlaps the host-side staging of chunk t+1 with chunk t's compute.
+    d = mesh.shape["data"]
+    chunk_n = max(-(-64 // d) * d, d)
+
     skipped = 0
     results: list[dict[str, Any]] = []
     for (h, w), frames in sorted(_buckets(items, window=window).items()):
@@ -141,55 +188,29 @@ def run_pipeline_batch(
             frames = kept
             if not frames:
                 continue
-        x = np.stack([f[2] for f in frames]).astype(np.float32)
-        xp, n_valid = pad_batch(jnp.asarray(x), mesh)
-        xp = jax.device_put(xp, data_sharding(mesh))
-        enhanced, stats, issues, flags, validation, score = (
-            qa.qa_deterministic(xp))
+        bucket_results = []
+        for start in range(0, len(frames), chunk_n):
+            chunk = frames[start:start + chunk_n]
+            x = np.stack([f[2] for f in chunk]).astype(np.float32)
+            xp, n_valid = pad_batch(jnp.asarray(x), mesh)
+            xp = jax.device_put(xp, data_sharding(mesh))
+            bucket_results.append(
+                (chunk, n_valid, qa.qa_deterministic(xp)))
 
-        stats_np = {k: np.asarray(stats[k])[:n_valid] for k in METRIC_KEYS}
-        issues_np = {k: np.asarray(issues[k])[:n_valid] for k in ISSUE_ORDER}
-        score_np = np.asarray(score)[:n_valid]
-        ssim_np = np.asarray(validation["ssim"])[:n_valid]
-        psnr_np = np.asarray(validation["psnr"])[:n_valid]
-        qi_np = np.asarray(validation["quality_improvement"])[:n_valid]
-        passes_np = np.asarray(validation["passes"])[:n_valid]
-
-        for i, (label, fidx, _frame, meta) in enumerate(frames):
-            frame_issues = [k for k in ISSUE_ORDER if bool(issues_np[k][i])]
-            run_id = storage.generate_run_id()
-            rec = {
-                "run_id": run_id,
-                "source": label,
-                "frame": fidx,
-                "shape": [h, w],
-                "issues": frame_issues,
-                "metrics": {k: float(stats_np[k][i]) for k in METRIC_KEYS},
-                "ssim": float(ssim_np[i]),
-                "psnr": float(psnr_np[i]),
-                "quality_improvement": float(qi_np[i]),
-                "passed": bool(passes_np[i]),
-                "objective_score": float(score_np[i]),
-            }
-            results.append(rec)
-            if save_artifacts:
-                try:
-                    storage.save_run(
-                        run_id=run_id,
-                        input_filename=f"{label}#frame{fidx}",
-                        metadata_summary=meta, issues=frame_issues,
-                        metrics_before=rec["metrics"], metrics_after={},
-                        plan_json="", validation={
-                            "ssim": rec["ssim"], "psnr": rec["psnr"],
-                            "quality_improvement":
-                                rec["quality_improvement"],
-                            "passes": rec["passed"]},
-                        applied_ops=[], explainability={}, report_path="",
-                        before_after_path="", agent_logs=[],
-                        status="completed")
-                except Exception as exc:
-                    logger.error("Persist failed for %s: %s", run_id, exc)
-
+        for frames_c, n_valid, out in bucket_results:
+            enhanced, stats, issues, flags, validation, score = out
+            stats_np = {k: np.asarray(stats[k])[:n_valid]
+                        for k in METRIC_KEYS}
+            issues_np = {k: np.asarray(issues[k])[:n_valid]
+                         for k in ISSUE_ORDER}
+            score_np = np.asarray(score)[:n_valid]
+            ssim_np = np.asarray(validation["ssim"])[:n_valid]
+            psnr_np = np.asarray(validation["psnr"])[:n_valid]
+            qi_np = np.asarray(validation["quality_improvement"])[:n_valid]
+            passes_np = np.asarray(validation["passes"])[:n_valid]
+            _collect(frames_c, stats_np, issues_np, score_np, ssim_np,
+                     psnr_np, qi_np, passes_np, h, w, results,
+                     save_artifacts)
     n_pass = sum(1 for r in results if r["passed"])
     summary_lines = [
         "# mdx batch QA report", "",
