@@ -242,3 +242,52 @@ class TestAutotune:
         rc = cli.main(["--input", p, "--output", str(tmp_path / "out"),
                        "--no-show", "--autotune"])
         assert rc == 0
+
+
+class TestImplicitVR:
+    def test_read_implicit_vr_little_endian(self, tmp_path):
+        """The reader must handle Implicit VR LE (the writer only emits
+        Explicit LE, so this file is crafted by hand)."""
+        import struct
+
+        from mdx.io.dicom import TS_IMPLICIT_LE
+        from mdx.io import load_dicom
+
+        def el_implicit(group, elem, value: bytes) -> bytes:
+            if len(value) % 2:
+                value += b"\x00"
+            return struct.pack("<HHI", group, elem, len(value)) + value
+
+        rows = cols = 16
+        pix = (np.linspace(0, 65535, rows * cols).astype(np.uint16)
+               .reshape(rows, cols))
+        body = b"".join([
+            el_implicit(0x0008, 0x0060, b"CT"),
+            el_implicit(0x0028, 0x0002, struct.pack("<H", 1)),
+            el_implicit(0x0028, 0x0004, b"MONOCHROME2 "),
+            el_implicit(0x0028, 0x0010, struct.pack("<H", rows)),
+            el_implicit(0x0028, 0x0011, struct.pack("<H", cols)),
+            el_implicit(0x0028, 0x0100, struct.pack("<H", 16)),
+            el_implicit(0x0028, 0x0101, struct.pack("<H", 16)),
+            el_implicit(0x0028, 0x0103, struct.pack("<H", 0)),
+            el_implicit(0x7FE0, 0x0010, pix.tobytes()),
+        ])
+
+        # file meta is always explicit VR LE
+        def el_explicit(group, elem, vr: bytes, value: bytes) -> bytes:
+            if len(value) % 2:
+                value += b"\x00"
+            return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+        meta_elements = el_explicit(0x0002, 0x0010, b"UI",
+                                    TS_IMPLICIT_LE.encode())
+        meta = el_explicit(0x0002, 0x0000, b"UL",
+                           struct.pack("<I", len(meta_elements)))
+        p = tmp_path / "implicit.dcm"
+        p.write_bytes(b"\x00" * 128 + b"DICM" + meta + meta_elements + body)
+
+        img, metadata = load_dicom(str(p))
+        assert img.shape == (16, 16)
+        assert metadata["Modality"] == "CT"
+        np.testing.assert_allclose(img[0, 0], 0.0)
+        np.testing.assert_allclose(img[-1, -1], 65535.0)
