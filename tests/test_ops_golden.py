@@ -176,3 +176,43 @@ class TestEnhanceOps:
         assert float(ops.psnr(a, b)[0]) == pytest.approx(
             F.psnr(clean_image, noisy_image), abs=1e-3)
         assert float(ops.ssim(a, a)[0]) == pytest.approx(1.0, abs=1e-6)
+
+
+class TestOddSizes:
+    """Clinical images have arbitrary dims — ops must stay golden on odd,
+    non-square shapes (DWT stride-2 phases, CLAHE padding, SSIM crops)."""
+
+    def test_metrics_odd_shape(self, rng):
+        img = np.clip(rng.normal(0.5, 0.12, (61, 67)), 0, 1).astype(np.float32)
+        from mdx.core.metrics import compute_metrics
+        from mdx.refimpl.pipeline_np import compute_metrics as ref_metrics
+
+        got = compute_metrics(jnp.asarray(img)[None])
+        want = ref_metrics(np.asarray(img, np.float64))
+        for k, v in want.items():
+            g = float(np.asarray(got[k])[0])
+            assert g == pytest.approx(v, rel=5e-3, abs=5e-4), k
+
+    def test_denoise_wavelet_odd_shape(self, rng):
+        img = np.clip(rng.normal(0.5, 0.1, (45, 53)), 0, 1).astype(np.float32)
+        from mdx.ops.wavelet import denoise_wavelet
+        from mdx.refimpl.wavelet_np import denoise_wavelet as ref_dw
+
+        got = np.asarray(denoise_wavelet(jnp.asarray(img)[None])[0])
+        want = ref_dw(np.asarray(img, np.float64))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_full_chain_odd_shape(self, rng):
+        img = np.clip(rng.normal(0.5, 0.15, (73, 41)), 0, 1).astype(np.float32)
+        from mdx.core.enhance import apply_plan
+        from mdx.pipeline.schemas import EnhancementPlan
+
+        plan = EnhancementPlan(
+            recommended_ops=["denoise", "clahe", "gamma", "unsharp"],
+            params={"clahe_clip_limit": 0.02, "gamma": 0.95,
+                    "unsharp_amount": 0.6})
+        static, dyn = plan.to_static_dynamic()
+        out, flags = apply_plan(jnp.asarray(img)[None], static, dyn)
+        o = np.asarray(out[0])
+        assert o.shape == img.shape
+        assert np.isfinite(o).all() and o.min() >= 0 and o.max() <= 1
