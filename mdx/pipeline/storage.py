@@ -77,6 +77,21 @@ def init_db() -> None:
         conn.executescript(_SCHEMA_SQL)
 
 
+def mark_orphaned_runs() -> int:
+    """Flip stale pending/running rows to error at server startup.
+
+    A crashed process leaves its in-flight runs permanently "running" (the
+    reference shares this flaw, SURVEY.md §5 checkpoint/resume); the API
+    and legacy servers call this once at startup so pollers see a terminal
+    state.  Returns the number of rows repaired."""
+    with _connect() as conn:
+        cur = conn.execute(
+            "UPDATE runs SET status = 'error',"
+            " error = 'orphaned by server restart'"
+            " WHERE status IN ('pending', 'running')")
+        return cur.rowcount
+
+
 def generate_run_id() -> str:
     """12-hex run id (ref pipeline/storage.py:89)."""
     return uuid.uuid4().hex[:12]

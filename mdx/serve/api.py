@@ -30,6 +30,10 @@ def create_app() -> App:
     os.makedirs(config.UPLOAD_DIR, exist_ok=True)
     os.makedirs(config.OUTPUT_DIR, exist_ok=True)
     storage.init_db()
+    repaired = storage.mark_orphaned_runs()
+    if repaired:
+        logger.warning("Marked %d orphaned run(s) from a previous"
+                       " process as error.", repaired)
 
     # -- Root / health ---------------------------------------------------
 

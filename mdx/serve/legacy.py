@@ -100,6 +100,10 @@ def create_legacy_app() -> App:
     os.makedirs(config.UPLOAD_DIR, exist_ok=True)
     os.makedirs(config.OUTPUT_DIR, exist_ok=True)
     storage.init_db()
+    repaired = storage.mark_orphaned_runs()
+    if repaired:
+        logger.warning("Marked %d orphaned run(s) from a previous"
+                       " process as error.", repaired)
 
     def page(template: str, status: int = 200, **ctx) -> Response:
         token = ctx.pop("csrf_token", None) or _csrf_token()

@@ -113,3 +113,16 @@ class TestChat:
         _save(fresh_db, run_id="bbbbbbbbbbbb")
         fresh_db.save_chat_message("aaaaaaaaaaaa", "user", "hello a")
         assert fresh_db.get_chat_history("bbbbbbbbbbbb") == []
+
+
+class TestOrphanRecovery:
+    def test_mark_orphaned_runs(self, fresh_db):
+        fresh_db.insert_pending_run("aaaaaaaaaaa1", "x.dcm")
+        fresh_db.insert_pending_run("aaaaaaaaaaa2", "y.dcm")
+        fresh_db.update_run_status("aaaaaaaaaaa2", "running")
+        _save(fresh_db, run_id="aaaaaaaaaaa3")  # completed — untouched
+        repaired = fresh_db.mark_orphaned_runs()
+        assert repaired == 2
+        assert fresh_db.get_run_status("aaaaaaaaaaa1")["status"] == "error"
+        assert "orphaned" in fresh_db.get_run_status("aaaaaaaaaaa2")["error"]
+        assert fresh_db.get_run("aaaaaaaaaaa3")["status"] == "completed"
