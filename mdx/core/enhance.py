@@ -158,8 +158,29 @@ def apply_plan(
     masks = {op: _as_n(masks.get(op, True), n, bool) for op in OP_ORDER}
     fixed_order = tuple(o for o in OP_ORDER if o in static.ops)
 
-    out = jnp.clip(_run_chain(x, fixed_order, static, dyn, masks,
-                              dyn.unsharp_amount), 0.0, 1.0)
+    # Split the chain at 'unsharp': when the halo re-run order equals the
+    # fixed order (true for the deterministic path and any plan listing ops
+    # in pipeline order), the ops before unsharp are a pure function of the
+    # ORIGINAL image and identical in both runs — the re-run can resume from
+    # the cached prefix instead of repeating denoise/CLAHE/gamma
+    # (bit-identical to the reference's full re-run from x,
+    # ref pipeline/enhancement.py:326-353).
+    rerun_order = static.order()
+    u_at = fixed_order.index("unsharp") if "unsharp" in fixed_order else -1
+    prefix_reusable = (u_at >= 0
+                       and rerun_order[:u_at + 1] == fixed_order[:u_at + 1])
+
+    if prefix_reusable:
+        pre = _run_chain(x, fixed_order[:u_at], static, dyn, masks,
+                         dyn.unsharp_amount)
+        suffix = fixed_order[u_at:]
+        out = jnp.clip(_run_chain(pre, suffix, static, dyn, masks,
+                                  dyn.unsharp_amount), 0.0, 1.0)
+    else:
+        pre = x
+        suffix = fixed_order
+        out = jnp.clip(_run_chain(x, fixed_order, static, dyn, masks,
+                                  dyn.unsharp_amount), 0.0, 1.0)
 
     # Safeguard 1: halo → re-run the chain (in plan order) with halved amount
     if "unsharp" in static.ops:
@@ -167,11 +188,17 @@ def apply_plan(
 
         def _rerun(operand):
             x0, prev = operand
-            redo = _run_chain(x0, static.order(), static, dyn, masks,
-                              _as_n(dyn.unsharp_amount, n) * 0.5)
+            if prefix_reusable:
+                # resume from the shared prefix; only unsharp onwards redoes
+                redo = _run_chain(x0, suffix, static, dyn, masks,
+                                  _as_n(dyn.unsharp_amount, n) * 0.5)
+            else:
+                redo = _run_chain(x0, rerun_order, static, dyn, masks,
+                                  _as_n(dyn.unsharp_amount, n) * 0.5)
             return _sel(halo, jnp.clip(redo, 0.0, 1.0), prev)
 
-        out = lax.cond(jnp.any(halo), _rerun, lambda o: o[1], (x, out))
+        out = lax.cond(jnp.any(halo), _rerun, lambda o: o[1],
+                       (pre if prefix_reusable else x, out))
     else:
         halo = jnp.zeros((n,), bool)
 
