@@ -82,7 +82,8 @@ def main(argv=None) -> int:
 
             context = run_pipeline_batch(
                 input_path=args.input, output_dir=args.output,
-                save_artifacts=True, window=args.window)
+                save_artifacts=True, window=args.window,
+                autotune=args.autotune)
         else:
             from mdx.pipeline.runner import run_pipeline
 

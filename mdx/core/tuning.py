@@ -133,3 +133,71 @@ def autotune(
                      "quality_improvement": round(float(qi[i]), 4)},
             chosen=(i == best)))
     return plans[best], np.asarray(enhanced[best]), records
+
+
+def autotune_batch(
+    images: np.ndarray,
+    issues_per_image: list[list[str]],
+    *,
+    ops: tuple[str, ...] = ("denoise", "clahe", "gamma", "unsharp",
+                            "post_denoise"),
+    tile_size: int = 16,
+) -> tuple[list[EnhancementPlan], np.ndarray, np.ndarray]:
+    """Per-frame autotune over a whole [N,H,W] stack in ONE device program.
+
+    Every frame is broadcast across the same K-candidate grid (the union
+    grid of the batch's issues) as an [N·K] lane stack; per-frame argmax
+    picks each frame's best plan.  Returns (best plan per frame,
+    enhanced [N,H,W], scores [N,K]).
+    """
+    import jax.numpy as jnp
+
+    from mdx.core import qa
+    from mdx.core.enhance import PlanDynamic, PlanStatic
+
+    union_issues = sorted({i for iss in issues_per_image for i in iss})
+    cands = candidate_grid(union_issues)
+    k = len(cands)
+    n = images.shape[0]
+
+    x = jnp.repeat(jnp.asarray(images, jnp.float32), k, axis=0)  # [N·K,H,W]
+
+    def vec(key, dtype=np.float32):
+        per_img = np.array([c[key] for c in cands], dtype)
+        return jnp.asarray(np.tile(per_img, n))
+
+    static = PlanStatic(ops=ops, tile_size=tile_size, bilateral_d=0,
+                        plan_order=ops)
+    dyn = PlanDynamic(
+        clahe_clip_limit=vec("clahe_clip_limit"),
+        gamma=vec("gamma"),
+        unsharp_radius=vec("unsharp_radius"),
+        unsharp_amount=vec("unsharp_amount"),
+        post_denoise_strength=vec("post_denoise_strength"),
+        bilateral_sigma_color=vec("bilateral_sigma_color"),
+        bilateral_sigma_space=vec("bilateral_sigma_space"),
+        tv_denoise_weight=vec("tv_denoise_weight"),
+        denoise_soft=vec("denoise_soft", bool),
+    )
+    enhanced, _flags, _validation, score = qa.qa_plan(x, static, dyn)
+    scores = np.asarray(score).reshape(n, k)
+    best = np.argmax(scores, axis=1)                     # [N]
+    picked = np.asarray(enhanced).reshape((n, k) + images.shape[1:])[
+        np.arange(n), best]
+
+    plans = []
+    for i in range(n):
+        c = cands[int(best[i])]
+        plans.append(EnhancementPlan(
+            recommended_ops=list(ops),
+            params=EnhancementParams(
+                clahe_clip_limit=float(c["clahe_clip_limit"]),
+                clahe_tile_size=tile_size,
+                gamma=float(c["gamma"]),
+                unsharp_radius=float(c["unsharp_radius"]),
+                unsharp_amount=float(c["unsharp_amount"]),
+                post_denoise_strength=float(c["post_denoise_strength"]),
+                denoise_mode="soft"),
+            rationale=(f"best of per-frame autotune sweep ({k} candidates, "
+                       "one device program for the whole batch)")))
+    return plans, picked, scores

@@ -129,6 +129,31 @@ def _collect(frames, stats_np, issues_np, score_np, ssim_np, psnr_np,
                 logger.error("Persist failed for %s: %s", run_id, exc)
 
 
+def _autotune_chunk(x: np.ndarray):
+    """Per-frame autotune for one chunk; returns the qa_deterministic-shaped
+    tuple so the collection path is shared."""
+    import jax.numpy as jnp
+
+    from mdx.core import qa
+    from mdx.core.metrics import ISSUE_ORDER
+    from mdx.core.score import objective_score
+    from mdx.core.tuning import autotune_batch
+    from mdx.core.validate import validate as _validate
+
+    xj = jnp.asarray(x, jnp.float32)
+    stats, issue_masks = qa.detect(xj)
+    issues_np = {k: np.asarray(v) for k, v in issue_masks.items()}
+    issues_per_image = [
+        [k for k in ISSUE_ORDER if bool(issues_np[k][i])]
+        for i in range(x.shape[0])]
+    plans, enhanced, _scores = autotune_batch(x, issues_per_image)
+    validation = _validate(xj, jnp.asarray(enhanced, jnp.float32),
+                           stats_before=stats)
+    score, _ = objective_score(validation)
+    flags = {}
+    return enhanced, stats, issue_masks, flags, validation, score
+
+
 def run_pipeline_batch(
     input_path: str,
     output_dir: str = "outputs",
@@ -137,12 +162,17 @@ def run_pipeline_batch(
     mesh=None,
     resume: bool = False,
     window: bool = False,
+    autotune: bool = False,
 ) -> dict[str, Any]:
     """QA all frames of a series / directory, sharded across the mesh.
 
     ``window=True`` applies each sample's stored DICOM VOI window
     (per-sample windowing for mixed-modality streams, BASELINE config 5)
     before QA instead of relying on min-max normalisation alone.
+
+    ``autotune=True`` sweeps the candidate parameter grid per frame in one
+    vectorized device program (mdx/core/tuning.py) and applies each
+    frame's best plan instead of the fixed issue-driven defaults.
 
     With ``resume=True`` frames whose ``label#frameN`` key already has a
     completed run in the DB are skipped — a crashed batch restarts at
@@ -192,6 +222,10 @@ def run_pipeline_batch(
         for start in range(0, len(frames), chunk_n):
             chunk = frames[start:start + chunk_n]
             x = np.stack([f[2] for f in chunk]).astype(np.float32)
+            if autotune:
+                bucket_results.append((chunk, len(chunk),
+                                       _autotune_chunk(x)))
+                continue
             xp, n_valid = pad_batch(jnp.asarray(x), mesh)
             xp = jax.device_put(xp, data_sharding(mesh))
             bucket_results.append(

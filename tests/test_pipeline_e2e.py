@@ -291,3 +291,34 @@ class TestImplicitVR:
         assert metadata["Modality"] == "CT"
         np.testing.assert_allclose(img[0, 0], 0.0)
         np.testing.assert_allclose(img[-1, -1], 65535.0)
+
+
+class TestAutotuneBatch:
+    def test_per_frame_best_plans(self, noisy_image, low_contrast_image):
+        from mdx.core.tuning import autotune, autotune_batch
+
+        imgs = np.stack([noisy_image, low_contrast_image])
+        plans, enhanced, scores = autotune_batch(
+            imgs, [["noise"], ["low_contrast"]])
+        assert len(plans) == 2 and enhanced.shape == imgs.shape
+        assert scores.shape[0] == 2
+        # each frame's pick is its own argmax
+        for i in range(2):
+            assert scores[i].max() == scores[i][np.argmax(scores[i])]
+        # parity with the single-image sweep on the union grid
+        single_plan, single_img, recs = autotune(
+            noisy_image, ["noise", "low_contrast"])
+        np.testing.assert_allclose(enhanced[0], single_img, atol=1e-5)
+        assert plans[0].params.clahe_clip_limit == \
+            single_plan.params.clahe_clip_limit
+
+    def test_batch_autotune_mode(self, tmp_path):
+        from mdx.pipeline.batch_runner import run_pipeline_batch
+
+        p = str(tmp_path / "vol.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=64, frames=2)
+        ctx = run_pipeline_batch(input_path=p,
+                                 output_dir=str(tmp_path / "out"),
+                                 autotune=True)
+        assert len(ctx["frames"]) == 2
+        assert all(np.isfinite(f["objective_score"]) for f in ctx["frames"])
