@@ -51,6 +51,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="mdx extension: QA every frame of a series / "
                              "every DICOM in a directory, sharded across "
                              "the device mesh")
+    parser.add_argument("--resume", action="store_true",
+                        help="mdx extension: with --batch, skip frames that "
+                             "already have a completed run (restart a "
+                             "crashed batch at slice granularity)")
     parser.add_argument("--autotune", action="store_true",
                         help="mdx extension: LLM-free tuning — sweep a "
                              "candidate parameter grid in one on-device "
@@ -83,7 +87,7 @@ def main(argv=None) -> int:
             context = run_pipeline_batch(
                 input_path=args.input, output_dir=args.output,
                 save_artifacts=True, window=args.window,
-                autotune=args.autotune)
+                autotune=args.autotune, resume=args.resume)
         else:
             from mdx.pipeline.runner import run_pipeline
 

@@ -274,29 +274,59 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
     return arr
 
 
-def _rescale_and_orient(image: np.ndarray, ds: DicomDataset) -> np.ndarray:
-    """Modality rescale (slope/intercept) + MONOCHROME1 inversion, float32."""
+def _rescale(image: np.ndarray, ds: DicomDataset) -> np.ndarray:
+    """Modality rescale (slope/intercept), float32."""
     slope = ds.get("RescaleSlope", 1.0) or 1.0
     intercept = ds.get("RescaleIntercept", 0.0) or 0.0
     try:
         from mdx.io import native  # C++ fast path (optional)
-        out = native.rescale_f32(image, float(slope), float(intercept))
+        return native.rescale_f32(image, float(slope), float(intercept))
     except Exception:
-        out = image.astype(np.float32) * np.float32(slope) + np.float32(intercept)
-    if str(ds.get("PhotometricInterpretation", "")).upper() == "MONOCHROME1":
-        out = out.max() - out
-    return out
+        return (image.astype(np.float32) * np.float32(slope)
+                + np.float32(intercept))
 
 
-def apply_window(image: np.ndarray, ds: "DicomDataset") -> np.ndarray:
-    """Apply the dataset's VOI window when present; else return unchanged."""
+def _is_mono1(ds: DicomDataset) -> bool:
+    return str(ds.get("PhotometricInterpretation", "")
+               ).upper() == "MONOCHROME1"
+
+
+def apply_window(image: np.ndarray, ds: "DicomDataset"
+                 ) -> Tuple[np.ndarray, bool]:
+    """Apply the dataset's VOI window when present → (image, applied).
+
+    Callers need ``applied`` to decide whether min-max normalisation is
+    still required (frames without stored windows would otherwise reach QA
+    with raw modality-scale intensities)."""
     center = ds.get("WindowCenter")
     width = ds.get("WindowWidth")
     if center is None or width is None:
-        return image
+        return image, False
     from mdx.io.normalize import window_level
 
-    return window_level(image, float(center), float(width))
+    return window_level(image, float(center), float(width)), True
+
+
+def _pixels(ds: DicomDataset, window: bool) -> np.ndarray:
+    """Decode → modality rescale → optional VOI window → presentation
+    inversion, in the DICOM pipeline order (PS3.14: the VOI LUT is defined
+    on modality-rescale values, BEFORE any MONOCHROME1 inversion).
+
+    With ``window=True`` the output is always in [0, 1]: files without a
+    stored window fall back to min-max normalisation, so windowed batch
+    paths never feed raw modality-scale intensities to QA."""
+    image = _rescale(decode_pixels(ds), ds)
+    windowed = False
+    if window:
+        image, windowed = apply_window(image, ds)
+    if _is_mono1(ds):
+        # windowed output lives in [0,1]; raw values invert about their max
+        image = (1.0 - image) if windowed else (image.max() - image)
+    if window and not windowed:
+        from mdx.io.normalize import normalize_image
+
+        image = normalize_image(image)
+    return image
 
 
 def load_dicom(path: str, window: bool = False
@@ -308,9 +338,7 @@ def load_dicom(path: str, window: bool = False
     the three-key metadata whitelist.
     """
     ds = read_dataset(path)
-    image = _rescale_and_orient(decode_pixels(ds), ds)
-    if window:
-        image = apply_window(image, ds)
+    image = _pixels(ds, window)
     image = to_grayscale(image)
     metadata = {
         "Modality": str(ds.get("Modality", "Unknown") or "Unknown"),
@@ -329,9 +357,7 @@ def load_series(path: str, window: bool = False
     multi-frame series can be sharded across a device mesh.
     """
     ds = read_dataset(path)
-    image = _rescale_and_orient(decode_pixels(ds), ds)
-    if window:
-        image = apply_window(image, ds)
+    image = _pixels(ds, window)
     if image.ndim == 2:
         image = image[None]
     elif image.ndim == 3 and image.shape[-1] in (3, 4):

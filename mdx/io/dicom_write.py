@@ -16,9 +16,14 @@ from mdx.io.dicom import TS_EXPLICIT_LE
 _SOP_CLASS_SC = "1.2.840.10008.5.1.4.1.1.7"  # Secondary Capture
 
 
+_TEXT_VRS = (b"CS", b"DS", b"IS", b"LO", b"SH", b"ST", b"PN", b"AE")
+
+
 def _el(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
     if len(value) % 2:
-        value += b"\x00" if vr not in (b"UI",) else b"\x00"
+        # DICOM PS3.5: text VRs pad to even length with SPACE; UI and
+        # binary VRs pad with NUL
+        value += b" " if vr in _TEXT_VRS else b"\x00"
     if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
         return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
     return struct.pack("<HH2sH", group, elem, vr, len(value)) + value

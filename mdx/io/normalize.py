@@ -20,9 +20,8 @@ def to_grayscale(image: np.ndarray) -> np.ndarray:
         if image.shape[-1] in (3, 4):
             rgb = image[..., :3]
             return 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        if image.shape[0] in (3, 4):
-            rgb = image[:3]
-            return 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+        # channel-FIRST data never reaches here (decode_pixels emits
+        # samples last); a [3,H,W] array is a 3-frame volume → middle slice
         return image[image.shape[0] // 2]
     while image.ndim > 2:
         image = image[image.shape[0] // 2]

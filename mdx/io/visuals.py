@@ -1,4 +1,12 @@
-"""Before/after visualisation PNGs (ref pipeline/dicom_io.py:99-146)."""
+"""Before/after visualisation PNGs (ref pipeline/dicom_io.py:99-146).
+
+Backend policy: these functions never force a matplotlib backend — the CLI
+sets Agg itself for ``--no-show`` (main.py), servers run headless (Agg is
+matplotlib's no-DISPLAY default), and an interactive CLI run keeps its GUI
+backend so ``plt.show()`` after the pipeline displays the figures
+(reference behaviour, ref main.py:123-128).  Figures are closed only on
+non-interactive backends; on GUI backends they stay open for show().
+"""
 
 from __future__ import annotations
 
@@ -8,11 +16,16 @@ from typing import Dict
 import numpy as np
 
 
+def _maybe_close(plt, fig) -> None:
+    import matplotlib
+
+    if "agg" in matplotlib.get_backend().lower():
+        plt.close(fig)
+
+
 def save_visuals(original: np.ndarray, enhanced: np.ndarray,
                  out_dir: str, base_name: str) -> Dict[str, str]:
     """Save a side-by-side before/after comparison PNG."""
-    import matplotlib
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(out_dir, exist_ok=True)
@@ -25,13 +38,11 @@ def save_visuals(original: np.ndarray, enhanced: np.ndarray,
         ax.axis("off")
     plt.tight_layout()
     fig.savefig(figure_path, dpi=150)
-    plt.close(fig)
+    _maybe_close(plt, fig)
     return {"before_after": figure_path}
 
 
 def save_single_image(image: np.ndarray, out_path: str, title: str = "") -> str:
-    import matplotlib
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -42,5 +53,5 @@ def save_single_image(image: np.ndarray, out_path: str, title: str = "") -> str:
     ax.axis("off")
     plt.tight_layout()
     fig.savefig(out_path, dpi=150)
-    plt.close(fig)
+    _maybe_close(plt, fig)
     return out_path

@@ -146,7 +146,20 @@ def _autotune_chunk(x: np.ndarray):
     issues_per_image = [
         [k for k in ISSUE_ORDER if bool(issues_np[k][i])]
         for i in range(x.shape[0])]
-    plans, enhanced, _scores = autotune_batch(x, issues_per_image)
+    # cap the sweep's lane count (frames × candidates) per launch — a
+    # 64-frame chunk × up to 27 candidates would otherwise build a ~1.7k
+    # lane single-device stack
+    union = sorted({i for iss in issues_per_image for i in iss})
+    from mdx.core.tuning import candidate_grid
+
+    k_cands = max(len(candidate_grid(union)), 1)
+    sub_n = max(128 // k_cands, 1)
+    enhanced_parts = []
+    for s in range(0, x.shape[0], sub_n):
+        _plans, enh, _scores = autotune_batch(
+            x[s:s + sub_n], issues_per_image[s:s + sub_n])
+        enhanced_parts.append(enh)
+    enhanced = np.concatenate(enhanced_parts, axis=0)
     validation = _validate(xj, jnp.asarray(enhanced, jnp.float32),
                            stats_before=stats)
     score, _ = objective_score(validation)
@@ -218,21 +231,20 @@ def run_pipeline_batch(
             frames = kept
             if not frames:
                 continue
-        bucket_results = []
-        for start in range(0, len(frames), chunk_n):
-            chunk = frames[start:start + chunk_n]
+        def _submit(chunk):
             x = np.stack([f[2] for f in chunk]).astype(np.float32)
             if autotune:
-                bucket_results.append((chunk, len(chunk),
-                                       _autotune_chunk(x)))
-                continue
+                return (chunk, len(chunk), _autotune_chunk(x))
             xp, n_valid = pad_batch(jnp.asarray(x), mesh)
             xp = jax.device_put(xp, data_sharding(mesh))
-            bucket_results.append(
-                (chunk, n_valid, qa.qa_deterministic(xp)))
+            out = qa.qa_deterministic(xp)
+            # keep only what collection reads — dropping the [chunk,H,W]
+            # enhanced stack bounds device memory to ~2 chunks in flight
+            return (chunk, n_valid, out)
 
-        for frames_c, n_valid, out in bucket_results:
-            enhanced, stats, issues, flags, validation, score = out
+        def _drain(entry):
+            frames_c, n_valid, out = entry
+            _enhanced, stats, issues, _flags, validation, score = out
             stats_np = {k: np.asarray(stats[k])[:n_valid]
                         for k in METRIC_KEYS}
             issues_np = {k: np.asarray(issues[k])[:n_valid]
@@ -245,6 +257,17 @@ def run_pipeline_batch(
             _collect(frames_c, stats_np, issues_np, score_np, ssim_np,
                      psnr_np, qi_np, passes_np, h, w, results,
                      save_artifacts)
+
+        # double-buffer: chunk t+1's host staging + dispatch overlaps
+        # chunk t's device compute, while at most 2 chunks stay resident
+        pending = None
+        for start in range(0, len(frames), chunk_n):
+            entry = _submit(frames[start:start + chunk_n])
+            if pending is not None:
+                _drain(pending)
+            pending = entry
+        if pending is not None:
+            _drain(pending)
     n_pass = sum(1 for r in results if r["passed"])
     summary_lines = [
         "# mdx batch QA report", "",

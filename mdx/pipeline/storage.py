@@ -214,8 +214,12 @@ def save_chat_message(run_id: str, role: str, content: str) -> None:
 
 
 def get_chat_history(run_id: str, limit: int = 50) -> List[Dict[str, Any]]:
+    """The NEWEST ``limit`` messages in chronological order (taking the
+    oldest rows would freeze the LLM context once a chat exceeds the
+    limit)."""
     with _connect() as conn:
         rows = conn.execute(
             "SELECT role, content, created_at FROM chat_messages"
-            " WHERE run_id = ? ORDER BY id ASC LIMIT ?", (run_id, limit)).fetchall()
-    return [dict(r) for r in rows]
+            " WHERE run_id = ? ORDER BY id DESC LIMIT ?",
+            (run_id, limit)).fetchall()
+    return [dict(r) for r in reversed(rows)]

@@ -26,6 +26,16 @@ from mdx.pipeline import storage
 
 logger = logging.getLogger(__name__)
 
+# Server contexts render figures on worker/request threads — GUI matplotlib
+# backends are not thread-safe, so force the non-interactive one here (the
+# CLI keeps its interactive backend for plt.show()).
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+except Exception:
+    pass
+
 _MAX_WORKERS = int(os.environ.get("MDX_MAX_CONCURRENT_RUNS", "4"))
 
 _queue: "queue.Queue[tuple]" = queue.Queue()

@@ -22,6 +22,16 @@ from mdx.serve.wsgi import App, Request, Response, jsonify, secure_filename, sen
 
 logger = logging.getLogger(__name__)
 
+# Server contexts render figures on worker/request threads — GUI matplotlib
+# backends are not thread-safe, so force the non-interactive one here (the
+# CLI keeps its interactive backend for plt.show()).
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+except Exception:
+    pass
+
 _TEMPLATE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "templates")

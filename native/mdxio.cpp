@@ -58,7 +58,8 @@ void mdxio_minmax_f32(const float *src, int64_t n, float *lo_out,
 
 void mdxio_normalize_f32(float *buf, int64_t n, float lo, float hi) {
   const float range = hi - lo;
-  if (range <= 0.0f) {
+  // match the NumPy path's constant-image guard (range < 1e-8 → zeros)
+  if (range < 1e-8f) {
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif

@@ -190,14 +190,32 @@ class TestWindowing:
         # soft-tissue window saturates the extremes
         assert float(win[0, 0]) == 0.0 and float(win[-1, -1]) == 1.0
 
-    def test_window_absent_is_noop(self, tmp_path):
-        from mdx.io import load_dicom
+    def test_window_absent_falls_back_to_normalize(self, tmp_path):
+        """window=True on a file with no stored VOI window must still
+        deliver [0,1] data (min-max fallback) — raw modality-scale
+        intensities would silently break every QA threshold."""
+        from mdx.io import load_dicom, normalize_image
 
         p = str(tmp_path / "nw.dcm")
         write_synthetic_dicom(p, kind="noisy", size=32)
         a, _ = load_dicom(p)
         b, _ = load_dicom(p, window=True)
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(b, normalize_image(a), atol=1e-6)
+
+    def test_mono1_window_order(self, tmp_path):
+        """VOI window applies BEFORE MONOCHROME1 inversion (DICOM PS3.14):
+        the stored window selects the pre-inversion intensity range."""
+        from mdx.io import load_dicom
+        from mdx.io.dicom_write import write_dicom
+        from mdx.io.normalize import window_level
+
+        pix = np.arange(0, 4096, dtype=np.uint16).reshape(64, 64)
+        p = str(tmp_path / "m1w.dcm")
+        write_dicom(p, pix, photometric="MONOCHROME1",
+                    window_center=2000.0, window_width=1000.0)
+        img, _ = load_dicom(p, window=True)
+        want = 1.0 - window_level(pix.astype(np.float32), 2000.0, 1000.0)
+        np.testing.assert_allclose(img, want, atol=1e-6)
 
     def test_batch_with_windowing(self, tmp_path):
         from mdx.io.dicom_write import write_dicom
