@@ -392,3 +392,77 @@ class TestImageStoreIsolation:
         t2 = threading.Thread(target=work, args=(clean_image, "B"))
         t1.start(); t2.start(); t1.join(); t2.join()
         assert not errors
+
+
+class TestHttpTransport:
+    """Drive the stdlib HTTP transport against a local server: headers,
+    payload shape, retry on 5xx, failure surfacing."""
+
+    @pytest.fixture()
+    def server(self, monkeypatch):
+        import http.server
+        import threading
+
+        state = {"requests": [], "responses": []}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                state["requests"].append(
+                    (self.path, dict(self.headers), json.loads(body)))
+                status, payload = (state["responses"].pop(0)
+                                   if state["responses"] else (200, _msg("ok")))
+                data = json.dumps(payload).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):
+                pass
+
+        httpd = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        port = httpd.server_address[1]
+        monkeypatch.setenv("OPENAI_API_KEY", "test-key-123")
+        monkeypatch.setattr(llm, "DEFAULT_BASE_URL",
+                            f"http://127.0.0.1:{port}/v1")
+        yield state
+        httpd.shutdown()
+
+    def test_request_shape_and_auth(self, server):
+        msg = llm.chat_completion("gpt-4o",
+                                  [{"role": "user", "content": "hi"}],
+                                  tools=[TOOL_SCHEMAS_GET])
+        assert msg["content"] == "ok"
+        path, headers, payload = server["requests"][0]
+        assert path == "/v1/chat/completions"
+        assert headers["Authorization"] == "Bearer test-key-123"
+        assert payload["model"] == "gpt-4o"
+        assert payload["tools"][0]["function"]["name"] == "tool_get_metrics"
+
+    def test_retry_on_500_then_success(self, server):
+        server["responses"] = [(500, {"error": "boom"}),
+                               (200, _msg("recovered"))]
+        msg = llm.chat_completion("gpt-4o",
+                                  [{"role": "user", "content": "hi"}])
+        assert msg["content"] == "recovered"
+        assert len(server["requests"]) == 2
+
+    def test_client_error_raises(self, server):
+        server["responses"] = [(401, {"error": "bad key"})]
+        with pytest.raises(llm.LLMError, match="401"):
+            llm.chat_completion("gpt-4o",
+                                [{"role": "user", "content": "hi"}])
+
+    def test_missing_key_raises(self, server, monkeypatch):
+        monkeypatch.delenv("OPENAI_API_KEY")
+        with pytest.raises(llm.LLMError, match="OPENAI_API_KEY"):
+            llm.chat_completion("gpt-4o",
+                                [{"role": "user", "content": "hi"}])
+
+
+from mdx.genai.tools import TOOL_SCHEMAS as _TS  # noqa: E402
+
+TOOL_SCHEMAS_GET = _TS["tool_get_metrics"]
