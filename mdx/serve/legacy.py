@@ -49,14 +49,22 @@ def _jinja_env():
 
 
 def _markdown_to_html(md: str) -> str:
+    """Markdown → HTML with raw-HTML neutralised.
+
+    Report markdown embeds attacker-controllable strings (DICOM metadata,
+    LLM output); python-markdown passes raw HTML through, so angle
+    brackets are escaped FIRST — markdown syntax (headers, tables, bold,
+    code) survives, inline HTML becomes inert text (stored-XSS defence,
+    rendered under ``|safe`` in result/report templates)."""
+    import html
+
+    md = html.escape(md, quote=False)
     try:
         import markdown as md_lib
 
         return md_lib.markdown(md, extensions=["tables", "fenced_code"])
     except Exception:
-        import html
-
-        return f"<pre>{html.escape(md)}</pre>"
+        return f"<pre>{md}</pre>"
 
 
 # -- CSRF: double-submit token keyed on SECRET_KEY ------------------------
@@ -107,6 +115,14 @@ def create_legacy_app() -> App:
     # a fresh CSRF token out of the page.
     app.cors = False
     env = _jinja_env()
+
+    def _html_error(status: int, message: str) -> Response:
+        body = env.get_template("error.html").render(
+            message=message, csrf_token="").encode("utf-8")
+        return Response(body, status,
+                        [("Content-Type", "text/html; charset=utf-8")])
+
+    app.error_renderer = _html_error
     os.makedirs(config.UPLOAD_DIR, exist_ok=True)
     os.makedirs(config.OUTPUT_DIR, exist_ok=True)
     storage.init_db()
@@ -115,8 +131,13 @@ def create_legacy_app() -> App:
         logger.warning("Marked %d orphaned run(s) from a previous"
                        " process as error.", repaired)
 
-    def page(template: str, status: int = 200, **ctx) -> Response:
-        token = ctx.pop("csrf_token", None) or _csrf_token()
+    def page(req: Request, template: str, status: int = 200,
+             **ctx) -> Response:
+        # Reuse the visitor's existing valid token — minting a fresh one on
+        # every render would invalidate an upload form still open in
+        # another tab the moment any other page is viewed.
+        existing = _cookie_token(req)
+        token = existing if _csrf_ok(existing) else _csrf_token()
         ctx["csrf_token"] = token
         body = env.get_template(template).render(**ctx).encode("utf-8")
         # double-submit cookie: the form token must match this cookie on POST
@@ -128,7 +149,7 @@ def create_legacy_app() -> App:
 
     @app.route("/")
     def index(req: Request):
-        return page("upload.html")
+        return page(req, "upload.html")
 
     @app.route("/run", methods=["POST"])
     def run(req: Request):
@@ -136,14 +157,14 @@ def create_legacy_app() -> App:
         token = fields.get("csrf_token", "")
         if (not _csrf_ok(token)
                 or not hmac.compare_digest(token, _cookie_token(req))):
-            return page("error.html", 400, message="Invalid CSRF token")
+            return page(req, "error.html", 400, message="Invalid CSRF token")
         files = req.files()
         if "file" not in files or not files["file"][0]:
-            return page("error.html", 400, message="No file selected")
+            return page(req, "error.html", 400, message="No file selected")
         filename, content = files["file"]
         ext = os.path.splitext(filename)[1].lower()
         if ext not in (".dcm", ".dicom"):
-            return page("error.html", 400,
+            return page(req, "error.html", 400,
                         message=f"Unsupported file type: {ext}")
         file_id = uuid.uuid4().hex[:12]
         stored = f"{file_id}_{secure_filename(filename) or 'scan.dcm'}"
@@ -152,37 +173,45 @@ def create_legacy_app() -> App:
             f.write(content)
 
         genai = fields.get("genai") == "on"
+        try:
+            max_iters = int(fields.get("max_iters") or config.MAX_ITERS)
+        except (TypeError, ValueError):
+            return page(req, "error.html", 400,
+                        message="max_iters must be an integer")
+        max_iters = max(1, min(max_iters, 10))
         from mdx.pipeline.runner import run_pipeline
 
         try:
             ctx = run_pipeline(
                 input_path=path, output_dir=config.OUTPUT_DIR,
                 genai=genai, model=fields.get("model") or None,
-                max_iters=int(fields.get("max_iters") or config.MAX_ITERS),
+                max_iters=max_iters,
                 save_artifacts=True, no_show=True)
         except Exception as exc:
-            logger.exception("Synchronous run failed")
-            return page("error.html", 500, message=str(exc))
+            logger.exception("Synchronous run failed: %s", exc)
+            return page(req, "error.html", 500,
+                        message="The pipeline run failed — see the server "
+                                "log for details.")
         return _redirect(f"/result/{ctx['run_id']}")
 
     @app.route("/result/<run_id>")
     def result(req: Request, run_id: str):
         data = storage.get_run(run_id)
         if data is None:
-            return page("error.html", 404, message="Run not found")
-        return page("result.html", run=data,
+            return page(req, "error.html", 404, message="Run not found")
+        return page(req, "result.html", run=data,
                     report_html=_report_html(data))
 
     @app.route("/reports")
     def reports(req: Request):
-        return page("reports.html", runs=storage.list_runs(limit=100))
+        return page(req, "reports.html", runs=storage.list_runs(limit=100))
 
     @app.route("/reports/<run_id>")
     def report_detail(req: Request, run_id: str):
         data = storage.get_run(run_id)
         if data is None:
-            return page("error.html", 404, message="Run not found")
-        return page("report_detail.html", run=data,
+            return page(req, "error.html", 404, message="Run not found")
+        return page(req, "report_detail.html", run=data,
                     report_html=_report_html(data),
                     chat_history=storage.get_chat_history(run_id))
 
@@ -190,7 +219,7 @@ def create_legacy_app() -> App:
     def download_report(req: Request, run_id: str):
         data = storage.get_run(run_id)
         if data is None:
-            return page("error.html", 404, message="Run not found")
+            return page(req, "error.html", 404, message="Run not found")
         rp = data.get("report_path", "")
         if rp and os.path.isfile(rp):
             resp = send_file(rp, mimetype="text/markdown")
@@ -198,18 +227,25 @@ def create_legacy_app() -> App:
                 ("Content-Disposition",
                  f'attachment; filename="{run_id}_report.md"'))
             return resp
-        return page("error.html", 404, message="Report file not found")
+        return page(req, "error.html", 404, message="Report file not found")
 
     @app.route("/logs/<run_id>")
     def logs(req: Request, run_id: str):
         data = storage.get_run(run_id)
         if data is None:
-            return page("error.html", 404, message="Run not found")
-        return page("logs.html", run=data,
+            return page(req, "error.html", 404, message="Run not found")
+        return page(req, "logs.html", run=data,
                     logs=data.get("agent_logs", []))
 
     @app.route("/api/chat", methods=["POST"])
     def api_chat(req: Request):
+        # state-changing endpoint: same double-submit rule as /run (the
+        # token travels in a header, set by static/chat.js from the page)
+        header_token = req.environ.get("HTTP_X_CSRF_TOKEN", "")
+        if (not _csrf_ok(header_token)
+                or not hmac.compare_digest(header_token,
+                                           _cookie_token(req))):
+            return {"error": "Invalid CSRF token"}, 400
         data = req.json()
         run_id = data.get("run_id", "")
         message = (data.get("message") or "").strip()

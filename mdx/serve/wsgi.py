@@ -114,6 +114,9 @@ class App:
         self._routes: list[tuple[re.Pattern, set[str], Callable]] = []
         self.max_content_length = max_content_length
         self.cors = True
+        # optional hook: (status, message) -> Response, used by HTML apps
+        # so framework-level 413/404/500 render pages instead of raw JSON
+        self.error_renderer: Callable[[int, str], Response] | None = None
 
     def route(self, pattern: str, methods: Iterable[str] = ("GET",)):
         regex = re.compile(
@@ -132,14 +135,28 @@ class App:
 
     def __call__(self, environ, start_response):
         req = Request(environ, self.max_content_length)
+
+        def _err(status: int, message: str) -> Response:
+            if self.error_renderer is not None:
+                try:
+                    return self.error_renderer(status, message)
+                except Exception:
+                    pass
+            return jsonify({"error": message}, status)
+
         try:
             resp = self._dispatch(req)
+            if (resp.status in (404, 405) and self.error_renderer is not None
+                    and resp.headers
+                    and resp.headers[0][1].startswith("application/json")):
+                resp = _err(resp.status, "Not found"
+                            if resp.status == 404 else "Method not allowed")
         except PayloadTooLarge:
-            resp = jsonify({"error": "File too large (max 50 MB)"}, 413)
+            resp = _err(413, "File too large (max 50 MB)")
         except Exception:  # pragma: no cover - defensive 500
             import traceback
             traceback.print_exc()
-            resp = jsonify({"error": "Internal server error"}, 500)
+            resp = _err(500, "Internal server error")
         headers = list(resp.headers)
         if self.cors:
             headers.append(("Access-Control-Allow-Origin", "*"))

@@ -3,6 +3,7 @@
   var root = document.getElementById('chat');
   if (!root) return;
   var runId = root.dataset.runId;
+  var csrf = root.dataset.csrf || '';
   var messages = document.getElementById('chat-messages');
   var input = document.getElementById('chat-text');
   var send = document.getElementById('chat-send');
@@ -19,6 +20,7 @@
   }
 
   function submit() {
+    if (send.disabled) return;  // a request is already in flight
     var text = input.value.trim();
     if (!text) return;
     input.value = '';
@@ -26,7 +28,10 @@
     send.disabled = true;
     fetch('/api/chat', {
       method: 'POST',
-      headers: { 'Content-Type': 'application/json' },
+      headers: {
+        'Content-Type': 'application/json',
+        'X-CSRF-Token': csrf,
+      },
       body: JSON.stringify({ run_id: runId, message: text }),
     })
       .then(function (r) { return r.json(); })

@@ -17,4 +17,13 @@
       note.hidden = false;
     });
   }
+  // back/bfcache navigation restores the page with stale state — reset
+  window.addEventListener('pageshow', function () {
+    if (btn && note) {
+      btn.disabled = false;
+      btn.textContent = 'Run QA pipeline';
+      note.hidden = true;
+    }
+    if (toggle && opts) opts.hidden = !toggle.checked;
+  });
 })();

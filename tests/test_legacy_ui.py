@@ -158,3 +158,53 @@ class TestSynchronousRun:
 
         s, _, body = client.get(f"/logs/{run_id}")
         assert s == 200
+
+
+class TestSecurityHardening:
+    def test_report_html_neutralises_raw_html(self, client, tmp_path):
+        """Stored-XSS regression: HTML smuggled through DICOM metadata must
+        come out inert in the rendered report."""
+        from mdx.io.dicom_write import write_synthetic_dicom
+
+        p = tmp_path / "x.dcm"
+        write_synthetic_dicom(
+            str(p), kind="noisy", size=64,
+            study_description='<img src=x onerror=alert(1)>')
+        token = _csrf(client)
+        s, headers, _ = client.post_multipart(
+            "/run", fields={"csrf_token": token},
+            files={"file": ("x.dcm", p.read_bytes())})
+        assert s == 302
+        s, _, body = client.get(headers["Location"])
+        assert b"<img src=x onerror" not in body
+        assert b"&lt;img" in body  # escaped, still visible as text
+
+    def test_chat_requires_csrf(self, client, tmp_path):
+        s, _, body = client.request(
+            "POST", "/api/chat",
+            json.dumps({"run_id": "x", "message": "hi"}).encode(),
+            "application/json")
+        assert s == 400 and b"CSRF" in body
+
+    def test_page_view_does_not_rotate_token(self, client):
+        t1 = _csrf(client)
+        client.get("/reports")       # another page view
+        t2 = _csrf(client)
+        assert t1 == t2              # open upload forms stay valid
+
+    def test_framework_errors_render_html(self, client):
+        s, headers, body = client.get("/definitely/not/here")
+        assert s == 404
+        assert headers["Content-Type"].startswith("text/html")
+        assert b"Something went wrong" in body
+
+    def test_bad_max_iters_is_400(self, client, tmp_path):
+        from mdx.io.dicom_write import write_synthetic_dicom
+
+        p = tmp_path / "n.dcm"
+        write_synthetic_dicom(str(p), kind="noisy", size=64)
+        token = _csrf(client)
+        s, _, body = client.post_multipart(
+            "/run", fields={"csrf_token": token, "max_iters": "abc"},
+            files={"file": ("n.dcm", p.read_bytes())})
+        assert s == 400 and b"max_iters" in body
