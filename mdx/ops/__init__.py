@@ -37,6 +37,8 @@ from mdx.ops.wavelet import (
 from mdx.ops.hist import (histogram01, histogram_scaled,
                           shannon_entropy01, entropy_from_hist,
                           percentiles)
+from mdx.ops.quantile import (order_statistics, percentiles_exact,
+                              median_rows)
 from mdx.ops.clahe import clahe
 from mdx.ops.bilateral import bilateral
 from mdx.ops.tv import tv_chambolle
@@ -49,5 +51,6 @@ __all__ = [
     "denoise_wavelet", "max_level",
     "histogram01", "histogram_scaled", "shannon_entropy01",
     "entropy_from_hist", "percentiles",
+    "order_statistics", "percentiles_exact", "median_rows",
     "clahe", "bilateral", "tv_chambolle", "ssim", "psnr",
 ]

@@ -51,7 +51,11 @@ def shannon_entropy01(x: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
 def percentiles(x: jnp.ndarray, qs) -> jnp.ndarray:
     """Per-image percentiles (linear interpolation): [N,H,W] → [len(qs), N].
 
-    One sort per image serves all requested percentiles.
+    Exact (true order statistics + NumPy 'linear' interpolation) but
+    sort-free: bitwise binary search over the float bit pattern — 16 fused
+    compare-reduce sweeps instead of a sort network (3.2× faster on TPU at
+    128×512²; see mdx/ops/quantile.py).  ``qs`` must be static.
     """
-    n = x.shape[0]
-    return jnp.percentile(x.reshape(n, -1), jnp.asarray(qs), axis=-1)
+    from mdx.ops.quantile import percentiles_exact
+
+    return percentiles_exact(x, qs)

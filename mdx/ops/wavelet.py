@@ -117,7 +117,9 @@ def estimate_sigma(x: jnp.ndarray) -> jnp.ndarray:
     """Per-image wavelet-MAD noise sigma, [N] (ref pipeline/metrics.py:47)."""
     _, (_, _, hh) = dwt2(x, "db2")
     n = x.shape[0]
-    med = jnp.median(jnp.abs(hh.reshape(n, -1)), axis=-1)
+    from mdx.ops.quantile import median_rows
+
+    med = median_rows(jnp.abs(hh.reshape(n, -1)))
     return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
 
 
@@ -156,8 +158,10 @@ def denoise_wavelet(
         wavelet_levels = default_levels(x.shape[-2:], wavelet)
     ll, details, shapes = wavedec2(x, wavelet, wavelet_levels)
     if sigma is None:
+        from mdx.ops.quantile import median_rows
+
         hh1 = details[-1][2]
-        sigma = jnp.median(jnp.abs(hh1.reshape(n, -1)), axis=-1) * jnp.asarray(
+        sigma = median_rows(jnp.abs(hh1.reshape(n, -1))) * jnp.asarray(
             MAD_TO_SIGMA, x.dtype)
     sigma = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (n,))
     noise_var = sigma * sigma

@@ -1,0 +1,98 @@
+"""Exactness tests for the sort-free order-statistic search (mdx/ops/quantile).
+
+The bitwise binary search must be BIT-EXACT against a sort for order
+statistics, and match numpy.percentile's 'linear' rule for interpolated
+quantiles — it replaced ``jnp.percentile``/``jnp.median`` everywhere on the
+hot path, so any deviation here would silently shift the golden contract.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mdx.ops.quantile import order_statistics, percentiles_exact, median_rows
+
+QS = [0.0, 1.0, 5.0, 25.0, 50.0, 75.0, 90.0, 95.0, 99.0, 100.0]
+
+
+def _cases():
+    rng = np.random.default_rng(42)
+    return {
+        "normal-negatives": rng.normal(0, 1, (4, 1000)).astype(np.float32),
+        "uniform-big": rng.uniform(0, 1, (2, 512 * 512)).astype(np.float32),
+        "heavy-ties": (np.round(rng.uniform(0, 1, (3, 777)) * 8) / 8
+                       ).astype(np.float32),
+        "all-equal": np.full((2, 64), 0.25, np.float32),
+        "all-zero": np.zeros((2, 64), np.float32),
+        "signed-zeros": np.concatenate(
+            [np.full((1, 50), -0.0, np.float32),
+             np.full((1, 50), 0.0, np.float32)], axis=1),
+        "tiny-row": rng.normal(0, 1, (3, 2)).astype(np.float32),
+        "huge-dynamic-range": (rng.normal(0, 1, (2, 500)) *
+                               10.0 ** rng.integers(-30, 30, (2, 500))
+                               ).astype(np.float32),
+    }
+
+
+@pytest.mark.parametrize("name", list(_cases()))
+def test_order_statistics_bit_exact_vs_sort(name):
+    x = _cases()[name]
+    m = x.shape[1]
+    ranks = sorted({1, 2, m // 2, max(m - 1, 1), m})
+    got = np.asarray(order_statistics(jnp.asarray(x), ranks))
+    want = np.sort(x, axis=-1)[:, [r - 1 for r in ranks]]
+    # bitwise equality modulo -0.0 == +0.0
+    assert np.array_equal(got, want), name
+
+
+@pytest.mark.parametrize("name", list(_cases()))
+def test_percentiles_match_numpy_linear(name):
+    x = _cases()[name]
+    got = np.asarray(percentiles_exact(jnp.asarray(x), QS))
+    want = np.percentile(x.astype(np.float64), QS, axis=-1)
+    assert np.allclose(got, want, rtol=1e-6, atol=0), name
+
+
+def test_percentiles_bit_exact_f32_interpolation():
+    """Same float32 arithmetic as interpolating the sorted array directly."""
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (3, 10_001)).astype(np.float32)
+    s = np.sort(x, axis=-1)
+    m = x.shape[1]
+    got = np.asarray(percentiles_exact(jnp.asarray(x), QS))
+    for i, q in enumerate(QS):
+        pos = q / 100.0 * (m - 1)
+        k, frac = int(pos), pos - int(pos)
+        want = (s[:, k] * np.float32(1.0 - frac) + s[:, min(k + 1, m - 1)]
+                * np.float32(frac)) if frac else s[:, k]
+        assert np.array_equal(got[i], want.astype(np.float32)), q
+
+
+def test_median_even_and_odd():
+    rng = np.random.default_rng(3)
+    for m in (1000, 1001, 2, 3):
+        x = rng.normal(0, 5, (4, m)).astype(np.float32)
+        got = np.asarray(median_rows(jnp.asarray(x)))
+        want = np.median(x.astype(np.float64), axis=-1)
+        assert np.allclose(got, want, rtol=1e-6, atol=1e-7), m
+
+
+def test_rank_bounds_validated():
+    x = jnp.zeros((2, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        order_statistics(x, [0])
+    with pytest.raises(ValueError):
+        order_statistics(x, [9])
+
+
+def test_jit_and_grad_safe_under_vmapped_batch():
+    """Static qs + fori_loop body must trace once and run under jit."""
+    import jax
+
+    f = jax.jit(lambda a: percentiles_exact(a, [5.0, 95.0]))
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (4, 4096)),
+                    jnp.float32)
+    out = f(x)
+    assert out.shape == (2, 4)
+    want = np.percentile(np.asarray(x), [5.0, 95.0], axis=-1)
+    assert np.allclose(np.asarray(out), want, rtol=1e-6)
