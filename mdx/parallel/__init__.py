@@ -15,7 +15,8 @@ net-new capability, designed TPU-first:
 * :mod:`mdx.parallel.spatial` — 2-D spatial sharding for slices too large
   for one chip: row blocks over the ``space`` axis, stencil halos exchanged
   with ``lax.ppermute`` over ICI, global reductions via ``psum``/``pmax``
-  collectives, distributed quantiles via histogram-CDF inversion.
+  collectives, and EXACT distributed order statistics (the bitwise
+  search of :mod:`mdx.ops.quantile` with psum-combined counts).
 """
 
 from mdx.parallel.mesh import make_mesh, data_sharding, spatial_sharding

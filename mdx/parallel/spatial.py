@@ -12,14 +12,12 @@ runs inside one ``shard_map``-compiled SPMD program:
   bit-identical to the unsharded program.
 * **Moment reductions** (mean, variance, clip fractions, histograms) are
   local partial sums combined with ``lax.psum`` — exact.
-* **Order statistics** (percentiles, the wavelet-MAD median) cannot be
-  computed exactly without a global sort, so they use a two-pass
-  distributed estimator: ``pmax`` for the range, then a shared fixed-bin
-  histogram (``psum``) inverted with within-bin linear interpolation.
-  With ``_QBINS`` = 4096 bins the error is bounded by range/4096 ≈ 2.4e-4
-  on [0,1] data — far below every detection threshold
-  (ref pipeline/metrics.py:25-34); tolerances are asserted in
-  tests/test_spatial.py.
+* **Order statistics** (percentiles, the wavelet-MAD median) are EXACT
+  without a global sort: the bitwise binary search of
+  ``mdx.ops.quantile`` distributes as local count-below sums combined
+  with ``lax.psum`` — 16 sweeps, each ending in one tiny [N,R,3]
+  collective.  Results are bit-identical to gathering every shard and
+  sorting (parity asserted in tests/test_spatial.py).
 
 The metric *formulas* mirror ref pipeline/metrics.py:42-217 exactly;
 see mdx/core/metrics.py for the per-formula citations.
@@ -38,10 +36,10 @@ from jax import shard_map
 
 from mdx.ops.filters import _LAPLACE, _SOBEL_H
 from mdx.ops.hist import entropy_from_hist as _entropy_from_hist
+from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
 _AXIS = "space"
-_QBINS = 4096
 # Widest one-shard stencil halo: the unsharp Gaussian's fixed support
 # (radius 12, mdx/ops/filters.py _GAUSS_MAX_RADIUS); box16 needs 8,
 # bilateral ≤4, the db2 DWT 3.  Row blocks must cover it.
@@ -167,24 +165,6 @@ def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray,
     return lax.psum(counts, _AXIS)
 
 
-def _quantile_from_hist(hist: jnp.ndarray, hi: jnp.ndarray,
-                        q: float) -> jnp.ndarray:
-    """Invert a [N, bins] histogram CDF at quantile q with within-bin linear
-    interpolation → [N] value estimates."""
-    n, bins = hist.shape
-    cdf = jnp.cumsum(hist, axis=-1)
-    total = cdf[:, -1:]
-    target = q / 100.0 * total[:, 0]
-    pos = jnp.sum((cdf < target[:, None]).astype(jnp.int32), axis=-1)
-    pos = jnp.clip(pos, 0, bins - 1)
-    c_hi = jnp.take_along_axis(cdf, pos[:, None], axis=-1)[:, 0]
-    h = jnp.take_along_axis(hist, pos[:, None], axis=-1)[:, 0]
-    c_lo = c_hi - h
-    frac = jnp.where(h > 0, (target - c_lo) / jnp.maximum(h, 1.0), 0.5)
-    width = hi / bins
-    return (pos.astype(hist.dtype) + jnp.clip(frac, 0.0, 1.0)) * width
-
-
 # ---------------------------------------------------------------------------
 # Distributed wavelet-MAD sigma
 # ---------------------------------------------------------------------------
@@ -244,16 +224,14 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
 def estimate_sigma_spatial(x: jnp.ndarray) -> jnp.ndarray:
     """Distributed wavelet-MAD noise sigma over row blocks → [N].
 
-    The median of |HH| is estimated with the shared histogram-CDF method
-    (exact in the single-shard case up to bin width hi/4096).
-    """
+    The median of |HH| is EXACT: a psum-distributed bitwise order-statistic
+    search over the validity-weighted subband (the trailing duplicate row
+    on interior shards carries weight 0)."""
     hh, valid = _hh_subband_halo(x, "db2")
-    hh = jnp.abs(hh)
-    n = hh.shape[0]
-    masked = jnp.where(valid > 0, hh, 0.0)
-    hi = lax.pmax(jnp.max(masked.reshape(n, -1), axis=-1), _AXIS) + 1e-12
-    hist = _phist(hh, _QBINS, hi, weights=valid)
-    med = _quantile_from_hist(hist, hi, 50.0)
+    k = lax.axis_size(_AXIS)
+    _, hs2, wout = hh.shape
+    total = ((hs2 - 1) * k + 1) * wout  # valid rows: hs/2 per shard + 1 tail
+    med = _pq_sharded(jnp.abs(hh), [50.0], _AXIS, total, weights=valid)[0]
     return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
 
 
@@ -284,12 +262,12 @@ def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     pct_low = _pmean_img((x <= 0.01).astype(x.dtype))
     pct_high = _pmean_img((x >= 0.99).astype(x.dtype))
 
+    k = lax.axis_size(_AXIS)
+    _, hs, w = x.shape
+    total = hs * k * w
+    p05, p25, p75, p95 = _pq_sharded(
+        x, [5.0, 25.0, 75.0, 95.0], _AXIS, total)
     one = jnp.ones((n,), x.dtype)
-    vhist = _phist(x, _QBINS, one)
-    p05 = _quantile_from_hist(vhist, one, 5.0)
-    p25 = _quantile_from_hist(vhist, one, 25.0)
-    p75 = _quantile_from_hist(vhist, one, 75.0)
-    p95 = _quantile_from_hist(vhist, one, 95.0)
     entropy = _entropy_from_hist(_phist(x, 256, one))
 
     gmax = lax.pmax(jnp.max(flat(grad), axis=-1), _AXIS)
@@ -306,8 +284,7 @@ def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     _, lv7_var = _pvar_img(lv7)
     local_contrast_std = jnp.sqrt(lv7_var)
 
-    ghist = _phist(grad, _QBINS, gmax + 1e-12)
-    g90 = _quantile_from_hist(ghist, gmax + 1e-12, 90.0)
+    g90 = _pq_sharded(grad, [90.0], _AXIS, total)[0]
     strong = (grad >= g90[:, None, None]).astype(x.dtype)
     cnt = lax.psum(jnp.sum(flat(strong), axis=-1), _AXIS)
     ssum = lax.psum(jnp.sum(flat(grad * strong), axis=-1), _AXIS)

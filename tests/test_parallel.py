@@ -79,26 +79,22 @@ class TestSpatialSharding:
     def test_metric_parity(self, mesh24, noisy_image, clean_image):
         """Row-block-sharded metric pass vs the unsharded fused pass.
 
-        Moment/stencil metrics are exact; order statistics (sigma, cnr,
-        snr, histogram_spread, gradient_strength) use the distributed
-        histogram-CDF estimator with documented tolerance."""
+        Moment/stencil metrics reduce via psum; order statistics (sigma,
+        cnr, snr, histogram_spread, gradient_strength) use the EXACT
+        psum-distributed bitwise order-statistic search — everything holds
+        the same tight tolerance now (residual is conv summation order)."""
         x = _stack(noisy_image, clean_image)
         got = spatial.image_stats_spatial(x, mesh24)
         ref = M.image_stats(x)
 
-        exact = ("lap_var", "std", "pct_low", "pct_high", "entropy",
-                 "edge_density", "gradient_mag_mean", "gradient_mag_std",
-                 "laplacian_energy", "local_contrast_std",
-                 "gradient_entropy", "niqe", "edge_ratio")
-        for k in exact:
+        for k in ("lap_var", "std", "pct_low", "pct_high", "entropy",
+                  "edge_density", "gradient_mag_mean", "gradient_mag_std",
+                  "laplacian_energy", "local_contrast_std",
+                  "gradient_entropy", "niqe", "edge_ratio", "sigma",
+                  "snr_proxy", "cnr_proxy", "histogram_spread",
+                  "gradient_strength"):
             np.testing.assert_allclose(
                 np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-4,
-                err_msg=k)
-        approx = ("sigma", "snr_proxy", "cnr_proxy", "histogram_spread",
-                  "gradient_strength")
-        for k in approx:
-            np.testing.assert_allclose(
-                np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-2,
                 err_msg=k)
 
     def test_detection_agrees(self, mesh24, noisy_image, low_contrast_image):

@@ -85,6 +85,44 @@ def test_rank_bounds_validated():
         order_statistics(x, [9])
 
 
+def test_sharded_bit_exact_vs_gathered_sort():
+    """psum-distributed search == sorting the gathered array, bit for bit,
+    with and without a validity mask."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from mdx.ops.quantile import percentiles_exact_sharded
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("space",))
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, (3, 64, 40)).astype(np.float32)   # [N, H, W]
+    w = (rng.uniform(0, 1, (3, 64, 40)) > 0.25).astype(np.float32)
+    qs = [5.0, 50.0, 90.0, 95.0]
+
+    def body(xl):
+        return percentiles_exact_sharded(xl, qs, "space", 64 * 40)
+
+    got = jax.jit(shard_map(body, mesh=mesh, in_specs=P(None, "space", None),
+                            out_specs=P()))(x)
+    want = np.percentile(x.reshape(3, -1).astype(np.float64), qs, axis=-1)
+    assert np.allclose(np.asarray(got), want, rtol=1e-6)
+
+    total_w = int(w.sum(axis=(1, 2))[0])  # make mask count uniform per image
+    w[:] = w[:1]
+    def body_w(xl, wl):
+        return percentiles_exact_sharded(xl, qs, "space", total_w, weights=wl)
+
+    got_w = jax.jit(shard_map(
+        body_w, mesh=mesh, in_specs=(P(None, "space", None),) * 2,
+        out_specs=P()))(x, w)
+    flat = x.reshape(3, -1)
+    want_w = np.stack([
+        np.percentile(flat[i][w.reshape(3, -1)[i] > 0].astype(np.float64),
+                      qs) for i in range(3)], -1)
+    assert np.allclose(np.asarray(got_w), want_w, rtol=1e-6)
+
+
 def test_jit_and_grad_safe_under_vmapped_batch():
     """Static qs + fori_loop body must trace once and run under jit."""
     import jax
