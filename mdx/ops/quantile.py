@@ -4,21 +4,26 @@
 QA pass's three exact sorts (value percentiles, gradient p90, wavelet-MAD
 median) measured ~40% of total batch-128 time (docs/PERF.md).  This module
 finds the exact k-th smallest element by **bitwise binary search over the
-IEEE-754 bit pattern**: 16 radix-4 sweeps, each one fused
-broadcast-compare-reduce stream of the data (pure HBM bandwidth, a handful
-of VPU compare/accumulate ops per element) — no sort network, no
-scatter/gather, no data-dependent shapes.
+IEEE-754 bit pattern**: 32 radix-2 sweeps, each one fused
+broadcast-compare-reduce stream of the data with ONE compare+accumulate
+per element per rank — no sort network, no scatter/gather, no
+data-dependent shapes.  The cost is VPU-compare-bound, so the design
+minimises total compares: radix-2 beats radix-4 (32·R vs 48·R compares),
+and percentile interpolation searches only the LOWER rank of each
+(k, k+1) pair — the successor order statistic comes from one extra fused
+pass (count(u<=a) + min(u>a), tie-aware) instead of a second search.
 
 Why it is exact: the map ``f32 -> u32`` below is an order-preserving
 bijection on all non-NaN floats, so counting ``mapped < candidate`` is
 equivalent to counting ``value < candidate_value``; the greedy bit
 construction returns the largest 32-bit integer ``v`` with
 ``count(u < v) < rank``, which IS the bit pattern of the rank-th smallest
-element (count(u < v) <= rank-1 and count(u <= v) >= rank).  Percentiles
-then interpolate between two exact order statistics with NumPy's
-``linear`` rule — same contract as the sort-based path it replaces
-(reference formulas: pipeline/metrics.py:42-109 uses np.percentile;
-skimage's wavelet-MAD sigma uses the median).
+element (count(u < v) <= rank-1 and count(u <= v) >= rank).  The
+(rank+1)-th equals the rank-th under ties (count(u <= a) >= rank+1),
+otherwise the smallest element strictly above it.  Percentiles then
+interpolate with NumPy's ``linear`` rule — same contract as the
+sort-based path it replaces (reference formulas: pipeline/metrics.py:42-109
+uses np.percentile; skimage's wavelet-MAD sigma uses the median).
 
 Precondition: inputs must be NaN-free (everything in the mdx hot path is).
 """
@@ -29,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 _SIGN = jnp.uint32(0x80000000)
+_UMAX = jnp.uint32(0xFFFFFFFF)
 
 
 def _to_ordered_u32(x: jnp.ndarray) -> jnp.ndarray:
@@ -49,28 +55,20 @@ def _from_ordered_u32(u: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bitsearch(u: jnp.ndarray, ranks: tuple, count_below) -> jnp.ndarray:
-    """Shared radix-4 search: 16 sweeps; sweep ``s`` decides bit pair
-    (31-2s, 30-2s) by counting elements below the three candidate prefixes
-    in ONE fused pass.  ``count_below(cand[N,R,3]) -> int32 [N,R,3]`` is the
-    reduction — local for the single-device path, local+``psum`` for the
-    sharded path.  Counts accumulate in int32 (M < 2^31)."""
+    """Shared radix-2 search: 32 sweeps; sweep ``s`` decides bit (31-s) by
+    counting elements below one candidate prefix per rank.
+    ``count_below(cand[N,R]) -> int32 [N,R]`` is the reduction — local for
+    the single-device path, local+``psum`` for the sharded path.  Counts
+    accumulate in int32 (M < 2^31)."""
     n = u.shape[0]
     r = jnp.asarray(ranks, jnp.int32)[None, :]          # [1, R]
     ans = jnp.zeros((n, len(ranks)), jnp.uint32)
 
     def sweep(i, ans):
-        b_hi = jnp.uint32(1) << (jnp.uint32(31) - 2 * jnp.uint32(i))
-        b_lo = b_hi >> 1
-        # candidates for this bit pair: hi, lo, hi|lo  → [N, R, 3]
-        cand = jnp.stack([ans | b_hi, ans | b_lo, ans | b_hi | b_lo], -1)
-        ok = count_below(cand) < r[..., None]            # predicate per cand
-        # greedy: decide hi bit first, then lo bit given hi
-        return jnp.where(
-            ok[..., 0],
-            jnp.where(ok[..., 2], cand[..., 2], cand[..., 0]),
-            jnp.where(ok[..., 1], cand[..., 1], ans))
+        cand = ans | (jnp.uint32(1) << (jnp.uint32(31) - jnp.uint32(i)))
+        return jnp.where(count_below(cand) < r, cand, ans)
 
-    return lax.fori_loop(0, 16, sweep, ans)
+    return lax.fori_loop(0, 32, sweep, ans)
 
 
 def order_statistics(v: jnp.ndarray, ranks) -> jnp.ndarray:
@@ -85,41 +83,63 @@ def order_statistics(v: jnp.ndarray, ranks) -> jnp.ndarray:
     u = _to_ordered_u32(v)
 
     def count_below(cand):
-        return jnp.sum(
-            (u[:, None, None, :] < cand[..., None]).astype(jnp.int32),
-            axis=-1)
+        return jnp.sum((u[:, None, :] < cand[:, :, None]).astype(jnp.int32),
+                       axis=-1)
 
     return _from_ordered_u32(_bitsearch(u, ranks, count_below))
+
+
+def _plan(qs, m: int):
+    """Static interpolation plan for NumPy's 'linear' rule over m elements:
+    deduped 1-indexed LOWER ranks + per-q (rank_idx, frac).  The upper
+    order statistic of each pair is recovered by the successor pass."""
+    need: dict[int, int] = {}
+    plan = []
+    for q in qs:
+        pos = float(q) / 100.0 * (m - 1)
+        k = min(int(pos), m - 1)
+        frac = pos - k
+        lo = k + 1
+        if lo not in need:
+            need[lo] = len(need)
+        plan.append((need[lo], frac))
+    return tuple(need), plan
+
+
+def _interpolate(os_: jnp.ndarray, succ: jnp.ndarray, plan) -> jnp.ndarray:
+    out = [os_[:, i] * (1.0 - f) + succ[:, i] * f if f else os_[:, i]
+           for i, f in plan]
+    return jnp.stack(out, 0)
 
 
 def percentiles_exact(x: jnp.ndarray, qs) -> jnp.ndarray:
     """Per-image percentiles (NumPy 'linear' rule) of [N, ...] → [len(qs), N].
 
-    Exact: interpolates between true order statistics found by
-    :func:`order_statistics`.  ``qs`` must be static (they are compile-time
+    Exact: interpolates between true order statistics (searched lower rank
+    + tie-aware successor).  ``qs`` must be static (they are compile-time
     constants everywhere in mdx).  Drop-in for the sort-based
     ``jnp.percentile(flat, qs, axis=-1)``.
     """
     n = x.shape[0]
     flat = x.reshape(n, -1)
-    m = flat.shape[1]
-    qs = [float(q) for q in qs]
-    # ranks (1-indexed) needed for every q, deduped, stable order
-    need: dict[int, int] = {}
-    plan = []  # (rank_lo_idx, rank_hi_idx, frac)
-    for q in qs:
-        pos = q / 100.0 * (m - 1)
-        k = min(int(pos), m - 1)
-        frac = pos - k
-        lo, hi = k + 1, min(k + 2, m)
-        for rk in (lo, hi):
-            if rk not in need:
-                need[rk] = len(need)
-        plan.append((need[lo], need[hi], frac))
-    os_ = order_statistics(flat, tuple(need))            # [N, R]
-    out = [os_[:, lo] * (1.0 - f) + os_[:, hi] * f if f else os_[:, lo]
-           for lo, hi, f in plan]
-    return jnp.stack(out, 0)
+    u = _to_ordered_u32(flat)
+    ranks, plan = _plan(qs, flat.shape[1])
+    r = jnp.asarray(ranks, jnp.int32)[None, :]
+
+    def count_below(cand):
+        return jnp.sum((u[:, None, :] < cand[:, :, None]).astype(jnp.int32),
+                       axis=-1)
+
+    a = _bitsearch(u, ranks, count_below)                # [N, R] mapped
+    if any(f for _, f in plan):
+        # successor pass: (rank+1)-th = a under ties, else min(u > a).
+        le = u[:, None, :] <= a[:, :, None]
+        cnt_le = jnp.sum(le.astype(jnp.int32), axis=-1)
+        min_above = jnp.min(jnp.where(le, _UMAX, u[:, None, :]), axis=-1)
+        succ = _from_ordered_u32(jnp.where(cnt_le >= r + 1, a, min_above))
+    else:
+        succ = jnp.zeros_like(a, jnp.float32)
+    return _interpolate(_from_ordered_u32(a), succ, plan)
 
 
 def median_rows(flat: jnp.ndarray) -> jnp.ndarray:
@@ -132,23 +152,6 @@ def median_rows(flat: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _plan(qs, m: int):
-    """Static interpolation plan for NumPy's 'linear' rule over m elements:
-    deduped 1-indexed ranks + per-q (lo_idx, hi_idx, frac)."""
-    need: dict[int, int] = {}
-    plan = []
-    for q in qs:
-        pos = float(q) / 100.0 * (m - 1)
-        k = min(int(pos), m - 1)
-        frac = pos - k
-        lo, hi = k + 1, min(k + 2, m)
-        for rk in (lo, hi):
-            if rk not in need:
-                need[rk] = len(need)
-        plan.append((need[lo], need[hi], frac))
-    return tuple(need), plan
-
-
 def percentiles_exact_sharded(v: jnp.ndarray, qs, axis_name: str,
                               total: int,
                               weights: jnp.ndarray | None = None
@@ -156,10 +159,11 @@ def percentiles_exact_sharded(v: jnp.ndarray, qs, axis_name: str,
     """Exact global per-image percentiles of sharded data, under shard_map.
 
     The count-below reduction is a local sum + ``lax.psum`` over
-    ``axis_name`` — the global result is bit-identical to gathering every
-    shard and sorting, with only 16 tiny [N,R,3] collectives total.  This
-    replaces the histogram-CDF *estimator* the spatial path used before
-    (error ≤ range/4096): distributed order statistics are now exact.
+    ``axis_name``; the successor pass adds one psum + one ``pmin`` — the
+    global result is bit-identical to gathering every shard and sorting,
+    with 33 tiny [N,R] collectives total.  This replaces the histogram-CDF
+    *estimator* the spatial path used before (error ≤ range/4096):
+    distributed order statistics are exact.
 
     ``v``: local shard, any shape with leading N.  ``total``: static global
     element count (validity-weighted if ``weights`` given).  ``weights``:
@@ -170,17 +174,29 @@ def percentiles_exact_sharded(v: jnp.ndarray, qs, axis_name: str,
     flat = v.reshape(n, -1)
     u = _to_ordered_u32(flat)
     if weights is not None:
-        w = jnp.broadcast_to(weights, v.shape).reshape(n, -1)
-        w = (w > 0).astype(jnp.int32)
+        w = (jnp.broadcast_to(weights, v.shape).reshape(n, -1) > 0)
+        wi = w.astype(jnp.int32)
     ranks, plan = _plan(qs, int(total))
+    r = jnp.asarray(ranks, jnp.int32)[None, :]
 
     def count_below(cand):
-        below = (u[:, None, None, :] < cand[..., None]).astype(jnp.int32)
+        below = (u[:, None, :] < cand[:, :, None]).astype(jnp.int32)
         if weights is not None:
-            below = below * w[:, None, None, :]
+            below = below * wi[:, None, :]
         return lax.psum(jnp.sum(below, axis=-1), axis_name)
 
-    os_ = _from_ordered_u32(_bitsearch(u, ranks, count_below))
-    out = [os_[:, lo] * (1.0 - f) + os_[:, hi] * f if f else os_[:, lo]
-           for lo, hi, f in plan]
-    return jnp.stack(out, 0)
+    a = _bitsearch(u, ranks, count_below)                # [N, R] mapped
+    if any(f for _, f in plan):
+        le = u[:, None, :] <= a[:, :, None]
+        cnt = le.astype(jnp.int32)
+        excl = ~le  # elements strictly above a (candidates for successor)
+        if weights is not None:
+            cnt = cnt * wi[:, None, :]
+            excl = excl & w[:, None, :]
+        cnt_le = lax.psum(jnp.sum(cnt, axis=-1), axis_name)
+        local_min = jnp.min(jnp.where(excl, u[:, None, :], _UMAX), axis=-1)
+        min_above = lax.pmin(local_min, axis_name)
+        succ = _from_ordered_u32(jnp.where(cnt_le >= r + 1, a, min_above))
+    else:
+        succ = jnp.zeros_like(a, jnp.float32)
+    return _interpolate(_from_ordered_u32(a), succ, plan)
