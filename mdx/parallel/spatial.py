@@ -83,8 +83,9 @@ def _halo_rows(x: jnp.ndarray, up: int, down: int,
 
 def _conv2_halo(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
     """2-D stencil on row blocks: halo-pad H over the mesh, symmetric-pad W
-    locally.  True convolution (kernel flipped), matching
-    mdx.ops.filters._conv2."""
+    locally.  True convolution (kernel flipped); same operator the
+    single-chip path now expresses as shift-MAC slices (parity asserted in
+    tests/test_parallel.py within conv-vs-slice reassociation tolerance)."""
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
     xp = _halo_rows(x, ph, ph)
