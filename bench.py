@@ -128,7 +128,7 @@ def _measure_baseline(img: np.ndarray) -> float:
 
 
 def main() -> None:
-    batch_n = int(os.environ.get("MDX_BENCH_BATCH", "128"))
+    batch_n = int(os.environ.get("MDX_BENCH_BATCH", "32"))
     reps = int(os.environ.get("MDX_BENCH_REPS", "10"))
 
     batch = _make_batch(batch_n)

@@ -54,25 +54,32 @@ def _analysis_last(x: jnp.ndarray, wavelet: str):
 
 
 def _synthesis_last(a: jnp.ndarray, d: jnp.ndarray, wavelet: str, n_out: int):
-    """Inverse of :func:`_analysis_last`, cropped to n_out samples."""
-    lo, hi = _filters(wavelet, a.dtype)
-    L = lo.shape[0]
-    m = a.shape[-1]
-    up = jnp.zeros(a.shape[:-1] + (2 * m,), a.dtype)
-    ua = up.at[..., ::2].set(a)
-    ud = up.at[..., ::2].set(d)
-    flat = jnp.stack([ua, ud], axis=-2).reshape((-1, 2, 2 * m))
-    flat = jnp.pad(flat, ((0, 0), (0, 0), (L - 1, L - 1)))
-    # sum of full convs with reconstruction filters (= reversed dec filters);
-    # XLA conv is correlation, so pass the un-reversed decomposition filters.
-    k = jnp.stack([lo, hi])[None, :, :]  # [1,2,L] → single output channel
-    out = lax.conv_general_dilated(
-        flat, k, window_strides=(1,), padding="VALID",
-        dimension_numbers=lax.conv_dimension_numbers(
-            flat.shape, k.shape, ("NCH", "OIH", "NCH")), precision=lax.Precision.HIGHEST)[:, 0]
-    start = L - 2
-    out = out[..., start:start + n_out]
-    return out.reshape(a.shape[:-1] + (n_out,))
+    """Inverse of :func:`_analysis_last`, cropped to n_out samples.
+
+    Polyphase shift-MAC: writing the upsample-then-convolve form out by
+    output parity (out[2q] = Σ_p lo[2p+1]·a[q+p] + hi[2p+1]·d[q+p];
+    out[2q+1] = Σ_p lo[2p]·a[q+p] + hi[2p]·d[q+p]) removes both the
+    strided-scatter upsample and the conv — L/2 shared slices per parity,
+    interleaved at the end.  Bit-exact vs the conv form for db1/db2 at
+    every length (even/odd) — same taps, same add order per output."""
+    lo, hi = qmf_pair(wavelet)
+    half = len(lo) // 2
+    n_even = (n_out + 1) // 2
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, half)]
+    ap = jnp.pad(a, pad)
+    dp = jnp.pad(d, pad)
+    even = odd = None
+    for p in range(half):
+        sa = ap[..., p:p + n_even]
+        sd = dp[..., p:p + n_even]
+        te = (jnp.asarray(lo[2 * p + 1], a.dtype) * sa
+              + jnp.asarray(hi[2 * p + 1], a.dtype) * sd)
+        to = (jnp.asarray(lo[2 * p], a.dtype) * sa
+              + jnp.asarray(hi[2 * p], a.dtype) * sd)
+        even = te if even is None else even + te
+        odd = to if odd is None else odd + to
+    inter = jnp.stack([even, odd], axis=-1)
+    return inter.reshape(a.shape[:-1] + (2 * n_even,))[..., :n_out]
 
 
 def _swap_hw(x):
