@@ -14,7 +14,7 @@ NumPy float64 implementation of the same formulas (golden-tested against
 the JAX path in tests/test_ops_golden.py) — timed here on one 512² image,
 single-threaded, as images/sec.  ``vs_baseline`` = TPU throughput / that.
 
-Env knobs: MDX_BENCH_BATCH (default 128), MDX_BENCH_REPS (default 10),
+Env knobs: MDX_BENCH_BATCH (default 32), MDX_BENCH_REPS (default 10),
 MDX_BENCH_SKIP_BASELINE=1 reuses the last recorded baseline value.
 """
 

@@ -10,6 +10,9 @@ import argparse
 import logging
 import os
 
+# Load .env before anything reads the environment (ref main.py:7-11 calls
+# load_dotenv() first); importing mdx.serve.config runs its built-in loader.
+import mdx.serve.config  # noqa: F401
 
 logger = logging.getLogger("mdx")
 

@@ -54,7 +54,9 @@ def sanitise_metadata(metadata: dict[str, Any]) -> dict[str, str]:
     """Whitelist + control-char strip + 100-char cap
     (ref genai_agents.py:81-92)."""
     if os.environ.get("MDX_NO_REDACT"):
-        return {k: str(v)[:100] for k, v in metadata.items()}
+        # Bypass skips the whitelist only; control chars are stripped
+        # unconditionally (they can break the prompt / smuggle directives).
+        return {k: _CTRL.sub("", str(v))[:100] for k, v in metadata.items()}
     out = {}
     for key in _META_WHITELIST:
         val = metadata.get(key)

@@ -335,8 +335,10 @@ def image_stats_spatial(x: jnp.ndarray, mesh: Mesh) -> dict[str, jnp.ndarray]:
     if h // k < _MIN_ROWS_PER_SHARD:
         raise ValueError(
             f"H={h} over {k} shards gives {h // k} rows/shard — the widest "
-            f"stencil halo needs {_MIN_ROWS_PER_SHARD}; use fewer spatial "
-            f"shards or the batch-sharded path")
+            f"stencil halo needs {_MIN_ROWS_PER_SHARD} (single-hop halos; "
+            f"max usable space axis for H={h} is "
+            f"{h // _MIN_ROWS_PER_SHARD}); use fewer spatial shards or the "
+            f"batch-sharded path")
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     return _stats_program(mesh)(x)
 
@@ -459,7 +461,9 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
     if x.shape[1] % k or x.shape[1] // k < _MIN_ROWS_PER_SHARD:
         raise ValueError(
             f"H={x.shape[1]} over {k} shards: need ≥{_MIN_ROWS_PER_SHARD} "
-            f"rows per shard for the stencil halos")
+            f"rows per shard for the single-hop stencil halos (max usable "
+            f"space axis for H={x.shape[1]} is "
+            f"{x.shape[1] // _MIN_ROWS_PER_SHARD})")
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     return _enhance_program(mesh, int(bilateral_d))(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
@@ -599,8 +603,10 @@ def qa_spatial(
     if h // k < _MIN_ROWS_PER_SHARD:
         raise ValueError(
             f"H={h} over {k} shards gives {h // k} rows/shard — the widest "
-            f"stencil halo needs {_MIN_ROWS_PER_SHARD}; use fewer spatial "
-            f"shards or the batch-sharded path")
+            f"stencil halo needs {_MIN_ROWS_PER_SHARD} (single-hop halos; "
+            f"max usable space axis for H={h} is "
+            f"{h // _MIN_ROWS_PER_SHARD}); use fewer spatial shards or the "
+            f"batch-sharded path")
 
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     before, after, enhanced, s, p, qi, passes = _qa_program(

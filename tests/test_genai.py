@@ -143,6 +143,15 @@ class TestSanitise:
         out = sanitise_metadata({"Modality": "C\x00T\x1f"})
         assert out["Modality"] == "CT"
 
+    def test_no_redact_bypass_still_strips_control_chars(self, monkeypatch):
+        monkeypatch.setenv("MDX_NO_REDACT", "1")
+        out = sanitise_metadata(
+            {"PatientName": "Jo\x00hn\x1b", "Modality": "C\x01T"})
+        # whitelist is bypassed ...
+        assert out["PatientName"] == "John"
+        # ... but the control-char strip is unconditional
+        assert out["Modality"] == "CT"
+
 
 class TestOrchestration:
     def _run(self, image, transport, **kw):

@@ -127,6 +127,25 @@ class TestCLI:
                        "--no-show"])
         assert rc == 1
 
+    def test_cli_loads_dotenv(self, tmp_path):
+        # Ref main.py:7-11 loads .env before anything; mdx does it on
+        # `import main` (via mdx.serve.config).  Import-time effect, so
+        # exercise it in a subprocess with the .env in its cwd.
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        (tmp_path / ".env").write_text("MDX_TEST_DOTENV=from-dotenv\n")
+        env = {**os.environ, "PYTHONPATH": repo}
+        env.pop("MDX_TEST_DOTENV", None)
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import main, os; print(os.environ.get('MDX_TEST_DOTENV'))"],
+            cwd=tmp_path, env=env, capture_output=True, text=True,
+            timeout=120)
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "from-dotenv"
+
 
 class TestBatchRunner:
     def test_multiframe_batch(self, tmp_path):
