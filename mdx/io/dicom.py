@@ -1,13 +1,17 @@
 """From-scratch DICOM reader (no pydicom dependency).
 
-Supports the uncompressed transfer syntaxes that cover CT/CXR/MR/US exports:
+Supports the transfer syntaxes that cover CT/CXR/MR/US exports:
 
 * Implicit VR Little Endian        1.2.840.10008.1.2
 * Explicit VR Little Endian        1.2.840.10008.1.2.1
+* Deflated Explicit VR LE          1.2.840.10008.1.2.1.99  (zlib raw inflate)
 * Explicit VR Big Endian (retired) 1.2.840.10008.1.2.2
+* RLE Lossless                     1.2.840.10008.1.2.5     (mdx.io.rle)
 
 plus headerless "raw" datasets (no preamble, implicit VR) that some tools
-emit.  Encapsulated (compressed) pixel data raises :class:`DicomError`.
+emit.  The reference decodes the two compressed syntaxes via plain pydicom
+(reference pipeline/dicom_io.py:29-45); mdx implements them directly.
+Other encapsulated syntaxes (JPEG family) raise :class:`DicomError`.
 
 Behavioural contract mirrored from the reference (pipeline/dicom_io.py:29-57):
 modality rescale (slope/intercept), MONOCHROME1 inversion, grayscale /
@@ -39,8 +43,11 @@ class DicomError(ValueError):
 # Transfer syntaxes
 TS_IMPLICIT_LE = "1.2.840.10008.1.2"
 TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+TS_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
 TS_EXPLICIT_BE = "1.2.840.10008.1.2.2"
-_SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_EXPLICIT_BE}
+TS_RLE = "1.2.840.10008.1.2.5"
+_SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
+                 TS_EXPLICIT_BE, TS_RLE}
 
 # VRs with the 2-byte-VR + 2-reserved + 4-byte-length layout
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -72,10 +79,15 @@ _UNDEFINED = 0xFFFFFFFF
 
 @dataclass
 class DicomDataset:
-    """Minimal decoded dataset: typed attributes + raw pixel bytes."""
+    """Minimal decoded dataset: typed attributes + raw pixel bytes.
+
+    For encapsulated (RLE) pixel data, ``fragments`` holds one compressed
+    fragment per frame instead of ``pixel_bytes``.
+    """
     attrs: Dict[str, object] = field(default_factory=dict)
     pixel_bytes: bytes = b""
     transfer_syntax: str = TS_EXPLICIT_LE
+    fragments: Optional[list] = None
 
     def get(self, name, default=None):
         return self.attrs.get(name, default)
@@ -181,32 +193,83 @@ def read_dataset(path: str) -> DicomDataset:
             ts = TS_IMPLICIT_LE
         if ts not in _SUPPORTED_TS:
             raise DicomError(f"Unsupported transfer syntax {ts!r} "
-                             "(encapsulated/compressed pixel data).")
+                             "(JPEG-family encapsulated pixel data).")
+        if ts == TS_DEFLATED_LE:
+            # PS3.5 A.5: everything after the (uncompressed) file meta is
+            # one raw-deflate stream of an Explicit VR LE dataset.
+            import io
+            import zlib
+
+            try:
+                inflated = zlib.decompressobj(-15).decompress(f.read())
+            except zlib.error as exc:
+                raise DicomError(
+                    f"Corrupt deflated DICOM stream: {exc}") from exc
+            body: BinaryIO = io.BytesIO(inflated)
+        else:
+            body = f
+
         explicit = ts != TS_IMPLICIT_LE
         big_endian = ts == TS_EXPLICIT_BE
-
         ds = DicomDataset(transfer_syntax=ts)
-        for tag, vr, length in _iter_elements(f, explicit, big_endian):
-            if tag == _PIXEL_DATA:
-                if length == _UNDEFINED:
-                    raise DicomError("Encapsulated PixelData is not supported.")
-                ds.pixel_bytes = _read_exact(f, length)
-                continue
-            if length == _UNDEFINED or vr == b"SQ":
-                if length == _UNDEFINED:
-                    _skip_sequence(f, explicit, big_endian)
-                else:
-                    f.seek(length, os.SEEK_CUR)
-                continue
-            name = TAGS.get(tag)
-            if name is None:
-                f.seek(length, os.SEEK_CUR)
-                continue
-            raw = _read_exact(f, length)
-            val = _decode_value(name, vr, raw, big_endian)
-            if val is not None:
-                ds.attrs[name] = val
+        _parse_body(body, ds, explicit, big_endian,
+                    encapsulated=(ts == TS_RLE))
         return ds
+
+
+def _parse_body(f: BinaryIO, ds: DicomDataset, explicit: bool,
+                big_endian: bool, encapsulated: bool) -> None:
+    """Populate ``ds`` from the main dataset stream."""
+    for tag, vr, length in _iter_elements(f, explicit, big_endian):
+        if tag == _PIXEL_DATA:
+            if length == _UNDEFINED:
+                if not encapsulated:
+                    raise DicomError(
+                        "Encapsulated PixelData in a native transfer "
+                        "syntax.")
+                ds.fragments = _read_encapsulated(f)
+                continue
+            if encapsulated:
+                raise DicomError(
+                    "RLE transfer syntax requires encapsulated "
+                    "(undefined-length) PixelData.")
+            ds.pixel_bytes = _read_exact(f, length)
+            continue
+        if length == _UNDEFINED or vr == b"SQ":
+            if length == _UNDEFINED:
+                _skip_sequence(f, explicit, big_endian)
+            else:
+                f.seek(length, os.SEEK_CUR)
+            continue
+        name = TAGS.get(tag)
+        if name is None:
+            f.seek(length, os.SEEK_CUR)
+            continue
+        raw = _read_exact(f, length)
+        val = _decode_value(name, vr, raw, big_endian)
+        if val is not None:
+            ds.attrs[name] = val
+
+
+def _read_encapsulated(f: BinaryIO) -> list:
+    """Read encapsulated PixelData items → per-frame fragment list.
+
+    Layout (PS3.5 A.4): Basic Offset Table item first (possibly empty),
+    then one item per fragment, terminated by a sequence delimiter.  For
+    RLE every frame is exactly one fragment (PS3.5 G.3).
+    """
+    fragments = []
+    while True:
+        group, elem, length = struct.unpack("<HHI", _read_exact(f, 8))
+        tag = (group, elem)
+        if tag == _SEQ_DELIM:
+            break
+        if tag != _ITEM or length == _UNDEFINED:
+            raise DicomError("Malformed encapsulated PixelData items.")
+        fragments.append(_read_exact(f, length) if length else b"")
+    if len(fragments) < 2:  # first item is the (possibly empty) offset table
+        raise DicomError("Encapsulated PixelData has no frame fragments.")
+    return fragments[1:]  # drop the Basic Offset Table
 
 
 def _read_file_meta(f: BinaryIO) -> str:
@@ -234,8 +297,9 @@ def _read_file_meta(f: BinaryIO) -> str:
 
 
 def decode_pixels(ds: DicomDataset) -> np.ndarray:
-    """Raw pixel bytes → numpy array in stored shape/dtype."""
-    if not ds.pixel_bytes:
+    """Raw or RLE-encapsulated pixel bytes → numpy array in stored
+    shape/dtype."""
+    if not ds.pixel_bytes and ds.fragments is None:
         raise DicomError("DICOM file does not contain pixel data.")
     rows = ds.get("Rows")
     cols = ds.get("Columns")
@@ -259,7 +323,21 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
         dtype = dtype.newbyteorder(">")
 
     expect = rows * cols * samples * frames
-    arr = np.frombuffer(ds.pixel_bytes, dtype=dtype, count=-1)
+    if ds.fragments is not None:
+        from mdx.io import rle
+
+        if len(ds.fragments) != frames:
+            raise DicomError(
+                f"RLE PixelData has {len(ds.fragments)} frame fragments, "
+                f"NumberOfFrames says {frames}.")
+        try:
+            decoded = [rle.decode_frame(frag, rows, cols, samples, bits // 8)
+                       for frag in ds.fragments]
+        except rle.RleError as exc:
+            raise DicomError(f"Corrupt RLE pixel data: {exc}") from exc
+        arr = np.concatenate(decoded).view(dtype)
+    else:
+        arr = np.frombuffer(ds.pixel_bytes, dtype=dtype, count=-1)
     if arr.size < expect:
         raise DicomError("Unable to decode DICOM pixel data (short buffer).")
     arr = arr[:expect]

@@ -1,17 +1,20 @@
-"""Minimal DICOM writer (Explicit VR Little Endian) for tests and demos.
+"""Minimal DICOM writer for tests and demos.
 
 Produces standard part-10 files (preamble + DICM + file meta) carrying
-uncompressed MONOCHROME1/2 pixel data, readable by :mod:`mdx.io.dicom` and
-by any standard DICOM toolkit.
+MONOCHROME1/2 pixel data, readable by :mod:`mdx.io.dicom` and by any
+standard DICOM toolkit.  Transfer syntaxes: Explicit VR Little Endian
+(default), RLE Lossless (encapsulated, ``mdx.io.rle``), and Deflated
+Explicit VR LE (zlib raw deflate of the post-meta stream, PS3.5 A.5).
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
-from mdx.io.dicom import TS_EXPLICIT_LE
+from mdx.io.dicom import TS_DEFLATED_LE, TS_EXPLICIT_LE, TS_RLE
 
 _SOP_CLASS_SC = "1.2.840.10008.5.1.4.1.1.7"  # Secondary Capture
 
@@ -46,8 +49,11 @@ def write_dicom(
     window_center: float | None = None,
     window_width: float | None = None,
     signed: bool = False,
+    transfer_syntax: str = TS_EXPLICIT_LE,
 ) -> str:
     """Write ``pixels`` (uint8/uint16/int16 2-D or [F,H,W] 3-D) to *path*."""
+    if transfer_syntax not in (TS_EXPLICIT_LE, TS_RLE, TS_DEFLATED_LE):
+        raise ValueError(f"unsupported transfer syntax {transfer_syntax!r}")
     pixels = np.ascontiguousarray(pixels)
     if pixels.dtype == np.uint8:
         bits = 8
@@ -91,23 +97,48 @@ def write_dicom(
         body += _el(0x0028, 0x1052, b"DS", _txt(f"{rescale_intercept:g}"))
     if rescale_slope is not None:
         body += _el(0x0028, 0x1053, b"DS", _txt(f"{rescale_slope:g}"))
-    pixel_bytes = pixels.astype(pixels.dtype.newbyteorder("<")).tobytes()
-    body += _el(0x7FE0, 0x0010, b"OW" if bits == 16 else b"OB", pixel_bytes)
+    if transfer_syntax == TS_RLE:
+        body += _encapsulated_rle(pixels.reshape(frames, rows, cols))
+    else:
+        pixel_bytes = pixels.astype(pixels.dtype.newbyteorder("<")).tobytes()
+        body += _el(0x7FE0, 0x0010, b"OW" if bits == 16 else b"OB",
+                    pixel_bytes)
 
     meta_elements = b"".join([
         _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
         _el(0x0002, 0x0002, b"UI", _txt(_SOP_CLASS_SC)),
         _el(0x0002, 0x0003, b"UI", _txt(sop_uid)),
-        _el(0x0002, 0x0010, b"UI", _txt(TS_EXPLICIT_LE)),
+        _el(0x0002, 0x0010, b"UI", _txt(transfer_syntax)),
         _el(0x0002, 0x0012, b"UI", _txt("1.2.826.0.1.3680043.9.9999")),
     ])
     meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_elements))) + meta_elements
+
+    if transfer_syntax == TS_DEFLATED_LE:
+        # PS3.5 A.5: the file meta stays uncompressed; the dataset is one
+        # raw-deflate stream.
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = co.compress(body) + co.flush()
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM")
         f.write(meta)
         f.write(body)
     return path
+
+
+def _encapsulated_rle(frames_arr: np.ndarray) -> bytes:
+    """[F, H, W] → encapsulated RLE PixelData element bytes."""
+    from mdx.io import rle
+
+    out = [struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF),
+           struct.pack("<HHI", 0xFFFE, 0xE000, 0)]  # empty offset table
+    for frame in frames_arr:
+        frag = rle.encode_frame(frame)
+        if len(frag) % 2:
+            frag += b"\x00"
+        out.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag)
+    out.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    return b"".join(out)
 
 
 def write_synthetic_dicom(path: str, kind: str = "noisy", size: int = 256,
