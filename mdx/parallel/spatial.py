@@ -150,20 +150,30 @@ def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray,
            weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Global per-image histogram over [0, hi_i] → [N, bins].
 
-    Local count via broadcast-compare-reduce (scatter-free, see
-    mdx.ops.hist._count_by_bin), then psum across shards.  Optional
-    ``weights`` (broadcastable to v) exclude padding samples (weight 0).
+    Same cumulative ``v < edge`` formulation as mdx.ops.hist (scatter-free,
+    2.3× faster than one-hot equality on TPU); the cumulative counts and
+    totals are psummed across shards BEFORE differencing, so the global
+    histogram is bit-identical to the single-chip path when ``hi`` matches.
+    Optional ``weights`` (broadcastable to v) exclude padding samples
+    (weight 0).
     """
+    from mdx.ops.hist import cum_lt_counts, hist_from_cum
+
     n = v.shape[0]
-    scale = bins / jnp.maximum(hi, 1e-30)[:, None]
-    idx = jnp.clip((v.reshape(n, -1) * scale).astype(jnp.int32), 0, bins - 1)
-    ids = jnp.arange(bins, dtype=jnp.int32)
-    onehot = (idx[:, :, None] == ids).astype(jnp.float32)
+    flat = v.reshape(n, -1)
+    edges = ((jnp.arange(1, bins, dtype=jnp.float32) / bins)[None, :]
+             * jnp.maximum(hi, 1e-30)[:, None])
     if weights is not None:
         w = jnp.broadcast_to(weights, v.shape).reshape(n, -1)
-        onehot = onehot * w[:, :, None]
-    counts = jnp.sum(onehot, axis=1)
-    return lax.psum(counts, _AXIS)
+        lt = (flat[:, :, None] < edges[:, None, :]).astype(jnp.float32)
+        c = jnp.sum(lt * w[:, :, None], axis=1)
+        total = jnp.sum(w, axis=1, keepdims=True)
+    else:
+        c = cum_lt_counts(flat, edges)
+        total = jnp.full((n, 1), flat.shape[1], jnp.float32)
+    c = lax.psum(c, _AXIS)
+    total = lax.psum(total, _AXIS)
+    return hist_from_cum(c, total)
 
 
 # ---------------------------------------------------------------------------
