@@ -99,9 +99,15 @@ def _measure_tpu(batch: np.ndarray, reps: int) -> float:
     def fused_loop(v, s, d, n):
         def body(i, carry):
             stats = M.image_stats(carry)           # 16 metrics + niqe
-            enh, _flags = E.apply_plan(carry, s, d)  # 7 ops + 3 safeguards
-            # chain iterations so none can be elided or overlapped
-            return enh * (1.0 + 1e-12 * stats["sigma"][0])
+            enh, flags = E.apply_plan(carry, s, d)  # 7 ops + 3 safeguards
+            # chain iterations through EVERY output (all 18 stats + the
+            # guard flags) so XLA cannot dead-code-eliminate any metric —
+            # depending only on one stat lets the compiler drop the rest
+            # (measured: a sigma-only dependency inflates the number ~1.5×)
+            dep = sum(jnp.sum(a.astype(jnp.float32)) for a in stats.values())
+            dep = dep + sum(jnp.sum(f.astype(jnp.float32))
+                            for f in jax.tree_util.tree_leaves(flags))
+            return enh * (1.0 + 1e-12 * dep)
         return jnp.sum(jax.lax.fori_loop(0, n, body, v))
 
     float(fused_loop(x, static, dyn, reps))  # compile + warm

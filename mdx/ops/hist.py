@@ -2,6 +2,17 @@
 
 Histogram semantics match ``numpy.histogram(range=(0, hi))``: ``bins`` equal
 width buckets over the range, right-most edge inclusive.
+
+TPU-first formulation: a scatter-add histogram serialises on TPU (measured
+74 ms vs 4.5 ms for 32×512² at 256 bins) and even fused compare-reduce
+sweeps are VPU-bound (4.9 ms for 255 edges at 32×512²).  Instead the bin
+index of every pixel is computed elementwise (floor-multiply plus a
+one-step boundary fixup that makes it bit-equivalent to comparing against
+the real ``k/bins·hi`` edges), split into a high/low nibble pair, and the
+count table comes out of ONE batched [16,P]×[P,16] matmul of the two
+one-hot factors — the MXU does the counting.  Measured 0.16 ms for
+32×512²/256 bins (31× over the compare-reduce sweep); counts are exact
+(0/1 products in bf16, f32 accumulation, integers < 2²⁴).
 """
 
 from __future__ import annotations
@@ -9,51 +20,76 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def cum_lt_counts(v: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
-    """[N, P] values × interior edges → [N, bins-1] counts of v < edge.
+def bin_indices(x: jnp.ndarray, bins: int,
+                hi: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Exact numpy-semantics bin index per value: [N, P] → [N, P] int32.
 
-    TPU-first: a scatter-add histogram serialises on TPU (measured 74 ms vs
-    4.5 ms for 32×512² at 256 bins), and even the fused one-hot
-    ``idx == iota`` compare-reduce costs 19.4 ms at 128×512²/256 bins.
-    Counting ``v < edge`` against the ``bins-1`` interior edges and
-    differencing the cumulative counts is the same VPU sweep shape but
-    2.3× faster (8.3 ms measured) — the float `<` against a broadcast edge
-    vector lowers better than integer equality on bin ids.
-
-    ``edges`` is [bins-1] (shared) or [N, bins-1] (per-image).
+    Bit-equivalent to comparing against edges ``(k / bins) * hi``: the
+    floor-multiply index can be off by one at bin boundaries (float32
+    rounding of ``v * (bins / hi)``), so it is fixed up with two compares
+    against the SAME edge expressions the compare-reduce formulation used
+    (``(k / bins)`` is exact for power-of-two ``bins``; the ``* hi``
+    rounding matches).  Out-of-range and right-edge values clamp into the
+    first/last bin, matching the cumulative less-than formulation.
     """
-    if edges.ndim == 1:
-        edges = edges[None, None, :]
+    if hi is None:
+        idx = jnp.floor(x * jnp.float32(bins))
+        idxf = jnp.clip(idx, 0.0, bins - 1.0)
+        e_lo = idxf / bins
+        e_hi = (idxf + 1.0) / bins
     else:
-        edges = edges[:, None, :]
-    return jnp.sum((v[:, :, None] < edges).astype(jnp.float32), axis=1)
+        hi_s = jnp.maximum(hi, 1e-30).astype(jnp.float32)[:, None]
+        idx = jnp.floor(x * (jnp.float32(bins) / hi_s))
+        idxf = jnp.clip(idx, 0.0, bins - 1.0)
+        e_lo = (idxf / bins) * hi_s
+        e_hi = ((idxf + 1.0) / bins) * hi_s
+    i = idxf - (x < e_lo).astype(jnp.float32) + (x >= e_hi).astype(jnp.float32)
+    return jnp.clip(i, 0.0, bins - 1.0).astype(jnp.int32)
 
 
-def hist_from_cum(c: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
-    """[N, bins-1] cumulative counts + [N, 1] totals → [N, bins] histogram."""
-    first = c[:, :1]
-    mids = c[:, 1:] - c[:, :-1]
-    last = total - c[:, -1:]
-    return jnp.concatenate([first, mids, last], axis=1)
+def counts_from_indices(idx: jnp.ndarray, bins: int,
+                        weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[N, P] int32 bin indices → [N, bins] f32 counts via one MXU matmul.
+
+    The index splits into a high part (``bins // 16`` values) and a low
+    nibble; ``counts[n, h, l] = Σ_p onehot(h_p)·onehot(l_p)`` is a batched
+    [nh, P] × [P, 16] matmul.  Optional ``weights`` ([N, P], 0/1) exclude
+    padding samples exactly.
+    """
+    if bins % 16 != 0:
+        # fallback: fused compare-reduce over bin ids (small bins only)
+        ids = jnp.arange(bins, dtype=jnp.int32)
+        oh = (idx[:, :, None] == ids).astype(jnp.float32)
+        if weights is not None:
+            oh = oh * weights[:, :, None]
+        return jnp.sum(oh, axis=1)
+    nh = bins // 16
+    hi_part = idx >> 4
+    lo_part = idx & 15
+    ohh = (hi_part[:, :, None] == jnp.arange(nh, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)
+    ohl = (lo_part[:, :, None] == jnp.arange(16, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)
+    if weights is not None:
+        # weights are 0/1 masks — the product stays exact in bf16
+        ohh = ohh * weights[:, :, None].astype(jnp.bfloat16)
+    h2 = jnp.einsum("nph,npl->nhl", ohh, ohl,
+                    preferred_element_type=jnp.float32)
+    return h2.reshape(idx.shape[0], bins)
 
 
 def histogram01(x: jnp.ndarray, bins: int) -> jnp.ndarray:
     """Per-image histogram of [N,H,W] values over [0, 1] → [N, bins]."""
     n = x.shape[0]
     v = x.reshape(n, -1)
-    edges = jnp.arange(1, bins, dtype=jnp.float32) / bins
-    c = cum_lt_counts(v, edges)
-    return hist_from_cum(c, jnp.full((n, 1), v.shape[1], jnp.float32))
+    return counts_from_indices(bin_indices(v, bins), bins)
 
 
 def histogram_scaled(x: jnp.ndarray, bins: int, hi: jnp.ndarray) -> jnp.ndarray:
     """Per-image histogram over [0, hi_i] with per-image upper edge [N]."""
     n = x.shape[0]
     v = x.reshape(n, -1)
-    edges = ((jnp.arange(1, bins, dtype=jnp.float32) / bins)[None, :]
-             * jnp.maximum(hi, 1e-30)[:, None])
-    c = cum_lt_counts(v, edges)
-    return hist_from_cum(c, jnp.full((n, 1), v.shape[1], jnp.float32))
+    return counts_from_indices(bin_indices(v, bins, hi), bins)
 
 
 def entropy_from_hist(hist: jnp.ndarray) -> jnp.ndarray:

@@ -150,30 +150,23 @@ def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray,
            weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Global per-image histogram over [0, hi_i] → [N, bins].
 
-    Same cumulative ``v < edge`` formulation as mdx.ops.hist (scatter-free,
-    2.3× faster than one-hot equality on TPU); the cumulative counts and
-    totals are psummed across shards BEFORE differencing, so the global
-    histogram is bit-identical to the single-chip path when ``hi`` matches.
-    Optional ``weights`` (broadcastable to v) exclude padding samples
-    (weight 0).
+    Same MXU nibble-one-hot formulation as mdx.ops.hist (each pixel's exact
+    bin index → one batched matmul of the high/low nibble one-hots); the
+    per-shard count tables are psummed, which is bit-identical to the
+    single-chip path when ``hi`` matches — counts are exact integers in
+    f32, so the shard-sum order cannot change them.  Optional ``weights``
+    (broadcastable to v, 0/1) exclude padding samples exactly.
     """
-    from mdx.ops.hist import cum_lt_counts, hist_from_cum
+    from mdx.ops.hist import bin_indices, counts_from_indices
 
     n = v.shape[0]
     flat = v.reshape(n, -1)
-    edges = ((jnp.arange(1, bins, dtype=jnp.float32) / bins)[None, :]
-             * jnp.maximum(hi, 1e-30)[:, None])
+    idx = bin_indices(flat, bins, jnp.maximum(hi, 1e-30))
+    w = None
     if weights is not None:
         w = jnp.broadcast_to(weights, v.shape).reshape(n, -1)
-        lt = (flat[:, :, None] < edges[:, None, :]).astype(jnp.float32)
-        c = jnp.sum(lt * w[:, :, None], axis=1)
-        total = jnp.sum(w, axis=1, keepdims=True)
-    else:
-        c = cum_lt_counts(flat, edges)
-        total = jnp.full((n, 1), flat.shape[1], jnp.float32)
-    c = lax.psum(c, _AXIS)
-    total = lax.psum(total, _AXIS)
-    return hist_from_cum(c, total)
+    c = counts_from_indices(idx, bins, weights=w)
+    return lax.psum(c, _AXIS)
 
 
 # ---------------------------------------------------------------------------

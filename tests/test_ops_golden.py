@@ -131,6 +131,46 @@ class TestHistEntropy:
             # binning at exact bin edges may differ by float32 rounding
             assert np.abs(got - want).sum() <= 2
 
+    def test_histogram_edge_exactness(self):
+        """The MXU index path must be BIT-equivalent to comparing against
+        the real ``(k/bins)*hi`` edges — adversarial values exactly at
+        edges and ±1 ulp around them, for the [0,1] and per-image-scaled
+        variants."""
+        bins = 256
+        k = np.arange(1, bins, dtype=np.float32)
+        edges = k / bins
+        vals = np.concatenate([
+            edges, np.nextafter(edges, 0.0), np.nextafter(edges, 1.0),
+            [0.0, 1.0, np.nextafter(np.float32(1.0), np.float32(0.0))],
+        ]).astype(np.float32)
+        v = jnp.asarray(vals[None])
+
+        def compare_hist(v, bins, edges_row):
+            c = np.sum(np.asarray(v)[0][:, None]
+                       < edges_row[None, :], axis=0).astype(np.float32)
+            first = c[:1]
+            mids = c[1:] - c[:-1]
+            last = v.shape[1] - c[-1:]
+            return np.concatenate([first, mids, last])
+
+        got = np.asarray(ops.histogram01(v.reshape(1, 1, -1), bins)[0])
+        want = compare_hist(v, bins, edges)
+        np.testing.assert_array_equal(got, want)
+
+        for hi in (0.37, 1.0, 3.1e-3, 812.5):
+            hi32 = np.float32(max(hi, 1e-30))
+            sc_edges = (k / bins) * hi32
+            sc_vals = np.concatenate([
+                sc_edges, np.nextafter(sc_edges, 0.0),
+                np.nextafter(sc_edges, np.float32(np.inf)),
+                [0.0, hi32],
+            ]).astype(np.float32)
+            sv = jnp.asarray(sc_vals[None])
+            got = np.asarray(ops.histogram_scaled(
+                sv.reshape(1, 1, -1), bins, jnp.asarray([hi], jnp.float32))[0])
+            want = compare_hist(sv, bins, sc_edges)
+            np.testing.assert_array_equal(got, want, err_msg=f"hi={hi}")
+
     def test_entropy(self, images):
         for img in images.values():
             got = float(ops.shannon_entropy01(_b(img))[0])

@@ -1,0 +1,138 @@
+"""Phase profiler for the fused QA pass — per-block device timings.
+
+Times each building block of the headline pass (metrics + 7-op enhance) in
+isolation at a given batch/size, with the tunnel-safe methodology from
+bench.py: reps chained inside one jitted ``fori_loop`` with a data
+dependency, scalar-only fetch, per-call RTT subtracted.
+
+Usage::
+
+    python tools/profile_pass.py [--batch 32] [--hw 512] [--reps 10]
+
+Prints one line per block: ``name  ms/batch``.  Numbers feed docs/PERF.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_batch(n: int, hw: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    base = 0.35 + 0.3 * np.sin(xx / 37.0) * np.cos(yy / 53.0)
+    imgs = base[None] + rng.normal(0, 0.06, (n, hw, hw))
+    return np.clip(imgs, 0.0, 1.0).astype(np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated block-name substrings to run")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdx.core import enhance as E
+    from mdx.core import metrics as M
+    from mdx.ops import filters as F
+    from mdx.ops import hist as H
+    from mdx.ops import wavelet as W
+    from mdx.ops.clahe import clahe as clahe_fn
+    from mdx.ops.tv import tv_chambolle
+    from mdx.ops.bilateral import bilateral as bilateral_fn
+
+    x = jax.device_put(jnp.asarray(make_batch(args.batch, args.hw)))
+
+    tiny = jax.jit(lambda v: jnp.sum(v))
+    float(tiny(x))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(tiny(x))
+    rtt = (time.perf_counter() - t0) / 5
+
+    def timeit(name, fn):
+        """fn: [N,H,W] -> [N,H,W]-ish array; chained reps, scalar fetch."""
+        if args.only and not any(s in name for s in args.only.split(",")):
+            return
+
+        @jax.jit
+        def loop(v):
+            def body(i, carry):
+                out = fn(carry)
+                # fold the result back into the carry so reps chain
+                s = jnp.sum(out) if out.ndim <= 1 else jnp.mean(out)
+                return carry * (1.0 + 1e-12 * s)
+            return jnp.sum(jax.lax.fori_loop(0, args.reps, body, v))
+
+        float(loop(x))  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(loop(x))
+            best = min(best, time.perf_counter() - t0 - rtt)
+        print(f"{name:34s} {best / args.reps * 1e3:8.2f} ms/batch")
+
+    static = E.PlanStatic(
+        ops=("denoise", "clahe", "gamma", "unsharp", "post_denoise",
+             "bilateral", "tv_denoise"),
+        tile_size=16, bilateral_d=5,
+        plan_order=("denoise", "clahe", "gamma", "unsharp", "post_denoise",
+                    "bilateral", "tv_denoise"))
+    dyn = E.PlanDynamic(
+        clahe_clip_limit=0.02, gamma=0.95, unsharp_radius=1.0,
+        unsharp_amount=0.6, post_denoise_strength=0.3,
+        bilateral_sigma_color=0.05, bilateral_sigma_space=0.05,
+        tv_denoise_weight=0.05, denoise_soft=True)
+
+    # ---- metric blocks ----
+    timeit("estimate_sigma (db2 dwt)", W.estimate_sigma)
+    timeit("laplace", F.laplace)
+    timeit("gradient_magnitude", F.gradient_magnitude)
+    timeit("percentiles x4 (value)", lambda v: H.percentiles(v, [5., 25., 75., 95.]))
+    timeit("percentile p90 (grad)",
+           lambda v: H.percentiles(F.gradient_magnitude(v), [90.])[0])
+    timeit("histogram01 256 + entropy", lambda v: H.shannon_entropy01(v, 256))
+    timeit("grad hist 128 + entropy", lambda v: H.entropy_from_hist(
+        H.histogram_scaled(F.gradient_magnitude(v), 128,
+                           jnp.max(v.reshape(v.shape[0], -1), axis=-1) + 1e-8)))
+    timeit("local_variance 7", lambda v: F.local_variance(v, 7))
+    timeit("local_variance 16", lambda v: F.local_variance(v, 16))
+    def _all_stats(v):
+        s = M.image_stats(v)
+        return sum(jnp.sum(a) for a in s.values()) + jnp.zeros(())
+    timeit("image_stats (all metrics)", _all_stats)
+
+    # ---- enhance blocks ----
+    timeit("denoise_wavelet (Bayes, full)", lambda v: W.denoise_wavelet(v))
+    timeit("clahe", lambda v: clahe_fn(v, clip_limit=jnp.float32(0.02), tile_size=16))
+    timeit("gamma", lambda v: F.adjust_gamma(v, jnp.float32(0.95)))
+    timeit("unsharp", lambda v: F.unsharp_mask(v, jnp.float32(1.0), jnp.float32(0.6)))
+    timeit("light_denoise (post)", lambda v: E.light_denoise(v, jnp.float32(0.3)))
+    timeit("bilateral d=5", lambda v: bilateral_fn(
+        v, 5, jnp.float32(0.05), jnp.float32(0.05)))
+    timeit("tv_denoise w=0.05", lambda v: tv_chambolle(v, jnp.float32(0.05)))
+    timeit("apply_plan (7 ops + guards)",
+           lambda v: E.apply_plan(v, static, dyn)[0])
+    timeit("FULL pass (stats + plan)",
+           lambda v: E.apply_plan(v, static, dyn)[0]
+           * (1.0 + 1e-12 * _all_stats(v)))
+
+
+if __name__ == "__main__":
+    main()
