@@ -78,6 +78,26 @@ def counts_from_indices(idx: jnp.ndarray, bins: int,
     return h2.reshape(idx.shape[0], bins)
 
 
+def counts_from_indices_grouped(idx: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """[N, G, P] int32 bin indices → [N, G, bins] f32 counts, one histogram
+    per group (tile), via one batched nibble-one-hot einsum.
+
+    Same exact-integer-counts argument as :func:`counts_from_indices`;
+    used for per-tile CLAHE histograms (mdx/ops/pallas_kernels.py banded
+    path), where it replaces a per-bin Pallas loop (measured 121 → 20 ms
+    for 16×2048², t=16, 256 bins).  ``bins`` must be a multiple of 16.
+    """
+    n, g = idx.shape[0], idx.shape[1]
+    nh = bins // 16
+    ohh = (idx[..., None] >> 4 == jnp.arange(nh, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)
+    ohl = ((idx[..., None] & 15) == jnp.arange(16, dtype=jnp.int32)
+           ).astype(jnp.bfloat16)
+    h2 = jnp.einsum("ngph,ngpl->nghl", ohh, ohl,
+                    preferred_element_type=jnp.float32)
+    return h2.reshape(n, g, bins)
+
+
 def histogram01(x: jnp.ndarray, bins: int) -> jnp.ndarray:
     """Per-image histogram of [N,H,W] values over [0, 1] → [N, bins]."""
     n = x.shape[0]

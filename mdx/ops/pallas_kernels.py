@@ -291,23 +291,25 @@ def tv_chambolle_tpu(
 # ---------------------------------------------------------------------------
 
 
-def _clahe_hist_kernel(x_ref, col_sel_ref, hist_ref, *, t: int, w: int,
-                       nbins: int):
-    """Grid (N, gy): per-tile histograms of one tile-row band [t, W]."""
-    band = x_ref[0, 0]                                        # [t, w]
-    q = jnp.minimum((band * nbins).astype(jnp.int32), nbins - 1)
-    col_sel = col_sel_ref[:]                                  # [w, gx]
-    ones = jnp.ones((1, t), jnp.float32)
+def _tile_hist_nibble(xp: jnp.ndarray, t: int, nbins: int) -> jnp.ndarray:
+    """Per-tile CLAHE histograms of [N, ph, pw] → [N, gy, nbins, gx] as one
+    XLA nibble-one-hot einsum (mdx/ops/hist.py counts_from_indices_grouped).
 
-    def body(b, _):
-        mask = (q == b).astype(jnp.float32)                   # [t, w]
-        rowsum = jnp.dot(ones, mask,
-                         preferred_element_type=jnp.float32)  # [1, w]
-        hist_ref[0, 0, b] = jnp.dot(
-            rowsum, col_sel, preferred_element_type=jnp.float32)[0]
-        return 0
+    Replaces the per-band Pallas hist kernel: that kernel's per-bin
+    [1,t]×[t,w] matmuls ran at M=1 MXU utilisation (measured 121 ms for
+    16×2048², t=16, 256 bins, vs 20 ms for this formulation).  The floor
+    quantisation matches the remap kernel's ``q`` exactly, so counts are
+    identical integers.
+    """
+    from mdx.ops.hist import counts_from_indices_grouped
 
-    jax.lax.fori_loop(0, nbins, body, 0)
+    n, ph, pw = xp.shape
+    gy, gx = ph // t, pw // t
+    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)
+    qt = q.reshape(n, gy, t, gx, t).transpose(0, 1, 3, 2, 4)
+    hist = counts_from_indices_grouped(
+        qt.reshape(n, gy * gx, t * t), nbins)                  # [N, gy·gx, nbins]
+    return hist.reshape(n, gy, gx, nbins).transpose(0, 1, 3, 2)
 
 
 def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_ref, w_row_ref, out_ref, *,
@@ -353,30 +355,14 @@ def _banded_row_weights(t: int) -> np.ndarray:
 
 def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
                   nbins: int, interpret: bool) -> jnp.ndarray:
-    """Two-phase CLAHE: per-band hist kernel → XLA clip/CDF → per-band
+    """Two-phase CLAHE: XLA nibble per-tile hist → XLA clip/CDF → per-band
     remap kernel with a 3-row LUT window.  Handles slices whose whole-image
     state would not fit VMEM (e.g. 2048² CXR batches, BASELINE config 2)."""
     n, ph, pw = xp.shape
     gy, gx = ph // t, pw // t
 
-    col_sel = jnp.asarray(_tile_membership(pw, t))            # [pw, gx]
     xb = xp.reshape(n, gy, t, pw)
-
-    hists = pl.pallas_call(
-        functools.partial(_clahe_hist_kernel, t=t, w=pw, nbins=nbins),
-        grid=(n, gy),
-        in_specs=[
-            pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((pw, gx), lambda i, g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, nbins, gx),
-                               lambda i, g: (i, g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, gy, nbins, gx), jnp.float32),
-        interpret=interpret,
-    )(xb, col_sel)
+    hists = _tile_hist_nibble(xp, t, nbins)                   # [N,gy,nbins,gx]
 
     # clip + redistribute + CDF + normalise (tiny: [N, gy, nbins, gx])
     npix = float(t * t)
