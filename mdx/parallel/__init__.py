@@ -12,19 +12,25 @@ net-new capability, designed TPU-first:
   ref pipeline/dicom_io.py:60-81) are sharded over the ``data`` axis and run
   the fused detect→enhance→validate program with zero collectives (every
   metric reduction is per-image).
-* :mod:`mdx.parallel.spatial` — 2-D spatial sharding for slices too large
+* :mod:`mdx.parallel.spatial` — 1-D spatial sharding for slices too large
   for one chip: row blocks over the ``space`` axis, stencil halos exchanged
   with ``lax.ppermute`` over ICI, global reductions via ``psum``/``pmax``
   collectives, and EXACT distributed order statistics (the bitwise
   search of :mod:`mdx.ops.quantile` with psum-combined counts).
+* :mod:`mdx.parallel.spatial2d` — 2-D (row × column) tile sharding over a
+  ``(data, sy, sx)`` mesh with two-phase halo exchange; lifts the 1-D
+  layer's H/16 shard ceiling to (H/16)·(W/16).
 """
 
-from mdx.parallel.mesh import make_mesh, data_sharding, spatial_sharding
+from mdx.parallel.mesh import (
+    make_mesh, make_mesh2d, data_sharding, spatial_sharding,
+)
 from mdx.parallel.batch import pad_batch, qa_deterministic_sharded, qa_plan_sharded
 from mdx.parallel import spatial
+from mdx.parallel import spatial2d
 
 __all__ = [
-    "make_mesh", "data_sharding", "spatial_sharding",
+    "make_mesh", "make_mesh2d", "data_sharding", "spatial_sharding",
     "pad_batch", "qa_deterministic_sharded", "qa_plan_sharded",
-    "spatial",
+    "spatial", "spatial2d",
 ]

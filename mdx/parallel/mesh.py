@@ -45,6 +45,29 @@ def make_mesh(
     return Mesh(grid, axis_names=("data", "space"))
 
 
+def make_mesh2d(
+    n_data: int | None = None,
+    n_sy: int = 1,
+    n_sx: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(data, sy, sx)`` mesh for 2-D tile sharding
+    (:mod:`mdx.parallel.spatial2d`): ``sy`` shards slice rows, ``sx``
+    shards slice columns.  ``n_data × n_sy × n_sx`` must not exceed the
+    device count; with ``n_data=None`` the remainder goes to ``data``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = max(len(devices) // (n_sy * n_sx), 1)
+    need = n_data * n_sy * n_sx
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {n_data}×{n_sy}×{n_sx} needs {need} devices, "
+            f"have {len(devices)}")
+    grid = np.array(devices[:need]).reshape(n_data, n_sy, n_sx)
+    return Mesh(grid, axis_names=("data", "sy", "sx"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """[N, H, W] sharded on N over ``data``, replicated over ``space``."""
     return NamedSharding(mesh, P("data", None, None))

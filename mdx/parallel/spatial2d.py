@@ -1,0 +1,599 @@
+"""2-D spatially-sharded (row×col tile) fused QA pass with halo exchange.
+
+Generalises :mod:`mdx.parallel.spatial` (1-D row blocks over ``space``) to a
+2-D ``sy × sx`` tile grid, lifting the documented row-floor bound: 1-D
+row blocks cap the usable mesh at H/16 shards (PARITY.md); 2-D tiles cap it
+at (H/16)·(W/16) — 16 384 shards for a 2048² slice instead of 128.  This is
+the SURVEY.md §2.9 "2-D spatial sharding with halo exchange" component.
+
+Topology (all inside one ``shard_map``-compiled SPMD program on a
+``("data", "sy", "sx")`` mesh):
+
+* **Halo exchange** is two-phase: row halos move over the ``sy`` ring via
+  ``lax.ppermute`` first, then column halos of the *row-extended* block move
+  over ``sx`` — the second phase carries the freshly attached halo rows, so
+  corner cells arrive without a dedicated diagonal exchange.  Global-edge
+  shards synthesise their halo from their own border (symmetric / reflect /
+  edge-replicate, matching each op's unsharded boundary handling), so
+  results are bit-compatible with the single-chip programs.
+* **Moment reductions / histograms** psum over BOTH mesh axes (JAX
+  collectives take the ``("sy", "sx")`` tuple directly) — exact.
+* **Order statistics** reuse the exact bitwise search of
+  ``mdx.ops.quantile.percentiles_exact_sharded`` with the two-axis tuple:
+  count-below psums span the whole tile grid, so percentiles, the
+  wavelet-MAD median, and the p90 gradient cut are bit-identical to a
+  global sort.
+* **The stride-2 DWT** (sigma estimation) keeps its global phase by
+  requiring an even per-shard extent on both axes; the one duplicated
+  boundary output per interior shard (each direction) carries validity
+  weight 0, exactly as the 1-D path does for rows
+  (``mdx.parallel.spatial._hh_subband_halo``).
+
+Metric formulas mirror ref pipeline/metrics.py:42-217 (per-formula
+citations in mdx/core/metrics.py); the enhance subset mirrors
+ref pipeline/enhancement.py:283-307 (gamma → unsharp → bilateral — the
+halo-local ops; globally-coupled denoise/CLAHE stay on the batch path).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mdx.ops.filters import _LAPLACE, _SOBEL_H
+from mdx.ops.hist import entropy_from_hist as _entropy_from_hist
+from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
+from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
+
+_AY = "sy"
+_AX = "sx"
+_AXES = (_AY, _AX)
+# Widest one-hop stencil halo (unsharp Gaussian fixed support, radius 12;
+# see mdx/parallel/spatial.py) — now a floor on BOTH per-shard extents.
+_MIN_PER_SHARD = 16
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                 ("NCHW", "OIHW", "NCHW"))
+
+
+# ---------------------------------------------------------------------------
+# Two-phase halo exchange
+# ---------------------------------------------------------------------------
+
+
+def _edge_pad(x: jnp.ndarray, n: int, axis: int, side: str,
+              mode: str) -> jnp.ndarray:
+    """Global-boundary halo synthesised from the block's own border rows or
+    columns: ``symmetric`` (edge row included), ``reflect`` (excluded), or
+    ``edge`` (edge row replicated) — the three boundary conventions the
+    unsharded ops use."""
+    if mode == "edge":
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, 1) if side == "lo" else slice(-1, None)
+        shape = list(x.shape)
+        shape[axis] = n
+        return jnp.broadcast_to(x[tuple(sl)], shape)
+    off = 0 if mode == "symmetric" else 1
+    sl = [slice(None)] * x.ndim
+    if side == "lo":
+        sl[axis] = slice(off, n + off)
+    else:
+        stop = x.shape[axis] - off
+        sl[axis] = slice(stop - n, stop)
+    return jnp.flip(x[tuple(sl)], axis=axis)
+
+
+def _halo_axis(x: jnp.ndarray, lo: int, hi: int, axis: int,
+               mesh_axis: str, mode: str) -> jnp.ndarray:
+    """Extend one array axis with ``lo``/``hi`` halo slabs from the ring
+    neighbours on ``mesh_axis``; global-edge shards synthesise theirs."""
+    k = lax.axis_size(mesh_axis)
+    idx = lax.axis_index(mesh_axis)
+    parts = []
+    if lo:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(x.shape[axis] - lo, None)
+        from_prev = lax.ppermute(x[tuple(sl)], mesh_axis,
+                                 [(j, j + 1) for j in range(k - 1)])
+        parts.append(jnp.where(idx == 0,
+                               _edge_pad(x, lo, axis, "lo", mode), from_prev))
+    parts.append(x)
+    if hi:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, hi)
+        from_next = lax.ppermute(x[tuple(sl)], mesh_axis,
+                                 [(j + 1, j) for j in range(k - 1)])
+        parts.append(jnp.where(idx == k - 1,
+                               _edge_pad(x, hi, axis, "hi", mode), from_next))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else x
+
+
+def _halo2(x: jnp.ndarray, up: int, down: int, left: int, right: int,
+           mode: str = "symmetric") -> jnp.ndarray:
+    """[N, Hs, Ws] tile → [N, Hs+up+down, Ws+left+right].  Rows first over
+    ``sy``, then columns of the row-extended block over ``sx`` — the column
+    phase carries the new halo rows, so corners need no diagonal hop."""
+    xr = _halo_axis(x, up, down, 1, _AY, mode)
+    return _halo_axis(xr, left, right, 2, _AX, mode)
+
+
+# ---------------------------------------------------------------------------
+# Halo'd stencils
+# ---------------------------------------------------------------------------
+
+
+def _conv2_halo(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """2-D stencil on tiles: halo-pad both axes (symmetric at the global
+    border, matching the unsharded shift-MAC ops), VALID convolution."""
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    xp = _halo2(x, ph, ph, pw, pw, "symmetric")
+    k = jnp.asarray(kernel[::-1, ::-1], dtype=x.dtype).reshape(1, 1, kh, kw)
+    out = lax.conv_general_dilated(
+        xp[:, None], k, (1, 1), "VALID", dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
+    return out[:, 0]
+
+
+def _sep_conv_valid(xp: jnp.ndarray, col_taps: jnp.ndarray,
+                    row_taps: jnp.ndarray) -> jnp.ndarray:
+    """Separable VALID convolution of an already halo-extended block."""
+    kc = col_taps.reshape(1, 1, -1, 1)
+    kr = row_taps.reshape(1, 1, 1, -1)
+    out = lax.conv_general_dilated(xp[:, None], kc, (1, 1), "VALID",
+                                   dimension_numbers=_DN,
+                                   precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID",
+                                   dimension_numbers=_DN,
+                                   precision=lax.Precision.HIGHEST)
+    return out[:, 0]
+
+
+def _box_halo(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable mean filter with SciPy uniform_filter offsets (left-heavy
+    for even sizes) across both tile boundaries."""
+    lo = size // 2
+    hi = size - lo - 1
+    xp = _halo2(x, lo, hi, lo, hi, "symmetric")
+    k = jnp.full((size,), 1.0 / size, x.dtype)
+    return _sep_conv_valid(xp, k, k)
+
+
+def _local_variance_halo(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    m = _box_halo(x, size)
+    m2 = _box_halo(x * x, size)
+    return jnp.maximum(m2 - m * m, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Distributed reductions over the tile grid
+# ---------------------------------------------------------------------------
+
+
+def _pmean_img(v: jnp.ndarray) -> jnp.ndarray:
+    """Global per-image mean of [N, Hs, Ws] tiles → [N]."""
+    n = v.shape[0]
+    s = lax.psum(jnp.sum(v.reshape(n, -1), axis=-1), _AXES)
+    cnt = lax.psum(jnp.asarray(v[0].size, v.dtype), _AXES)
+    return s / cnt
+
+
+def _pvar_img(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    m = _pmean_img(v)
+    m2 = _pmean_img(v * v)
+    return m, jnp.maximum(m2 - m * m, 0.0)
+
+
+def _phist(v: jnp.ndarray, bins: int, hi: jnp.ndarray) -> jnp.ndarray:
+    """Global per-image histogram over [0, hi_i] → [N, bins]; exact-integer
+    count tables psummed over the tile grid (mdx/ops/hist.py MXU nibble
+    formulation — identical counts to the single-chip path)."""
+    from mdx.ops.hist import bin_indices, counts_from_indices
+
+    n = v.shape[0]
+    idx = bin_indices(v.reshape(n, -1), bins, jnp.maximum(hi, 1e-30))
+    return lax.psum(counts_from_indices(idx, bins), _AXES)
+
+
+# ---------------------------------------------------------------------------
+# Distributed wavelet-MAD sigma (stride-2 DWT over both axes)
+# ---------------------------------------------------------------------------
+
+
+def _hh_subband_2d(x: jnp.ndarray, wavelet: str = "db2"):
+    """Finest-scale HH detail coefficients of the global image on 2-D tiles.
+
+    Both separable analysis passes now cross shard boundaries: each gets an
+    (L−1)-slab halo (symmetric at the global border — minus one leading
+    element this equals the PyWavelets half-sample extension), starts one
+    element in, and strides by 2.  With even per-shard extents the global
+    stride phase is preserved; each direction leaves per-shard extent/2 + 1
+    outputs whose trailing element is valid only on the last shard of that
+    axis (elsewhere it duplicates the next shard's first output).  Returns
+    (coeffs [N, hs/2+1, ws/2+1], validity weights of the same shape).
+    """
+    lo_f, hi_f = qmf_pair(wavelet)
+    L = len(lo_f)
+    n, hs, ws = x.shape
+
+    # Along W (cross-shard over sx): halo, drop one leading col, stride 2.
+    extc = _halo_axis(x, L - 1, L - 1, 2, _AX, "symmetric")
+    extc = lax.slice_in_dim(extc, 1, 1 + ws + 2 * (L - 1) - 1, axis=2)
+    kh = jnp.asarray(hi_f[::-1], x.dtype).reshape(1, 1, 1, L)
+    d_w = lax.conv_general_dilated(
+        extc[:, None], kh, (1, 2), "VALID", dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)[:, 0]          # [N, hs, ws/2+1]
+
+    # Along H (cross-shard over sy) on the column subband — its duplicate
+    # tail column is carried through (columns transform independently) and
+    # masked by the validity weights below.
+    extr = _halo_axis(d_w, L - 1, L - 1, 1, _AY, "symmetric")
+    extr = lax.slice_in_dim(extr, 1, 1 + hs + 2 * (L - 1) - 1, axis=1)
+    kv = jnp.asarray(hi_f[::-1], x.dtype).reshape(1, 1, L, 1)
+    d_hw = lax.conv_general_dilated(
+        extr[:, None], kv, (2, 1), "VALID", dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)[:, 0]          # [N, hs/2+1, ws/2+1]
+
+    iy, ky = lax.axis_index(_AY), lax.axis_size(_AY)
+    ix, kx = lax.axis_index(_AX), lax.axis_size(_AX)
+    row = lax.broadcasted_iota(jnp.int32, (1, hs // 2 + 1, 1), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, 1, ws // 2 + 1), 2)
+    rvalid = (row < hs // 2) | (iy == ky - 1)
+    cvalid = (col < ws // 2) | (ix == kx - 1)
+    valid = jnp.where(rvalid & cvalid, 1.0, 0.0)
+    return d_hw, valid
+
+
+def estimate_sigma_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Distributed wavelet-MAD noise sigma over 2-D tiles → [N]; the median
+    of |HH| is exact (two-axis psum-distributed order-statistic search)."""
+    hh, valid = _hh_subband_2d(x, "db2")
+    ky, kx = lax.axis_size(_AY), lax.axis_size(_AX)
+    _, hs2, ws2 = hh.shape
+    total = ((hs2 - 1) * ky + 1) * ((ws2 - 1) * kx + 1)
+    med = _pq_sharded(jnp.abs(hh), [50.0], _AXES, total, weights=valid)[0]
+    return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# The fused tile-sharded metric pass
+# ---------------------------------------------------------------------------
+
+
+def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """Per-shard body of the fused metric pass on [N, Hs, Ws] tiles;
+    returns globally-reduced [N] vectors for all 16 metrics + niqe +
+    edge_ratio (formulas: ref pipeline/metrics.py:42-217)."""
+    n = x.shape[0]
+    flat = lambda a: a.reshape(n, -1)
+
+    sigma = estimate_sigma_2d(x)
+
+    lap = _conv2_halo(x, _LAPLACE)
+    gh = _conv2_halo(x, _SOBEL_H)
+    gv = _conv2_halo(x, _SOBEL_H.T)
+    grad = jnp.hypot(gh, gv)
+
+    _, lap_var = _pvar_img(lap)
+    lap_energy = _pmean_img(lap * lap)
+    mean, var = _pvar_img(x)
+    std = jnp.sqrt(var)
+    pct_low = _pmean_img((x <= 0.01).astype(x.dtype))
+    pct_high = _pmean_img((x >= 0.99).astype(x.dtype))
+
+    ky, kx = lax.axis_size(_AY), lax.axis_size(_AX)
+    _, hs, ws = x.shape
+    total = hs * ky * ws * kx
+    p05, p25, p75, p95 = _pq_sharded(
+        x, [5.0, 25.0, 75.0, 95.0], _AXES, total)
+    one = jnp.ones((n,), x.dtype)
+    entropy = _entropy_from_hist(_phist(x, 256, one))
+
+    gmax = lax.pmax(jnp.max(flat(grad), axis=-1), _AXES)
+    edge_thr = jnp.where(gmax > 0, 0.1 * gmax, 0.0)
+    edge_density = _pmean_img((grad > edge_thr[:, None, None]).astype(x.dtype))
+    gmean, gvar = _pvar_img(grad)
+    gstd = jnp.sqrt(gvar)
+
+    sigma_safe = jnp.maximum(sigma, 1e-8)
+    snr = mean / sigma_safe
+    cnr = (p95 - p05) / sigma_safe
+
+    lv7 = jnp.sqrt(_local_variance_halo(x, 7))
+    _, lv7_var = _pvar_img(lv7)
+    local_contrast_std = jnp.sqrt(lv7_var)
+
+    g90 = _pq_sharded(grad, [90.0], _AXES, total)[0]
+    strong = (grad >= g90[:, None, None]).astype(x.dtype)
+    cnt = lax.psum(jnp.sum(flat(strong), axis=-1), _AXES)
+    ssum = lax.psum(jnp.sum(flat(grad * strong), axis=-1), _AXES)
+    gradient_strength = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0), 0.0)
+
+    gradient_entropy = _entropy_from_hist(_phist(grad, 128, gmax + 1e-8))
+
+    lv16 = _local_variance_halo(x, 16)
+    lv_mean, lv_var = _pvar_img(lv16)
+    var_of_var = jnp.sqrt(lv_var) / (lv_mean + 1e-8)
+    edge_ratio = _pmean_img(jnp.abs(lap)) / (gmean + 1e-8)
+    niqe = var_of_var + jnp.maximum(edge_ratio - 1.0, 0.0) * 10.0
+
+    return {
+        "sigma": sigma,
+        "lap_var": lap_var,
+        "std": std,
+        "pct_low": pct_low,
+        "pct_high": pct_high,
+        "entropy": entropy,
+        "edge_density": edge_density,
+        "gradient_mag_mean": gmean,
+        "gradient_mag_std": gstd,
+        "snr_proxy": snr,
+        "cnr_proxy": cnr,
+        "laplacian_energy": lap_energy,
+        "histogram_spread": p75 - p25,
+        "local_contrast_std": local_contrast_std,
+        "gradient_strength": gradient_strength,
+        "gradient_entropy": gradient_entropy,
+        "niqe": niqe,
+        "edge_ratio": edge_ratio,
+    }
+
+
+def _check_tiles(x: jnp.ndarray, mesh: Mesh) -> None:
+    ky, kx = mesh.shape[_AY], mesh.shape[_AX]
+    h, w = x.shape[1], x.shape[2]
+    for name, extent, k in (("H", h, ky), ("W", w, kx)):
+        if extent % k or (extent // k) % 2:
+            raise ValueError(
+                f"{name}={extent} must split into even-sized blocks over "
+                f"{k} '{_AY if name == 'H' else _AX}' shards (stride-2 "
+                f"wavelet phase)")
+        if extent // k < _MIN_PER_SHARD:
+            raise ValueError(
+                f"{name}={extent} over {k} shards gives {extent // k} "
+                f"{'rows' if name == 'H' else 'cols'}/shard — the widest "
+                f"stencil halo needs {_MIN_PER_SHARD} (single-hop halos; "
+                f"max usable {'sy' if name == 'H' else 'sx'} axis for "
+                f"{name}={extent} is {extent // _MIN_PER_SHARD})")
+
+
+def image_stats_spatial2d(x: jnp.ndarray, mesh: Mesh) -> dict[str, jnp.ndarray]:
+    """Fused 16-metric pass on a (data × sy × sx)-tile-sharded [N,H,W]
+    stack; both spatial extents must split evenly with even per-shard size.
+    Results are replicated [N] vectors."""
+    _check_tiles(x, mesh)
+    x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
+    return _stats_program(mesh)(x)
+
+
+@lru_cache(maxsize=8)
+def _stats_program(mesh: Mesh):
+    return jax.jit(shard_map(
+        _image_stats_block,
+        mesh=mesh,
+        in_specs=P("data", _AY, _AX),
+        out_specs=P("data"),
+        check_vma=False,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# Tile-sharded enhancement (halo-local ops)
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
+                        max_radius: int = 12) -> jnp.ndarray:
+    """Separable Gaussian with traced sigma on fixed support, skimage
+    ``nearest`` (edge-replicate) boundary, across both tile axes."""
+    r = max_radius
+    taps = jnp.arange(-r, r + 1, dtype=x.dtype)
+    sigma = jnp.asarray(sigma, x.dtype)
+    radius_eff = jnp.floor(4.0 * sigma + 0.5)
+    w = jnp.exp(-0.5 * jnp.square(taps / jnp.maximum(sigma, 1e-6)))
+    w = jnp.where(jnp.abs(taps) <= radius_eff, w, 0.0)
+    w = w / jnp.sum(w)
+    xp = _halo2(x, r, r, r, r, "edge")
+    return _sep_conv_valid(xp, w, w)
+
+
+def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,
+                    sigma_space: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled shifted-MAC bilateral (mdx/ops/bilateral.py semantics,
+    reflect boundary at the global edges) across both tile axes."""
+    d = min(int(d), 9)
+    if d % 2 == 0:
+        d += 1
+    r = d // 2
+    n, hs, ws = x.shape
+    inv_2sc2 = 1.0 / (2.0 * sigma_color * sigma_color)
+    inv_2ss2d2 = 1.0 / (2.0 * sigma_space * sigma_space * float(d * d))
+    xp = _halo2(x, r, r, r, r, "reflect")
+    num = jnp.zeros_like(x)
+    den = jnp.zeros_like(x)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = xp[:, r + dy:r + dy + hs, r + dx:r + dx + ws]
+            sw = jnp.exp(-float(dx * dx + dy * dy) * inv_2ss2d2)
+            iw = jnp.exp(-jnp.square(x - shifted) * inv_2sc2)
+            wgt = sw * iw
+            num = num + wgt * shifted
+            den = den + wgt
+    return num / (den + 1e-10)
+
+
+def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
+                   unsharp_radius: jnp.ndarray,
+                   unsharp_amount: jnp.ndarray,
+                   bilateral_sigma_color: jnp.ndarray,
+                   bilateral_sigma_space: jnp.ndarray,
+                   *, bilateral_d: int) -> jnp.ndarray:
+    """Halo-local enhancement subset on tiles: gamma → unsharp → bilateral
+    (ref pipeline/enhancement.py:283-307; globally-coupled denoise/CLAHE
+    stay on the batch-sharded path, as in the 1-D layer)."""
+    y = jnp.power(jnp.maximum(x, 0.0), gamma)
+    blur = _gaussian_blur_halo(y, unsharp_radius)
+    y = jnp.clip(y + (y - blur) * unsharp_amount, 0.0, 1.0)
+    if bilateral_d > 0:
+        y = _bilateral_halo(jnp.clip(y, 0.0, 1.0), bilateral_d,
+                            bilateral_sigma_color, bilateral_sigma_space)
+    return jnp.clip(y, 0.0, 1.0)
+
+
+def enhance_spatial2d(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
+                      unsharp_radius: float = 0.8,
+                      unsharp_amount: float = 0.5,
+                      bilateral_d: int = 0,
+                      bilateral_sigma_color: float = 0.05,
+                      bilateral_sigma_space: float = 0.05) -> jnp.ndarray:
+    """Tile-sharded gamma → unsharp → bilateral enhancement of [N,H,W]."""
+    _check_tiles(x, mesh)
+    x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
+    return _enhance_program(mesh, int(bilateral_d))(
+        x, jnp.float32(gamma), jnp.float32(unsharp_radius),
+        jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
+        jnp.float32(bilateral_sigma_space))
+
+
+@lru_cache(maxsize=16)
+def _enhance_program(mesh: Mesh, bilateral_d: int):
+    return jax.jit(shard_map(
+        partial(_enhance_block, bilateral_d=bilateral_d),
+        mesh=mesh,
+        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P()),
+        out_specs=P("data", _AY, _AX),
+        check_vma=False,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# Tile-sharded validation + full QA step
+# ---------------------------------------------------------------------------
+
+
+def _ssim_block(x: jnp.ndarray, y: jnp.ndarray,
+                data_range: float = 1.0, win_size: int = 7) -> jnp.ndarray:
+    """Distributed SSIM on tiles → [N] (skimage semantics: 7×7 uniform
+    window, unbiased covariance, (win−1)//2 crop at the GLOBAL border —
+    expressed as a validity mask on the shards owning a global edge)."""
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1.0)
+    ux = _box_halo(x, win_size)
+    uy = _box_halo(y, win_size)
+    uxx = _box_halo(x * x, win_size)
+    uyy = _box_halo(y * y, win_size)
+    uxy = _box_halo(x * y, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2))
+
+    pad = (win_size - 1) // 2
+    n, hs, ws = x.shape
+    iy, ky = lax.axis_index(_AY), lax.axis_size(_AY)
+    ix, kx = lax.axis_index(_AX), lax.axis_size(_AX)
+    row = lax.broadcasted_iota(jnp.int32, (1, hs, 1), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, 1, ws), 2)
+    rvalid = ~(((iy == 0) & (row < pad))
+               | ((iy == ky - 1) & (row >= hs - pad)))
+    cvalid = ~(((ix == 0) & (col < pad))
+               | ((ix == kx - 1) & (col >= ws - pad)))
+    valid = jnp.where(rvalid & cvalid, 1.0, 0.0)
+    total = lax.psum(jnp.sum((s * valid).reshape(n, -1), axis=-1), _AXES)
+    cnt = lax.psum(jnp.sum(valid), _AXES)
+    return total / cnt
+
+
+def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
+                data_range: float = 1.0) -> jnp.ndarray:
+    mse = _pmean_img(jnp.square(x - y))
+    return 10.0 * jnp.log10((data_range * data_range) / mse)
+
+
+def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
+              bilateral_sigma_color, bilateral_sigma_space, *, bilateral_d):
+    from mdx.core.metrics import THRESHOLDS
+
+    before = _image_stats_block(xb)
+    enhanced = _enhance_block(
+        xb, gamma, unsharp_radius, unsharp_amount,
+        bilateral_sigma_color, bilateral_sigma_space,
+        bilateral_d=bilateral_d)
+    after = _image_stats_block(enhanced)
+    s = _ssim_block(xb, enhanced)
+    p = _psnr_block(xb, enhanced)
+    eps = 1e-8
+    contrast_gain = (after["std"] - before["std"]) / jnp.maximum(
+        before["std"], eps)
+    sharpness_gain = (after["lap_var"] - before["lap_var"]) / jnp.maximum(
+        before["lap_var"], eps)
+    noise_reduction = (before["sigma"] - after["sigma"]) / jnp.maximum(
+        before["sigma"], eps)
+    qi = (0.35 * contrast_gain + 0.35 * sharpness_gain
+          + 0.30 * noise_reduction)
+    meets_ssim = s >= THRESHOLDS["ssim"]
+    meets_psnr = p >= THRESHOLDS["psnr"]
+    meets_improvement = qi >= THRESHOLDS["quality_improvement"]
+    niqe_ok = after["niqe"] <= before["niqe"]
+    passes = ((meets_ssim & meets_psnr)
+              | (meets_ssim & meets_improvement)
+              | (meets_psnr & meets_improvement & niqe_ok))
+    return before, after, enhanced, s, p, qi, passes
+
+
+@lru_cache(maxsize=16)
+def _qa_program(mesh: Mesh, bilateral_d: int):
+    return jax.jit(shard_map(
+        partial(_qa_block, bilateral_d=bilateral_d),
+        mesh=mesh,
+        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data", _AY, _AX),
+                   P("data"), P("data"), P("data"), P("data")),
+        check_vma=False))
+
+
+def qa_spatial2d(
+    x: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    gamma: float = 0.95,
+    unsharp_radius: float = 0.8,
+    unsharp_amount: float = 0.5,
+    bilateral_d: int = 5,
+    bilateral_sigma_color: float = 0.05,
+    bilateral_sigma_space: float = 0.05,
+) -> dict:
+    """Full tile-sharded QA on huge slices: detect → halo-local enhancement
+    → before/after metrics + SSIM/PSNR + the reference's three-way pass
+    rule (ref pipeline/metrics.py:282-286), entirely on the
+    (data × sy × sx) mesh.  Same contract as
+    :func:`mdx.parallel.spatial.qa_spatial`, with the space ceiling lifted
+    to (H/16)·(W/16) shards."""
+    _check_tiles(x, mesh)
+    x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
+    before, after, enhanced, s, p, qi, passes = _qa_program(
+        mesh, int(bilateral_d))(
+        x, jnp.float32(gamma), jnp.float32(unsharp_radius),
+        jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
+        jnp.float32(bilateral_sigma_space))
+    from mdx.core.metrics import detect_issues
+
+    return {
+        "stats_before": before,
+        "stats_after": after,
+        "issues": detect_issues(before),
+        "enhanced": enhanced,
+        "ssim": s,
+        "psnr": p,
+        "quality_improvement": qi,
+        "passes": passes,
+    }
