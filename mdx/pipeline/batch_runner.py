@@ -89,13 +89,55 @@ def _completed_frames() -> set[str]:
         return set()
 
 
-def _collect(frames, stats_np, issues_np, score_np, ssim_np, psnr_np,
-             qi_np, passes_np, h, w, results, save_artifacts):
-    """Materialise per-frame records + DB rows for one device chunk."""
+_PACK_JIT = None
+
+
+def _packed_stack(rows):
+    """One jitted cast+stack → [K, N] float32.  Jitting matters twice over
+    a remote-TPU tunnel: the ~29 casts+stack launch as ONE program instead
+    of ~29 separate dispatches (~40 ms each), and collection later needs a
+    single host fetch instead of ~28 per-array round trips."""
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _PACK_JIT = jax.jit(
+            lambda rs: jnp.stack([r.astype(jnp.float32) for r in rs]))
+    return _PACK_JIT(tuple(rows))
+
+
+def _pack_outputs(out):
+    """Pack everything the collection path reads into ONE device array.
+
+    ``out`` is the qa_deterministic-shaped tuple; the result is a
+    [18+5+5, N] float32 stack (metrics, issue masks, ssim/psnr/qi/passes/
+    score), produced by one jitted program so a chunk costs one dispatch +
+    one fetch end-to-end (measured: the per-array fetches were the
+    dominant warm-path cost of BASELINE configs 3/5)."""
     from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
 
+    _enhanced, stats, issues, _flags, validation, score = out
+    rows = [stats[k] for k in METRIC_KEYS]
+    rows += [issues[k] for k in ISSUE_ORDER]
+    rows += [validation[k]
+             for k in ("ssim", "psnr", "quality_improvement", "passes")]
+    rows.append(score)
+    return _packed_stack(rows)
+
+
+def _collect(frames, packed_np, h, w, results, save_artifacts):
+    """Materialise per-frame records + DB rows for one device chunk from
+    the packed [K, N] fetch (row order: _pack_outputs)."""
+    from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
+
+    nm = len(METRIC_KEYS)
+    ni = len(ISSUE_ORDER)
+    db_rows = []
     for i, (label, fidx, _frame, meta) in enumerate(frames):
-        frame_issues = [k for k in ISSUE_ORDER if bool(issues_np[k][i])]
+        col = packed_np[:, i]
+        frame_issues = [k for j, k in enumerate(ISSUE_ORDER)
+                        if bool(col[nm + j])]
         run_id = storage.generate_run_id()
         rec = {
             "run_id": run_id,
@@ -103,30 +145,33 @@ def _collect(frames, stats_np, issues_np, score_np, ssim_np, psnr_np,
             "frame": fidx,
             "shape": [h, w],
             "issues": frame_issues,
-            "metrics": {k: float(stats_np[k][i]) for k in METRIC_KEYS},
-            "ssim": float(ssim_np[i]),
-            "psnr": float(psnr_np[i]),
-            "quality_improvement": float(qi_np[i]),
-            "passed": bool(passes_np[i]),
-            "objective_score": float(score_np[i]),
+            "metrics": {k: float(col[j]) for j, k in enumerate(METRIC_KEYS)},
+            "ssim": float(col[nm + ni]),
+            "psnr": float(col[nm + ni + 1]),
+            "quality_improvement": float(col[nm + ni + 2]),
+            "passed": bool(col[nm + ni + 3]),
+            "objective_score": float(col[nm + ni + 4]),
         }
         results.append(rec)
         if save_artifacts:
-            try:
-                storage.save_run(
-                    run_id=run_id,
-                    input_filename=f"{label}#frame{fidx}",
-                    metadata_summary=meta, issues=frame_issues,
-                    metrics_before=rec["metrics"], metrics_after={},
-                    plan_json="", validation={
-                        "ssim": rec["ssim"], "psnr": rec["psnr"],
-                        "quality_improvement": rec["quality_improvement"],
-                        "passes": rec["passed"]},
-                    applied_ops=[], explainability={}, report_path="",
-                    before_after_path="", agent_logs=[],
-                    status="completed")
-            except Exception as exc:
-                logger.error("Persist failed for %s: %s", run_id, exc)
+            db_rows.append({
+                "run_id": run_id,
+                "input_filename": f"{label}#frame{fidx}",
+                "metadata_summary": meta, "issues": frame_issues,
+                "metrics_before": rec["metrics"], "metrics_after": {},
+                "plan_json": "", "validation": {
+                    "ssim": rec["ssim"], "psnr": rec["psnr"],
+                    "quality_improvement": rec["quality_improvement"],
+                    "passes": rec["passed"]},
+                "applied_ops": [], "explainability": {}, "report_path": "",
+                "before_after_path": "", "agent_logs": [],
+                "status": "completed"})
+    if db_rows:
+        try:
+            storage.save_runs_bulk(db_rows)
+        except Exception as exc:
+            logger.error("Bulk persist failed for %d frames of %sx%s: %s",
+                         len(db_rows), h, w, exc)
 
 
 def _autotune_chunk(x: np.ndarray):
@@ -196,7 +241,6 @@ def run_pipeline_batch(
     import jax.numpy as jnp
 
     from mdx.core import qa
-    from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
     from mdx.parallel import make_mesh, pad_batch
     from mdx.parallel.mesh import data_sharding
     import jax
@@ -234,29 +278,20 @@ def run_pipeline_batch(
         def _submit(chunk):
             x = np.stack([f[2] for f in chunk]).astype(np.float32)
             if autotune:
-                return (chunk, len(chunk), _autotune_chunk(x))
+                return (chunk, len(chunk), _pack_outputs(_autotune_chunk(x)))
             xp, n_valid = pad_batch(jnp.asarray(x), mesh)
             xp = jax.device_put(xp, data_sharding(mesh))
             out = qa.qa_deterministic(xp)
-            # keep only what collection reads — dropping the [chunk,H,W]
-            # enhanced stack bounds device memory to ~2 chunks in flight
-            return (chunk, n_valid, out)
+            # keep only what collection reads, packed into one device
+            # array — dropping the [chunk,H,W] enhanced stack bounds device
+            # memory to ~2 chunks in flight, and the single packed fetch
+            # replaces ~28 per-array tunnel round trips
+            return (chunk, n_valid, _pack_outputs(out))
 
         def _drain(entry):
-            frames_c, n_valid, out = entry
-            _enhanced, stats, issues, _flags, validation, score = out
-            stats_np = {k: np.asarray(stats[k])[:n_valid]
-                        for k in METRIC_KEYS}
-            issues_np = {k: np.asarray(issues[k])[:n_valid]
-                         for k in ISSUE_ORDER}
-            score_np = np.asarray(score)[:n_valid]
-            ssim_np = np.asarray(validation["ssim"])[:n_valid]
-            psnr_np = np.asarray(validation["psnr"])[:n_valid]
-            qi_np = np.asarray(validation["quality_improvement"])[:n_valid]
-            passes_np = np.asarray(validation["passes"])[:n_valid]
-            _collect(frames_c, stats_np, issues_np, score_np, ssim_np,
-                     psnr_np, qi_np, passes_np, h, w, results,
-                     save_artifacts)
+            frames_c, n_valid, packed = entry
+            packed_np = np.asarray(packed)[:, :n_valid]
+            _collect(frames_c, packed_np, h, w, results, save_artifacts)
 
         # double-buffer: chunk t+1's host staging + dispatch overlaps
         # chunk t's device compute, while at most 2 chunks stay resident
