@@ -1,7 +1,9 @@
 """mdx CLI — TPU-native medical imaging QA (same flag surface as the
 reference CLI, ref main.py:19-67: --input, --output, --no-show, --genai,
 --model, --max-iters, --plan-only, --no-redact, --verbose, plus the
-mdx-only --batch for whole-series / directory runs on the device mesh).
+mdx-only --batch / --resume / --autotune / --window for whole-series and
+directory runs on the device mesh, and --spatial for sharding one very
+large slice across all chips).
 """
 
 from __future__ import annotations
@@ -66,6 +68,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="mdx extension: apply each sample's stored "
                              "DICOM VOI window before QA (mixed-modality "
                              "streams)")
+    parser.add_argument("--spatial", action="store_true",
+                        help="mdx extension: shard ONE very large slice "
+                             "spatially across all chips (2-D row×col "
+                             "tiles when extents allow, else 1-D row "
+                             "blocks) and run the halo-local QA chain")
     return parser.parse_args(argv)
 
 
@@ -84,7 +91,13 @@ def main(argv=None) -> int:
         os.environ["MDX_NO_REDACT"] = "1"
 
     try:
-        if args.batch:
+        if args.spatial:
+            from mdx.pipeline.spatial_runner import run_pipeline_spatial
+
+            context = run_pipeline_spatial(
+                input_path=args.input, output_dir=args.output,
+                save_artifacts=True, window=args.window)
+        elif args.batch:
             from mdx.pipeline.batch_runner import run_pipeline_batch
 
             context = run_pipeline_batch(
