@@ -434,14 +434,21 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    unsharp_amount: jnp.ndarray,
                    bilateral_sigma_color: jnp.ndarray,
                    bilateral_sigma_space: jnp.ndarray,
-                   *, bilateral_d: int) -> jnp.ndarray:
-    """Halo-local enhancement subset on row blocks:
-    gamma → unsharp → bilateral.
+                   clahe_clip: jnp.ndarray,
+                   *, bilateral_d: int, clahe_tile: int = 0) -> jnp.ndarray:
+    """Halo-local enhancement subset on row blocks, in reference chain
+    order (ref pipeline/enhancement.py:277-307):
+    CLAHE → gamma → unsharp → bilateral.
 
-    The spatially-local ops are the ones that matter for single-huge-slice
-    latency; the globally-coupled ops (multi-level wavelet denoise, CLAHE)
-    stay on the batch-sharded path where they are exact.
+    CLAHE shards exactly (per-tile LUTs are local; one halo tile-row of
+    LUTs moves over ICI — mdx/parallel/clahe_sp.py); ``clahe_tile=0``
+    disables it.  Multi-level wavelet denoise stays on the batch-sharded
+    path (deep levels outgrow the single-hop halo).
     """
+    if clahe_tile > 0:
+        from mdx.parallel.clahe_sp import clahe_sharded
+
+        x = clahe_sharded(x, clahe_clip, clahe_tile, _AXIS)
     y = jnp.power(jnp.maximum(x, 0.0), gamma)
     blur = _gaussian_blur_halo(y, unsharp_radius)
     # skimage unsharp_mask clips to [0,1] inside the op
@@ -452,14 +459,28 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
     return jnp.clip(y, 0.0, 1.0)
 
 
+def _check_clahe_tiles(x: jnp.ndarray, mesh: Mesh,
+                       clahe_tile: int) -> None:
+    if not clahe_tile:
+        return
+    k = mesh.shape[_AXIS]
+    if (x.shape[1] // k) % clahe_tile or x.shape[2] % clahe_tile:
+        raise ValueError(
+            f"sharded CLAHE needs per-shard rows ({x.shape[1]}/{k}) and "
+            f"W={x.shape[2]} to be multiples of tile_size={clahe_tile}")
+
+
 def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                     unsharp_radius: float = 0.8,
                     unsharp_amount: float = 0.5,
                     bilateral_d: int = 0,
                     bilateral_sigma_color: float = 0.05,
-                    bilateral_sigma_space: float = 0.05) -> jnp.ndarray:
-    """Spatially-sharded gamma → unsharp → bilateral enhancement of
-    [N,H,W] row blocks."""
+                    bilateral_sigma_space: float = 0.05,
+                    clahe_clip_limit: float | None = None,
+                    clahe_tile_size: int = 16) -> jnp.ndarray:
+    """Spatially-sharded [CLAHE →] gamma → unsharp → bilateral enhancement
+    of [N,H,W] row blocks (CLAHE joins the chain when
+    ``clahe_clip_limit`` is given)."""
     k = mesh.shape[_AXIS]
     if x.shape[1] % k or x.shape[1] // k < _MIN_ROWS_PER_SHARD:
         raise ValueError(
@@ -467,22 +488,27 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
             f"rows per shard for the single-hop stencil halos (max usable "
             f"space axis for H={x.shape[1]} is "
             f"{x.shape[1] // _MIN_ROWS_PER_SHARD})")
+    clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
+    _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
-    return _enhance_program(mesh, int(bilateral_d))(
+    return _enhance_program(mesh, int(bilateral_d), clahe_tile)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
-        jnp.float32(bilateral_sigma_space))
+        jnp.float32(bilateral_sigma_space),
+        jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
+                    else 0.0))
 
 
 @lru_cache(maxsize=16)
-def _enhance_program(mesh: Mesh, bilateral_d: int):
-    """Compiled spatial enhancement per (mesh, bilateral diameter); the
-    continuous parameters are traced (replicated) inputs, so parameter
-    sweeps reuse one program."""
+def _enhance_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0):
+    """Compiled spatial enhancement per (mesh, bilateral diameter, CLAHE
+    tile); the continuous parameters are traced (replicated) inputs, so
+    parameter sweeps reuse one program."""
     return jax.jit(shard_map(
-        partial(_enhance_block, bilateral_d=bilateral_d),
+        partial(_enhance_block, bilateral_d=bilateral_d,
+                clahe_tile=clahe_tile),
         mesh=mesh,
-        in_specs=(P("data", _AXIS, None), P(), P(), P(), P(), P()),
+        in_specs=(P("data", _AXIS, None), P(), P(), P(), P(), P(), P()),
         out_specs=P("data", _AXIS, None),
         check_vma=False,
     ))
@@ -535,14 +561,15 @@ def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
 
 
 def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
-              bilateral_sigma_color, bilateral_sigma_space, *, bilateral_d):
+              bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
+              *, bilateral_d, clahe_tile=0):
     from mdx.core.metrics import THRESHOLDS
 
     before = _image_stats_block(xb)
     enhanced = _enhance_block(
         xb, gamma, unsharp_radius, unsharp_amount,
-        bilateral_sigma_color, bilateral_sigma_space,
-        bilateral_d=bilateral_d)
+        bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
+        bilateral_d=bilateral_d, clahe_tile=clahe_tile)
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
@@ -566,12 +593,13 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
 
 
 @lru_cache(maxsize=16)
-def _qa_program(mesh: Mesh, bilateral_d: int):
-    """Compiled full spatial QA per (mesh, bilateral diameter)."""
+def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0):
+    """Compiled full spatial QA per (mesh, bilateral diameter, CLAHE
+    tile)."""
     return jax.jit(shard_map(
-        partial(_qa_block, bilateral_d=bilateral_d),
+        partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile),
         mesh=mesh,
-        in_specs=(P("data", _AXIS, None), P(), P(), P(), P(), P()),
+        in_specs=(P("data", _AXIS, None), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data", _AXIS, None),
                    P("data"), P("data"), P("data"), P("data")),
         check_vma=False))
@@ -587,12 +615,15 @@ def qa_spatial(
     bilateral_d: int = 5,
     bilateral_sigma_color: float = 0.05,
     bilateral_sigma_space: float = 0.05,
+    clahe_clip_limit: float | None = None,
+    clahe_tile_size: int = 16,
 ) -> dict:
     """Full spatially-sharded QA on huge slices: one SPMD program running
     detect → halo-local enhancement → before/after metrics + SSIM/PSNR +
     the reference's three-way pass rule — entirely on the (data × space)
-    mesh.  Globally-coupled ops (wavelet denoise, CLAHE) are not in this
-    chain; route slices that need them through the batch-sharded path.
+    mesh.  ``clahe_clip_limit`` adds the exactly-sharded CLAHE
+    (mdx/parallel/clahe_sp.py) at the head of the chain; multi-level
+    wavelet denoise stays on the batch-sharded path.
 
     Returns {stats_before, stats_after, issues, enhanced, ssim, psnr,
     quality_improvement, passes} with [N]-shaped scalars replicated and
@@ -611,12 +642,16 @@ def qa_spatial(
             f"{h // _MIN_ROWS_PER_SHARD}); use fewer spatial shards or the "
             f"batch-sharded path")
 
+    clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
+    _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     before, after, enhanced, s, p, qi, passes = _qa_program(
-        mesh, int(bilateral_d))(
+        mesh, int(bilateral_d), clahe_tile)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
-        jnp.float32(bilateral_sigma_space))
+        jnp.float32(bilateral_sigma_space),
+        jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
+                    else 0.0))
     from mdx.core.metrics import detect_issues
 
     return {

@@ -31,8 +31,9 @@ Topology (all inside one ``shard_map``-compiled SPMD program on a
 
 Metric formulas mirror ref pipeline/metrics.py:42-217 (per-formula
 citations in mdx/core/metrics.py); the enhance subset mirrors
-ref pipeline/enhancement.py:283-307 (gamma → unsharp → bilateral — the
-halo-local ops; globally-coupled denoise/CLAHE stay on the batch path).
+ref pipeline/enhancement.py:277-307 (optional sharded CLAHE → gamma →
+unsharp → bilateral; only multi-level wavelet denoise stays on the batch
+path — its deep levels outgrow the single-hop halo).
 """
 
 from __future__ import annotations
@@ -433,10 +434,18 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    unsharp_amount: jnp.ndarray,
                    bilateral_sigma_color: jnp.ndarray,
                    bilateral_sigma_space: jnp.ndarray,
-                   *, bilateral_d: int) -> jnp.ndarray:
-    """Halo-local enhancement subset on tiles: gamma → unsharp → bilateral
-    (ref pipeline/enhancement.py:283-307; globally-coupled denoise/CLAHE
-    stay on the batch-sharded path, as in the 1-D layer)."""
+                   clahe_clip: jnp.ndarray,
+                   *, bilateral_d: int, clahe_tile: int = 0) -> jnp.ndarray:
+    """Halo-local enhancement subset on tiles, in reference chain order
+    (ref pipeline/enhancement.py:277-307): CLAHE → gamma → unsharp →
+    bilateral.  CLAHE shards exactly over both axes (one halo tile-row and
+    tile-column of LUTs — mdx/parallel/clahe_sp.py); ``clahe_tile=0``
+    disables it.  Multi-level wavelet denoise stays on the batch-sharded
+    path (deep levels outgrow the single-hop halo)."""
+    if clahe_tile > 0:
+        from mdx.parallel.clahe_sp import clahe_sharded
+
+        x = clahe_sharded(x, clahe_clip, clahe_tile, _AY, _AX)
     y = jnp.power(jnp.maximum(x, 0.0), gamma)
     blur = _gaussian_blur_halo(y, unsharp_radius)
     y = jnp.clip(y + (y - blur) * unsharp_amount, 0.0, 1.0)
@@ -446,27 +455,47 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
     return jnp.clip(y, 0.0, 1.0)
 
 
+def _check_clahe_tiles(x: jnp.ndarray, mesh: Mesh,
+                       clahe_tile: int) -> None:
+    if not clahe_tile:
+        return
+    ky, kx = mesh.shape[_AY], mesh.shape[_AX]
+    if (x.shape[1] // ky) % clahe_tile or (x.shape[2] // kx) % clahe_tile:
+        raise ValueError(
+            f"sharded CLAHE needs per-shard rows ({x.shape[1]}/{ky}) and "
+            f"cols ({x.shape[2]}/{kx}) to be multiples of "
+            f"tile_size={clahe_tile}")
+
+
 def enhance_spatial2d(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                       unsharp_radius: float = 0.8,
                       unsharp_amount: float = 0.5,
                       bilateral_d: int = 0,
                       bilateral_sigma_color: float = 0.05,
-                      bilateral_sigma_space: float = 0.05) -> jnp.ndarray:
-    """Tile-sharded gamma → unsharp → bilateral enhancement of [N,H,W]."""
+                      bilateral_sigma_space: float = 0.05,
+                      clahe_clip_limit: float | None = None,
+                      clahe_tile_size: int = 16) -> jnp.ndarray:
+    """Tile-sharded [CLAHE →] gamma → unsharp → bilateral enhancement of
+    [N,H,W] (CLAHE joins the chain when ``clahe_clip_limit`` is given)."""
     _check_tiles(x, mesh)
+    clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
+    _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
-    return _enhance_program(mesh, int(bilateral_d))(
+    return _enhance_program(mesh, int(bilateral_d), clahe_tile)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
-        jnp.float32(bilateral_sigma_space))
+        jnp.float32(bilateral_sigma_space),
+        jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
+                    else 0.0))
 
 
 @lru_cache(maxsize=16)
-def _enhance_program(mesh: Mesh, bilateral_d: int):
+def _enhance_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0):
     return jax.jit(shard_map(
-        partial(_enhance_block, bilateral_d=bilateral_d),
+        partial(_enhance_block, bilateral_d=bilateral_d,
+                clahe_tile=clahe_tile),
         mesh=mesh,
-        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P()),
+        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P(), P()),
         out_specs=P("data", _AY, _AX),
         check_vma=False,
     ))
@@ -520,14 +549,15 @@ def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
 
 
 def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
-              bilateral_sigma_color, bilateral_sigma_space, *, bilateral_d):
+              bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
+              *, bilateral_d, clahe_tile=0):
     from mdx.core.metrics import THRESHOLDS
 
     before = _image_stats_block(xb)
     enhanced = _enhance_block(
         xb, gamma, unsharp_radius, unsharp_amount,
-        bilateral_sigma_color, bilateral_sigma_space,
-        bilateral_d=bilateral_d)
+        bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
+        bilateral_d=bilateral_d, clahe_tile=clahe_tile)
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
@@ -551,11 +581,11 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
 
 
 @lru_cache(maxsize=16)
-def _qa_program(mesh: Mesh, bilateral_d: int):
+def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0):
     return jax.jit(shard_map(
-        partial(_qa_block, bilateral_d=bilateral_d),
+        partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile),
         mesh=mesh,
-        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P()),
+        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data", _AY, _AX),
                    P("data"), P("data"), P("data"), P("data")),
         check_vma=False))
@@ -571,20 +601,27 @@ def qa_spatial2d(
     bilateral_d: int = 5,
     bilateral_sigma_color: float = 0.05,
     bilateral_sigma_space: float = 0.05,
+    clahe_clip_limit: float | None = None,
+    clahe_tile_size: int = 16,
 ) -> dict:
     """Full tile-sharded QA on huge slices: detect → halo-local enhancement
     → before/after metrics + SSIM/PSNR + the reference's three-way pass
     rule (ref pipeline/metrics.py:282-286), entirely on the
     (data × sy × sx) mesh.  Same contract as
     :func:`mdx.parallel.spatial.qa_spatial`, with the space ceiling lifted
-    to (H/16)·(W/16) shards."""
+    to (H/16)·(W/16) shards; ``clahe_clip_limit`` adds the exactly-sharded
+    CLAHE at the head of the chain."""
     _check_tiles(x, mesh)
+    clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
+    _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
     before, after, enhanced, s, p, qi, passes = _qa_program(
-        mesh, int(bilateral_d))(
+        mesh, int(bilateral_d), clahe_tile)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
-        jnp.float32(bilateral_sigma_space))
+        jnp.float32(bilateral_sigma_space),
+        jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
+                    else 0.0))
     from mdx.core.metrics import detect_issues
 
     return {

@@ -96,13 +96,25 @@ def run_pipeline_spatial(
             from mdx.parallel import make_mesh
             mesh = make_mesh(n_data=1, n_space=sy)
 
+    # Sharded CLAHE (exact — mdx/parallel/clahe_sp.py) joins the chain
+    # whenever the per-shard extents are tile-size multiples.
+    t = 16
+    if "sx" in mesh.shape:
+        ky, kx = mesh.shape["sy"], mesh.shape["sx"]
+        clahe_ok = (h // ky) % t == 0 and (w // kx) % t == 0
+    else:
+        clahe_ok = (h // mesh.shape["space"]) % t == 0 and w % t == 0
+    clahe_clip = 0.02 if clahe_ok else None
+
     if "sx" in mesh.shape:
         from mdx.parallel import spatial2d
-        out = spatial2d.qa_spatial2d(x, mesh, bilateral_d=bilateral_d)
+        out = spatial2d.qa_spatial2d(x, mesh, bilateral_d=bilateral_d,
+                                     clahe_clip_limit=clahe_clip)
         layout = {"sy": mesh.shape["sy"], "sx": mesh.shape["sx"]}
     else:
         from mdx.parallel import spatial
-        out = spatial.qa_spatial(x, mesh, bilateral_d=bilateral_d)
+        out = spatial.qa_spatial(x, mesh, bilateral_d=bilateral_d,
+                                 clahe_clip_limit=clahe_clip)
         layout = {"space": mesh.shape["space"]}
 
     stats = {k: float(np.asarray(out["stats_before"][k])[0])
@@ -138,8 +150,12 @@ def run_pipeline_spatial(
         f"quality improvement {validation['quality_improvement']:.4f} → "
         f"**{'PASS' if validation['passes'] else 'FAIL'}**",
         "",
-        "_Spatial chain: gamma → unsharp → bilateral (halo-local ops; "
-        "wavelet denoise and CLAHE run on the batch-sharded path)._",
+        ("_Spatial chain: CLAHE → gamma → unsharp → bilateral (CLAHE "
+         "sharded exactly over the tile grid; wavelet denoise runs on the "
+         "batch-sharded path)._" if clahe_clip is not None else
+         "_Spatial chain: gamma → unsharp → bilateral (extents not "
+         "tile-aligned for sharded CLAHE; wavelet denoise and CLAHE run "
+         "on the batch-sharded path)._"),
     ]
     report_md = "\n".join(lines)
 
@@ -157,7 +173,8 @@ def run_pipeline_spatial(
                 metadata_summary=meta, issues=issues,
                 metrics_before=stats, metrics_after=stats_after,
                 plan_json="", validation=validation,
-                applied_ops=["gamma", "unsharp", "bilateral"],
+                applied_ops=((["clahe"] if clahe_clip is not None else [])
+                             + ["gamma", "unsharp", "bilateral"]),
                 explainability={}, report_path=report_path,
                 before_after_path="", agent_logs=[], status="completed")
         except Exception as exc:
