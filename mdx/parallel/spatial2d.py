@@ -434,14 +434,16 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    unsharp_amount: jnp.ndarray,
                    bilateral_sigma_color: jnp.ndarray,
                    bilateral_sigma_space: jnp.ndarray,
-                   clahe_clip: jnp.ndarray,
-                   *, bilateral_d: int, clahe_tile: int = 0) -> jnp.ndarray:
+                   clahe_clip: jnp.ndarray, tv_weight: jnp.ndarray,
+                   *, bilateral_d: int, clahe_tile: int = 0,
+                   use_tv: bool = False) -> jnp.ndarray:
     """Halo-local enhancement subset on tiles, in reference chain order
-    (ref pipeline/enhancement.py:277-307): CLAHE → gamma → unsharp →
-    bilateral.  CLAHE shards exactly over both axes (one halo tile-row and
-    tile-column of LUTs — mdx/parallel/clahe_sp.py); ``clahe_tile=0``
-    disables it.  Multi-level wavelet denoise stays on the batch-sharded
-    path (deep levels outgrow the single-hop halo)."""
+    (ref pipeline/enhancement.py:277-312): CLAHE → gamma → unsharp →
+    bilateral → TV.  CLAHE shards exactly over both axes (one halo
+    tile-row and tile-column of LUTs — mdx/parallel/clahe_sp.py);
+    TV-Chambolle shards with one-row/col halos per dual-ascent iteration
+    (mdx/parallel/tv_sp.py).  Multi-level wavelet denoise stays on the
+    batch-sharded path (deep levels outgrow the single-hop halo)."""
     if clahe_tile > 0:
         from mdx.parallel.clahe_sp import clahe_sharded
 
@@ -452,6 +454,10 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
     if bilateral_d > 0:
         y = _bilateral_halo(jnp.clip(y, 0.0, 1.0), bilateral_d,
                             bilateral_sigma_color, bilateral_sigma_space)
+    if use_tv:
+        from mdx.parallel.tv_sp import tv_sharded
+
+        y = tv_sharded(jnp.clip(y, 0.0, 1.0), tv_weight, _AY, _AX)
     return jnp.clip(y, 0.0, 1.0)
 
 
@@ -474,28 +480,34 @@ def enhance_spatial2d(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                       bilateral_sigma_color: float = 0.05,
                       bilateral_sigma_space: float = 0.05,
                       clahe_clip_limit: float | None = None,
-                      clahe_tile_size: int = 16) -> jnp.ndarray:
-    """Tile-sharded [CLAHE →] gamma → unsharp → bilateral enhancement of
-    [N,H,W] (CLAHE joins the chain when ``clahe_clip_limit`` is given)."""
+                      clahe_tile_size: int = 16,
+                      tv_weight: float | None = None) -> jnp.ndarray:
+    """Tile-sharded [CLAHE →] gamma → unsharp → bilateral [→ TV]
+    enhancement of [N,H,W] (CLAHE / TV join the chain when
+    ``clahe_clip_limit`` / ``tv_weight`` are given)."""
     _check_tiles(x, mesh)
     clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
-    return _enhance_program(mesh, int(bilateral_d), clahe_tile)(
+    return _enhance_program(mesh, int(bilateral_d), clahe_tile,
+                            tv_weight is not None)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
         jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
-                    else 0.0))
+                    else 0.0),
+        jnp.float32(tv_weight if tv_weight is not None else 0.0))
 
 
 @lru_cache(maxsize=16)
-def _enhance_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0):
+def _enhance_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
+                     use_tv: bool = False):
     return jax.jit(shard_map(
         partial(_enhance_block, bilateral_d=bilateral_d,
-                clahe_tile=clahe_tile),
+                clahe_tile=clahe_tile, use_tv=use_tv),
         mesh=mesh,
-        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P(), P()),
+        in_specs=(P("data", _AY, _AX),
+                  P(), P(), P(), P(), P(), P(), P()),
         out_specs=P("data", _AY, _AX),
         check_vma=False,
     ))
@@ -550,14 +562,15 @@ def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
 
 def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
               bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
-              *, bilateral_d, clahe_tile=0):
+              tv_weight, *, bilateral_d, clahe_tile=0, use_tv=False):
     from mdx.core.metrics import THRESHOLDS
 
     before = _image_stats_block(xb)
     enhanced = _enhance_block(
         xb, gamma, unsharp_radius, unsharp_amount,
         bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
-        bilateral_d=bilateral_d, clahe_tile=clahe_tile)
+        tv_weight, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
+        use_tv=use_tv)
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
@@ -581,11 +594,14 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
 
 
 @lru_cache(maxsize=16)
-def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0):
+def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
+                use_tv: bool = False):
     return jax.jit(shard_map(
-        partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile),
+        partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
+                use_tv=use_tv),
         mesh=mesh,
-        in_specs=(P("data", _AY, _AX), P(), P(), P(), P(), P(), P()),
+        in_specs=(P("data", _AY, _AX),
+                  P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data", _AY, _AX),
                    P("data"), P("data"), P("data"), P("data")),
         check_vma=False))
@@ -603,6 +619,7 @@ def qa_spatial2d(
     bilateral_sigma_space: float = 0.05,
     clahe_clip_limit: float | None = None,
     clahe_tile_size: int = 16,
+    tv_weight: float | None = None,
 ) -> dict:
     """Full tile-sharded QA on huge slices: detect → halo-local enhancement
     → before/after metrics + SSIM/PSNR + the reference's three-way pass
@@ -610,18 +627,20 @@ def qa_spatial2d(
     (data × sy × sx) mesh.  Same contract as
     :func:`mdx.parallel.spatial.qa_spatial`, with the space ceiling lifted
     to (H/16)·(W/16) shards; ``clahe_clip_limit`` adds the exactly-sharded
-    CLAHE at the head of the chain."""
+    CLAHE at the head of the chain and ``tv_weight`` the sharded
+    TV-Chambolle at its tail."""
     _check_tiles(x, mesh)
     clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
     before, after, enhanced, s, p, qi, passes = _qa_program(
-        mesh, int(bilateral_d), clahe_tile)(
+        mesh, int(bilateral_d), clahe_tile, tv_weight is not None)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
         jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
-                    else 0.0))
+                    else 0.0),
+        jnp.float32(tv_weight if tv_weight is not None else 0.0))
     from mdx.core.metrics import detect_issues
 
     return {

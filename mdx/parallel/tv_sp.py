@@ -1,0 +1,144 @@
+"""Spatially-sharded TV-Chambolle denoise (dual ascent across the mesh).
+
+Ref pipeline/enhancement.py:309-312 (skimage ``denoise_tv_chambolle``)
+with the same dual-ascent iteration and |E_prev − E| < eps·E_init stop as
+``mdx.ops.tv.tv_chambolle_xla``, distributed over 1-D row blocks or the
+2-D ``sy × sx`` tile grid:
+
+* The divergence's backward shifts and the gradient's forward diffs each
+  need ONE row (and column, for 2-D) of neighbour state per iteration —
+  a [N, 1, Ws] ``ppermute`` per direction inside the ``while_loop`` body;
+  global-edge shards substitute the dense op's boundary behaviour (no
+  divergence contribution above the first row; zero gradient past the
+  last).
+* The energy terms (Σd², Σ‖∇out‖) psum over the mesh axes, so every
+  shard sees the same per-image energies and the converged-mask control
+  flow stays replicated — the loop trip count is identical on all shards.
+
+Numerics match the dense solve except for psum summation order in the
+energies (≤ ~1e-7 relative), which can only matter if an image sits
+exactly on the stop threshold at some iteration; parity is asserted in
+tests/test_spatial_tv.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def _shift_from_prev(v: jnp.ndarray, axis: int, mesh_axis: str
+                     ) -> jnp.ndarray:
+    """Backward shift along ``axis`` across shards: slot i receives
+    global element i−1 (zero at the global start) — the divergence's
+    ``d[1:] += p[:-1]`` contribution."""
+    k = lax.axis_size(mesh_axis)
+    idx = lax.axis_index(mesh_axis)
+    sl = [slice(None)] * v.ndim
+    sl[axis] = slice(v.shape[axis] - 1, None)
+    from_prev = lax.ppermute(v[tuple(sl)], mesh_axis,
+                             [(j, j + 1) for j in range(k - 1)])
+    edge = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
+    sl_body = [slice(None)] * v.ndim
+    sl_body[axis] = slice(0, v.shape[axis] - 1)
+    return jnp.concatenate([edge, v[tuple(sl_body)]], axis=axis)
+
+
+def _diff_with_next(v: jnp.ndarray, axis: int, mesh_axis: str
+                    ) -> jnp.ndarray:
+    """Forward difference along ``axis`` across shards: slot i gets
+    global v[i+1] − v[i], zero at the global end (the dense op's
+    end-padded ``jnp.diff``)."""
+    k = lax.axis_size(mesh_axis)
+    idx = lax.axis_index(mesh_axis)
+    sl = [slice(None)] * v.ndim
+    sl[axis] = slice(0, 1)
+    from_next = lax.ppermute(v[tuple(sl)], mesh_axis,
+                             [(j + 1, j) for j in range(k - 1)])
+    sl_last = [slice(None)] * v.ndim
+    sl_last[axis] = slice(v.shape[axis] - 1, None)
+    # at the global end the appended row equals v's own last row → diff 0
+    nxt = jnp.where(idx == k - 1, v[tuple(sl_last)], from_next)
+    ext = jnp.concatenate([v, nxt], axis=axis)
+    sl_hi = [slice(None)] * v.ndim
+    sl_hi[axis] = slice(1, None)
+    return ext[tuple(sl_hi)] - v
+
+
+def tv_sharded(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    row_axis: str,
+    col_axis: str | None = None,
+    eps: float = 2e-4,
+    max_iter: int = 200,
+) -> jnp.ndarray:
+    """TV-Chambolle on spatially-sharded [N, Hs, Ws] blocks (runs under
+    shard_map).  ``col_axis=None`` = 1-D row blocks (columns local)."""
+    axes = (row_axis,) if col_axis is None else (row_axis, col_axis)
+    n, hs, ws = x.shape
+    weight = jnp.broadcast_to(jnp.asarray(weight, x.dtype),
+                              (n,))[:, None, None]
+    size = lax.psum(jnp.asarray(float(hs * ws), x.dtype), axes)
+    tau = 0.25
+
+    def _div(p):
+        d = -(p[:, 0] + p[:, 1])
+        d = d + _shift_from_prev(p[:, 0], 1, row_axis)
+        if col_axis is None:
+            d = d.at[:, :, 1:].add(p[:, 1, :, :-1])
+        else:
+            d = d + _shift_from_prev(p[:, 1], 2, col_axis)
+        return d
+
+    def _grads(out):
+        gy = _diff_with_next(out, 1, row_axis)
+        if col_axis is None:
+            gx = jnp.pad(jnp.diff(out, axis=2), ((0, 0), (0, 0), (0, 1)))
+        else:
+            gx = _diff_with_next(out, 2, col_axis)
+        return gy, gx
+
+    def _energy_and_out(p, first):
+        if first:
+            d = jnp.zeros_like(x)
+            out = x
+        else:
+            d = _div(p)
+            out = x + d
+        e = lax.psum(jnp.sum(d * d, axis=(1, 2)), axes)
+        gy, gx = _grads(out)
+        norm = jnp.sqrt(gy * gy + gx * gx)
+        e = (e + weight[:, 0, 0]
+             * lax.psum(jnp.sum(norm, axis=(1, 2)), axes)) / size
+        return out, gy, gx, norm, e
+
+    def _update_p(p, gy, gx, norm, active):
+        scale = norm * tau / weight + 1.0
+        new_p = jnp.stack([
+            (p[:, 0] - tau * gy) / scale,
+            (p[:, 1] - tau * gx) / scale,
+        ], axis=1)
+        return jnp.where(active[:, None, None, None], new_p, p)
+
+    p0 = jnp.zeros((n, 2, hs, ws), x.dtype)
+    out0, gy, gx, norm, e0 = _energy_and_out(p0, first=True)
+    p1 = _update_p(p0, gy, gx, norm, jnp.ones((n,), bool))
+
+    def cond(state):
+        i, p, out, e_prev, active = state
+        return jnp.logical_and(i < max_iter, jnp.any(active))
+
+    def body(state):
+        i, p, out, e_prev, active = state
+        new_out, gy, gx, norm, e = _energy_and_out(p, first=False)
+        out = jnp.where(active[:, None, None], new_out, out)
+        p = _update_p(p, gy, gx, norm, active)
+        still = jnp.abs(e_prev - e) >= eps * e0
+        active = jnp.logical_and(active, still)
+        e_prev = jnp.where(active, e, e_prev)
+        return (i + 1, p, out, e_prev, active)
+
+    _, _, out, _, _ = lax.while_loop(
+        cond, body, (jnp.asarray(1), p1, out0, e0, jnp.ones((n,), bool)))
+    return out
