@@ -435,19 +435,25 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    bilateral_sigma_color: jnp.ndarray,
                    bilateral_sigma_space: jnp.ndarray,
                    clahe_clip: jnp.ndarray, tv_weight: jnp.ndarray,
+                   post_denoise_strength: jnp.ndarray,
                    *, bilateral_d: int, clahe_tile: int = 0,
-                   use_tv: bool = False) -> jnp.ndarray:
-    """Halo-local enhancement subset on row blocks, in reference chain
-    order (ref pipeline/enhancement.py:277-312):
-    CLAHE → gamma → unsharp → bilateral → TV.
+                   use_tv: bool = False, use_denoise: bool = False,
+                   use_post_denoise: bool = False) -> jnp.ndarray:
+    """Sharded enhancement chain on row blocks, in reference chain order
+    (ref pipeline/enhancement.py:270-312):
+    denoise → CLAHE → gamma → unsharp → post_denoise → bilateral → TV.
 
-    CLAHE shards exactly (per-tile LUTs are local; one halo tile-row of
-    LUTs moves over ICI — mdx/parallel/clahe_sp.py); ``clahe_tile=0``
-    disables it.  TV-Chambolle shards with a one-row halo per dual-ascent
-    iteration and psum'd energies (mdx/parallel/tv_sp.py).  Multi-level
-    wavelet denoise stays on the batch-sharded path (deep levels outgrow
-    the single-hop halo).
+    Every op shards exactly: wavelet denoise via per-shard db1 transforms
+    + a tiny coarse-level gather (mdx/parallel/wavelet_sp.py), CLAHE via
+    one halo tile-row of LUTs (mdx/parallel/clahe_sp.py), TV-Chambolle
+    via one-row halos per dual-ascent iteration (mdx/parallel/tv_sp.py).
+    Static flags gate the ops (jit cache key), continuous parameters are
+    traced.
     """
+    if use_denoise:
+        from mdx.parallel.wavelet_sp import denoise_wavelet_sharded
+
+        x = jnp.clip(denoise_wavelet_sharded(x, _AXIS), 0.0, 1.0)
     if clahe_tile > 0:
         from mdx.parallel.clahe_sp import clahe_sharded
 
@@ -456,6 +462,11 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
     blur = _gaussian_blur_halo(y, unsharp_radius)
     # skimage unsharp_mask clips to [0,1] inside the op
     y = jnp.clip(y + (y - blur) * unsharp_amount, 0.0, 1.0)
+    if use_post_denoise:
+        from mdx.parallel.wavelet_sp import light_denoise_sharded
+
+        y = light_denoise_sharded(
+            y, post_denoise_strength, estimate_sigma_spatial(y), _AXIS)
     if bilateral_d > 0:
         y = _bilateral_halo(jnp.clip(y, 0.0, 1.0), bilateral_d,
                             bilateral_sigma_color, bilateral_sigma_space)
@@ -485,10 +496,14 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                     bilateral_sigma_space: float = 0.05,
                     clahe_clip_limit: float | None = None,
                     clahe_tile_size: int = 16,
-                    tv_weight: float | None = None) -> jnp.ndarray:
-    """Spatially-sharded [CLAHE →] gamma → unsharp → bilateral [→ TV]
-    enhancement of [N,H,W] row blocks (CLAHE / TV join the chain when
-    ``clahe_clip_limit`` / ``tv_weight`` are given)."""
+                    tv_weight: float | None = None,
+                    denoise: bool = False,
+                    post_denoise_strength: float | None = None
+                    ) -> jnp.ndarray:
+    """Spatially-sharded enhancement of [N,H,W] row blocks in reference
+    chain order — [denoise →] [CLAHE →] gamma → unsharp →
+    [post_denoise →] bilateral [→ TV]; the optional ops join when their
+    parameter is given (all shard exactly, see the _sp modules)."""
     k = mesh.shape[_AXIS]
     if x.shape[1] % k or x.shape[1] // k < _MIN_ROWS_PER_SHARD:
         raise ValueError(
@@ -500,27 +515,33 @@ def enhance_spatial(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     return _enhance_program(mesh, int(bilateral_d), clahe_tile,
-                            tv_weight is not None)(
+                            tv_weight is not None, bool(denoise),
+                            post_denoise_strength is not None)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
         jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
                     else 0.0),
-        jnp.float32(tv_weight if tv_weight is not None else 0.0))
+        jnp.float32(tv_weight if tv_weight is not None else 0.0),
+        jnp.float32(post_denoise_strength
+                    if post_denoise_strength is not None else 0.0))
 
 
 @lru_cache(maxsize=16)
 def _enhance_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
-                     use_tv: bool = False):
-    """Compiled spatial enhancement per (mesh, bilateral diameter, CLAHE
-    tile, TV flag); the continuous parameters are traced (replicated)
-    inputs, so parameter sweeps reuse one program."""
+                     use_tv: bool = False, use_denoise: bool = False,
+                     use_post_denoise: bool = False):
+    """Compiled spatial enhancement per (mesh, static op gates); the
+    continuous parameters are traced (replicated) inputs, so parameter
+    sweeps reuse one program."""
     return jax.jit(shard_map(
         partial(_enhance_block, bilateral_d=bilateral_d,
-                clahe_tile=clahe_tile, use_tv=use_tv),
+                clahe_tile=clahe_tile, use_tv=use_tv,
+                use_denoise=use_denoise,
+                use_post_denoise=use_post_denoise),
         mesh=mesh,
         in_specs=(P("data", _AXIS, None),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P("data", _AXIS, None),
         check_vma=False,
     ))
@@ -574,15 +595,18 @@ def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
 
 def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
               bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
-              tv_weight, *, bilateral_d, clahe_tile=0, use_tv=False):
+              tv_weight, post_denoise_strength, *, bilateral_d,
+              clahe_tile=0, use_tv=False, use_denoise=False,
+              use_post_denoise=False):
     from mdx.core.metrics import THRESHOLDS
 
     before = _image_stats_block(xb)
     enhanced = _enhance_block(
         xb, gamma, unsharp_radius, unsharp_amount,
         bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
-        tv_weight, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
-        use_tv=use_tv)
+        tv_weight, post_denoise_strength, bilateral_d=bilateral_d,
+        clahe_tile=clahe_tile, use_tv=use_tv, use_denoise=use_denoise,
+        use_post_denoise=use_post_denoise)
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
@@ -607,15 +631,16 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
 
 @lru_cache(maxsize=16)
 def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
-                use_tv: bool = False):
-    """Compiled full spatial QA per (mesh, bilateral diameter, CLAHE
-    tile, TV flag)."""
+                use_tv: bool = False, use_denoise: bool = False,
+                use_post_denoise: bool = False):
+    """Compiled full spatial QA per (mesh, static op gates)."""
     return jax.jit(shard_map(
         partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
-                use_tv=use_tv),
+                use_tv=use_tv, use_denoise=use_denoise,
+                use_post_denoise=use_post_denoise),
         mesh=mesh,
         in_specs=(P("data", _AXIS, None),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data", _AXIS, None),
                    P("data"), P("data"), P("data"), P("data")),
         check_vma=False))
@@ -634,14 +659,16 @@ def qa_spatial(
     clahe_clip_limit: float | None = None,
     clahe_tile_size: int = 16,
     tv_weight: float | None = None,
+    denoise: bool = False,
+    post_denoise_strength: float | None = None,
 ) -> dict:
     """Full spatially-sharded QA on huge slices: one SPMD program running
-    detect → halo-local enhancement → before/after metrics + SSIM/PSNR +
-    the reference's three-way pass rule — entirely on the (data × space)
-    mesh.  ``clahe_clip_limit`` adds the exactly-sharded CLAHE
-    (mdx/parallel/clahe_sp.py) at the head of the chain and ``tv_weight``
-    the sharded TV-Chambolle (mdx/parallel/tv_sp.py) at its tail;
-    multi-level wavelet denoise stays on the batch-sharded path.
+    detect → sharded enhancement chain → before/after metrics + SSIM/PSNR
+    + the reference's three-way pass rule — entirely on the (data × space)
+    mesh.  The full reference op set is available sharded:
+    ``denoise``/``post_denoise_strength`` (mdx/parallel/wavelet_sp.py),
+    ``clahe_clip_limit`` (clahe_sp.py), gamma/unsharp/bilateral (halo
+    stencils), ``tv_weight`` (tv_sp.py) — all in reference chain order.
 
     Returns {stats_before, stats_after, issues, enhanced, ssim, psnr,
     quality_improvement, passes} with [N]-shaped scalars replicated and
@@ -664,13 +691,16 @@ def qa_spatial(
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
     before, after, enhanced, s, p, qi, passes = _qa_program(
-        mesh, int(bilateral_d), clahe_tile, tv_weight is not None)(
+        mesh, int(bilateral_d), clahe_tile, tv_weight is not None,
+        bool(denoise), post_denoise_strength is not None)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
         jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
                     else 0.0),
-        jnp.float32(tv_weight if tv_weight is not None else 0.0))
+        jnp.float32(tv_weight if tv_weight is not None else 0.0),
+        jnp.float32(post_denoise_strength
+                    if post_denoise_strength is not None else 0.0))
     from mdx.core.metrics import detect_issues
 
     return {

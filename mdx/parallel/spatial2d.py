@@ -435,15 +435,21 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
                    bilateral_sigma_color: jnp.ndarray,
                    bilateral_sigma_space: jnp.ndarray,
                    clahe_clip: jnp.ndarray, tv_weight: jnp.ndarray,
+                   post_denoise_strength: jnp.ndarray,
                    *, bilateral_d: int, clahe_tile: int = 0,
-                   use_tv: bool = False) -> jnp.ndarray:
-    """Halo-local enhancement subset on tiles, in reference chain order
-    (ref pipeline/enhancement.py:277-312): CLAHE → gamma → unsharp →
-    bilateral → TV.  CLAHE shards exactly over both axes (one halo
-    tile-row and tile-column of LUTs — mdx/parallel/clahe_sp.py);
-    TV-Chambolle shards with one-row/col halos per dual-ascent iteration
-    (mdx/parallel/tv_sp.py).  Multi-level wavelet denoise stays on the
-    batch-sharded path (deep levels outgrow the single-hop halo)."""
+                   use_tv: bool = False, use_denoise: bool = False,
+                   use_post_denoise: bool = False) -> jnp.ndarray:
+    """Sharded enhancement chain on tiles, in reference chain order
+    (ref pipeline/enhancement.py:270-312): denoise → CLAHE → gamma →
+    unsharp → post_denoise → bilateral → TV.  Every op shards exactly over
+    both axes — wavelet denoise via per-shard db1 transforms + a tiny
+    coarse-level gather (mdx/parallel/wavelet_sp.py), CLAHE via one halo
+    tile-row/col of LUTs (clahe_sp.py), TV via one-row/col halos per
+    dual-ascent iteration (tv_sp.py)."""
+    if use_denoise:
+        from mdx.parallel.wavelet_sp import denoise_wavelet_sharded
+
+        x = jnp.clip(denoise_wavelet_sharded(x, _AY, _AX), 0.0, 1.0)
     if clahe_tile > 0:
         from mdx.parallel.clahe_sp import clahe_sharded
 
@@ -451,6 +457,11 @@ def _enhance_block(x: jnp.ndarray, gamma: jnp.ndarray,
     y = jnp.power(jnp.maximum(x, 0.0), gamma)
     blur = _gaussian_blur_halo(y, unsharp_radius)
     y = jnp.clip(y + (y - blur) * unsharp_amount, 0.0, 1.0)
+    if use_post_denoise:
+        from mdx.parallel.wavelet_sp import light_denoise_sharded
+
+        y = light_denoise_sharded(
+            y, post_denoise_strength, estimate_sigma_2d(y), _AY, _AX)
     if bilateral_d > 0:
         y = _bilateral_halo(jnp.clip(y, 0.0, 1.0), bilateral_d,
                             bilateral_sigma_color, bilateral_sigma_space)
@@ -481,33 +492,42 @@ def enhance_spatial2d(x: jnp.ndarray, mesh: Mesh, *, gamma: float = 1.0,
                       bilateral_sigma_space: float = 0.05,
                       clahe_clip_limit: float | None = None,
                       clahe_tile_size: int = 16,
-                      tv_weight: float | None = None) -> jnp.ndarray:
-    """Tile-sharded [CLAHE →] gamma → unsharp → bilateral [→ TV]
-    enhancement of [N,H,W] (CLAHE / TV join the chain when
-    ``clahe_clip_limit`` / ``tv_weight`` are given)."""
+                      tv_weight: float | None = None,
+                      denoise: bool = False,
+                      post_denoise_strength: float | None = None
+                      ) -> jnp.ndarray:
+    """Tile-sharded enhancement of [N,H,W] in reference chain order —
+    [denoise →] [CLAHE →] gamma → unsharp → [post_denoise →] bilateral
+    [→ TV]; optional ops join when their parameter is given."""
     _check_tiles(x, mesh)
     clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
     return _enhance_program(mesh, int(bilateral_d), clahe_tile,
-                            tv_weight is not None)(
+                            tv_weight is not None, bool(denoise),
+                            post_denoise_strength is not None)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
         jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
                     else 0.0),
-        jnp.float32(tv_weight if tv_weight is not None else 0.0))
+        jnp.float32(tv_weight if tv_weight is not None else 0.0),
+        jnp.float32(post_denoise_strength
+                    if post_denoise_strength is not None else 0.0))
 
 
 @lru_cache(maxsize=16)
 def _enhance_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
-                     use_tv: bool = False):
+                     use_tv: bool = False, use_denoise: bool = False,
+                     use_post_denoise: bool = False):
     return jax.jit(shard_map(
         partial(_enhance_block, bilateral_d=bilateral_d,
-                clahe_tile=clahe_tile, use_tv=use_tv),
+                clahe_tile=clahe_tile, use_tv=use_tv,
+                use_denoise=use_denoise,
+                use_post_denoise=use_post_denoise),
         mesh=mesh,
         in_specs=(P("data", _AY, _AX),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=P("data", _AY, _AX),
         check_vma=False,
     ))
@@ -562,15 +582,18 @@ def _psnr_block(x: jnp.ndarray, y: jnp.ndarray,
 
 def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
               bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
-              tv_weight, *, bilateral_d, clahe_tile=0, use_tv=False):
+              tv_weight, post_denoise_strength, *, bilateral_d,
+              clahe_tile=0, use_tv=False, use_denoise=False,
+              use_post_denoise=False):
     from mdx.core.metrics import THRESHOLDS
 
     before = _image_stats_block(xb)
     enhanced = _enhance_block(
         xb, gamma, unsharp_radius, unsharp_amount,
         bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
-        tv_weight, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
-        use_tv=use_tv)
+        tv_weight, post_denoise_strength, bilateral_d=bilateral_d,
+        clahe_tile=clahe_tile, use_tv=use_tv, use_denoise=use_denoise,
+        use_post_denoise=use_post_denoise)
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
@@ -595,13 +618,15 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
 
 @lru_cache(maxsize=16)
 def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
-                use_tv: bool = False):
+                use_tv: bool = False, use_denoise: bool = False,
+                use_post_denoise: bool = False):
     return jax.jit(shard_map(
         partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
-                use_tv=use_tv),
+                use_tv=use_tv, use_denoise=use_denoise,
+                use_post_denoise=use_post_denoise),
         mesh=mesh,
         in_specs=(P("data", _AY, _AX),
-                  P(), P(), P(), P(), P(), P(), P()),
+                  P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data", _AY, _AX),
                    P("data"), P("data"), P("data"), P("data")),
         check_vma=False))
@@ -620,27 +645,32 @@ def qa_spatial2d(
     clahe_clip_limit: float | None = None,
     clahe_tile_size: int = 16,
     tv_weight: float | None = None,
+    denoise: bool = False,
+    post_denoise_strength: float | None = None,
 ) -> dict:
-    """Full tile-sharded QA on huge slices: detect → halo-local enhancement
-    → before/after metrics + SSIM/PSNR + the reference's three-way pass
-    rule (ref pipeline/metrics.py:282-286), entirely on the
+    """Full tile-sharded QA on huge slices: detect → sharded enhancement
+    chain → before/after metrics + SSIM/PSNR + the reference's three-way
+    pass rule (ref pipeline/metrics.py:282-286), entirely on the
     (data × sy × sx) mesh.  Same contract as
     :func:`mdx.parallel.spatial.qa_spatial`, with the space ceiling lifted
-    to (H/16)·(W/16) shards; ``clahe_clip_limit`` adds the exactly-sharded
-    CLAHE at the head of the chain and ``tv_weight`` the sharded
-    TV-Chambolle at its tail."""
+    to (H/16)·(W/16) shards; the full reference op set is available
+    sharded (``denoise``/``post_denoise_strength``, ``clahe_clip_limit``,
+    ``tv_weight``)."""
     _check_tiles(x, mesh)
     clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AY, _AX)))
     before, after, enhanced, s, p, qi, passes = _qa_program(
-        mesh, int(bilateral_d), clahe_tile, tv_weight is not None)(
+        mesh, int(bilateral_d), clahe_tile, tv_weight is not None,
+        bool(denoise), post_denoise_strength is not None)(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
         jnp.float32(clahe_clip_limit if clahe_clip_limit is not None
                     else 0.0),
-        jnp.float32(tv_weight if tv_weight is not None else 0.0))
+        jnp.float32(tv_weight if tv_weight is not None else 0.0),
+        jnp.float32(post_denoise_strength
+                    if post_denoise_strength is not None else 0.0))
     from mdx.core.metrics import detect_issues
 
     return {
