@@ -597,7 +597,7 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
               bilateral_sigma_color, bilateral_sigma_space, clahe_clip,
               tv_weight, post_denoise_strength, *, bilateral_d,
               clahe_tile=0, use_tv=False, use_denoise=False,
-              use_post_denoise=False):
+              use_post_denoise=False, use_noise_guard=False):
     from mdx.core.metrics import THRESHOLDS
 
     before = _image_stats_block(xb)
@@ -607,6 +607,19 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
         tv_weight, post_denoise_strength, bilateral_d=bilateral_d,
         clahe_tile=clahe_tile, use_tv=use_tv, use_denoise=use_denoise,
         use_post_denoise=use_post_denoise)
+    if use_noise_guard:
+        # noise-amplification safeguard (ref pipeline/enhancement.py:55-63,
+        # 221-226): σ_after > 1.3·σ_before → corrective light_denoise(0.4)
+        from mdx.parallel.wavelet_sp import light_denoise_sharded
+
+        sb = before["sigma"]
+        sa = estimate_sigma_spatial(enhanced)
+        noise_amp = (sb >= 1e-8) & (sa > sb * 1.3)
+        fixed = jnp.clip(light_denoise_sharded(
+            enhanced, jnp.float32(0.4), sa, _AXIS), 0.0, 1.0)
+        enhanced = jnp.where(noise_amp[:, None, None], fixed, enhanced)
+    else:
+        noise_amp = jnp.zeros(xb.shape[0], bool)
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
@@ -626,23 +639,26 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
     passes = ((meets_ssim & meets_psnr)
               | (meets_ssim & meets_improvement)
               | (meets_psnr & meets_improvement & niqe_ok))
-    return before, after, enhanced, s, p, qi, passes
+    return before, after, enhanced, s, p, qi, passes, noise_amp
 
 
 @lru_cache(maxsize=16)
 def _qa_program(mesh: Mesh, bilateral_d: int, clahe_tile: int = 0,
                 use_tv: bool = False, use_denoise: bool = False,
-                use_post_denoise: bool = False):
+                use_post_denoise: bool = False,
+                use_noise_guard: bool = False):
     """Compiled full spatial QA per (mesh, static op gates)."""
     return jax.jit(shard_map(
         partial(_qa_block, bilateral_d=bilateral_d, clahe_tile=clahe_tile,
                 use_tv=use_tv, use_denoise=use_denoise,
-                use_post_denoise=use_post_denoise),
+                use_post_denoise=use_post_denoise,
+                use_noise_guard=use_noise_guard),
         mesh=mesh,
         in_specs=(P("data", _AXIS, None),
                   P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data", _AXIS, None),
-                   P("data"), P("data"), P("data"), P("data")),
+                   P("data"), P("data"), P("data"), P("data"),
+                   P("data")),
         check_vma=False))
 
 
@@ -661,6 +677,7 @@ def qa_spatial(
     tv_weight: float | None = None,
     denoise: bool = False,
     post_denoise_strength: float | None = None,
+    noise_guard: bool = False,
 ) -> dict:
     """Full spatially-sharded QA on huge slices: one SPMD program running
     detect → sharded enhancement chain → before/after metrics + SSIM/PSNR
@@ -690,9 +707,10 @@ def qa_spatial(
     clahe_tile = int(clahe_tile_size) if clahe_clip_limit is not None else 0
     _check_clahe_tiles(x, mesh, clahe_tile)
     x = jax.device_put(x, NamedSharding(mesh, P("data", _AXIS, None)))
-    before, after, enhanced, s, p, qi, passes = _qa_program(
+    before, after, enhanced, s, p, qi, passes, noise_amp = _qa_program(
         mesh, int(bilateral_d), clahe_tile, tv_weight is not None,
-        bool(denoise), post_denoise_strength is not None)(
+        bool(denoise), post_denoise_strength is not None,
+        bool(noise_guard))(
         x, jnp.float32(gamma), jnp.float32(unsharp_radius),
         jnp.float32(unsharp_amount), jnp.float32(bilateral_sigma_color),
         jnp.float32(bilateral_sigma_space),
@@ -712,4 +730,5 @@ def qa_spatial(
         "psnr": p,
         "quality_improvement": qi,
         "passes": passes,
+        "noise_amp_guard": noise_amp,
     }

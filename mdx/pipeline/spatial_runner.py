@@ -65,10 +65,18 @@ def run_pipeline_spatial(
     *,
     save_artifacts: bool = True,
     mesh=None,
-    bilateral_d: int = 5,
     window: bool = False,
 ) -> dict[str, Any]:
-    """QA one (large) DICOM slice spatially sharded across the mesh.
+    """QA one (large) DICOM slice spatially sharded across the mesh,
+    with the reference's DETERMINISTIC issue-driven decisions
+    (ref pipeline/enhancement.py:151-227 = mdx.core.enhance
+    apply_issue_driven): detect → map issues to ops with the conservative
+    defaults (noise→denoise, contrast/clipping→CLAHE, one-sided
+    clipping→gamma 0.95/1.05, blur→unsharp+post_denoise) → sharded
+    enhancement with the noise-amplification safeguard → distributed
+    SSIM/PSNR validation.  Every selected op runs sharded (the _sp
+    modules), so a huge slice gets the same decisions and numerics as the
+    single-chip deterministic path.
 
     With ``mesh=None`` a mesh over all visible devices is built with the
     layout from :func:`choose_layout`; pass an explicit ``(data, sy, sx)``
@@ -77,7 +85,8 @@ def run_pipeline_spatial(
     """
     import jax
 
-    from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS
+    from mdx.core.enhance import DETERMINISTIC_DEFAULTS as PD
+    from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS, detect_issues
     from mdx.io import load_dicom, normalize_image
 
     storage.init_db()
@@ -96,26 +105,50 @@ def run_pipeline_spatial(
             from mdx.parallel import make_mesh
             mesh = make_mesh(n_data=1, n_space=sy)
 
-    # Sharded CLAHE (exact — mdx/parallel/clahe_sp.py) joins the chain
-    # whenever the per-shard extents are tile-size multiples.
-    t = 16
     if "sx" in mesh.shape:
+        from mdx.parallel import spatial2d as sp_mod
+        qa_fn = sp_mod.qa_spatial2d
+        stats_fn = sp_mod.image_stats_spatial2d
         ky, kx = mesh.shape["sy"], mesh.shape["sx"]
-        clahe_ok = (h // ky) % t == 0 and (w // kx) % t == 0
+        layout = {"sy": ky, "sx": kx}
     else:
-        clahe_ok = (h // mesh.shape["space"]) % t == 0 and w % t == 0
-    clahe_clip = 0.02 if clahe_ok else None
+        from mdx.parallel import spatial as sp_mod
+        qa_fn = sp_mod.qa_spatial
+        stats_fn = sp_mod.image_stats_spatial
+        ky, kx = mesh.shape["space"], 1
+        layout = {"space": ky}
 
-    if "sx" in mesh.shape:
-        from mdx.parallel import spatial2d
-        out = spatial2d.qa_spatial2d(x, mesh, bilateral_d=bilateral_d,
-                                     clahe_clip_limit=clahe_clip)
-        layout = {"sy": mesh.shape["sy"], "sx": mesh.shape["sx"]}
-    else:
-        from mdx.parallel import spatial
-        out = spatial.qa_spatial(x, mesh, bilateral_d=bilateral_d,
-                                 clahe_clip_limit=clahe_clip)
-        layout = {"space": mesh.shape["space"]}
+    # Phase 1: sharded detect → host-side issue→op mapping (N=1 slice, so
+    # the per-image masks of the dense path become static op gates).
+    det_stats = stats_fn(x, mesh)
+    issue_masks = detect_issues(det_stats)
+    flags = {k: bool(np.asarray(issue_masks[k])[0]) for k in ISSUE_ORDER}
+    needs_contrast = (flags["low_contrast"] | flags["clipping_low"]
+                      | flags["clipping_high"])
+    brighten = flags["clipping_low"] and not flags["clipping_high"]
+    darken = flags["clipping_high"] and not flags["clipping_low"]
+    t = int(PD["clahe_tile_size"])
+    clahe_aligned = (h // ky) % t == 0 and (w // kx) % t == 0
+    applied_ops = []
+    kw: dict[str, Any] = dict(
+        bilateral_d=0, gamma=1.0, unsharp_amount=0.0,
+        unsharp_radius=PD["unsharp_radius"], noise_guard=True)
+    if flags["noise"]:
+        kw["denoise"] = True
+        applied_ops.append("denoise")
+    if needs_contrast and clahe_aligned:
+        kw["clahe_clip_limit"] = PD["clahe_clip_limit"]
+        applied_ops.append("clahe")
+    if brighten or darken:
+        kw["gamma"] = PD["gamma_brighten"] if brighten else PD["gamma_darken"]
+        applied_ops.append("gamma")
+    if flags["blur"]:
+        kw["unsharp_amount"] = PD["unsharp_amount"]
+        kw["post_denoise_strength"] = PD["post_denoise_strength"]
+        applied_ops += ["unsharp", "post_denoise"]
+
+    # Phase 2: sharded issue-driven enhancement + safeguard + validation.
+    out = qa_fn(x, mesh, **kw)
 
     stats = {k: float(np.asarray(out["stats_before"][k])[0])
              for k in METRIC_KEYS}
@@ -130,6 +163,7 @@ def run_pipeline_spatial(
             np.asarray(out["quality_improvement"])[0]),
         "passes": bool(np.asarray(out["passes"])[0]),
     }
+    noise_amp_tripped = bool(np.asarray(out["noise_amp_guard"])[0])
 
     label = os.path.basename(input_path)
     lines = [
@@ -139,6 +173,9 @@ def run_pipeline_spatial(
         f"({'2-D row×col tiles' if 'sx' in layout else '1-D row blocks'})",
         "",
         f"Issues detected: {', '.join(issues) or '—'}",
+        f"Applied (issue-driven, reference defaults): "
+        f"{', '.join(applied_ops) or '— (pass-through)'}"
+        + (" · noise-amp guard tripped" if noise_amp_tripped else ""),
         "",
         "| metric | before | after |", "|---|---|---|",
     ]
@@ -150,12 +187,10 @@ def run_pipeline_spatial(
         f"quality improvement {validation['quality_improvement']:.4f} → "
         f"**{'PASS' if validation['passes'] else 'FAIL'}**",
         "",
-        ("_Spatial chain: CLAHE → gamma → unsharp → bilateral (CLAHE "
-         "sharded exactly over the tile grid; wavelet denoise runs on the "
-         "batch-sharded path)._" if clahe_clip is not None else
-         "_Spatial chain: gamma → unsharp → bilateral (extents not "
-         "tile-aligned for sharded CLAHE; wavelet denoise and CLAHE run "
-         "on the batch-sharded path)._"),
+        "_Every applied op ran spatially sharded "
+        "(mdx/parallel/{wavelet_sp,clahe_sp,tv_sp,spatial*}.py) with the "
+        "reference's deterministic issue→op mapping and noise-amplification "
+        "safeguard._",
     ]
     report_md = "\n".join(lines)
 
@@ -173,8 +208,7 @@ def run_pipeline_spatial(
                 metadata_summary=meta, issues=issues,
                 metrics_before=stats, metrics_after=stats_after,
                 plan_json="", validation=validation,
-                applied_ops=((["clahe"] if clahe_clip is not None else [])
-                             + ["gamma", "unsharp", "bilateral"]),
+                applied_ops=applied_ops,
                 explainability={}, report_path=report_path,
                 before_after_path="", agent_logs=[], status="completed")
         except Exception as exc:
@@ -186,6 +220,9 @@ def run_pipeline_spatial(
         "shape": [h, w],
         "mesh": layout,
         "issues": issues,
+        "applied_ops": applied_ops,
+        "noise_amp_guard": noise_amp_tripped,
+        "enhanced": np.asarray(out["enhanced"])[0],
         "metrics": stats,
         "metrics_after": stats_after,
         "validation": validation,

@@ -47,6 +47,7 @@ class TestSpatialRunnerE2E:
         # 8 virtual CPU devices → the 2-D tile layout
         assert ctx["mesh"] in ({"sy": 2, "sx": 4}, {"sy": 4, "sx": 2})
         assert "noise" in ctx["issues"]
+        assert "denoise" in ctx["applied_ops"]
         assert "# mdx spatial QA report" in ctx["report_md"]
         assert 0.0 <= ctx["validation"]["ssim"] <= 1.0
         # run persisted and readable through the storage DAO
@@ -72,6 +73,30 @@ class TestSpatialRunnerE2E:
         for k, v in ctx["metrics"].items():
             np.testing.assert_allclose(v, float(np.asarray(ref[k])[0]),
                                        rtol=1e-4, err_msg=k)
+
+    def test_matches_dense_deterministic_path(self, tmp_path):
+        """The sharded issue-driven chain must reproduce the single-chip
+        deterministic QA (same issue→op mapping, same conservative
+        defaults, same noise-amp guard) on the same decoded slice."""
+        import jax.numpy as jnp
+
+        from mdx.core import qa
+        from mdx.io import load_dicom, normalize_image
+
+        p = str(tmp_path / "d.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=128)
+        ctx = run_pipeline_spatial(p, output_dir=str(tmp_path / "out"))
+        img, _ = load_dicom(p)
+        x = jnp.asarray(normalize_image(img)[None])
+        enhanced, _stats, _issues, flags, validation, _score = (
+            qa.qa_deterministic(x))
+        np.testing.assert_allclose(ctx["enhanced"],
+                                   np.asarray(enhanced)[0], atol=1e-4)
+        assert ctx["noise_amp_guard"] == bool(
+            np.asarray(flags["noise_amp"])[0])
+        np.testing.assert_allclose(
+            ctx["validation"]["ssim"],
+            float(np.asarray(validation["ssim"])[0]), atol=1e-4)
 
     def test_cli_flag(self, tmp_path, capsys):
         import main as cli
