@@ -72,10 +72,23 @@ def tv_sharded(
     col_axis: str | None = None,
     eps: float = 2e-4,
     max_iter: int = 200,
+    sync_axes: tuple[str, ...] = ("data",),
 ) -> jnp.ndarray:
     """TV-Chambolle on spatially-sharded [N, Hs, Ws] blocks (runs under
-    shard_map).  ``col_axis=None`` = 1-D row blocks (columns local)."""
+    shard_map).  ``col_axis=None`` = 1-D row blocks (columns local).
+
+    ``sync_axes``: mesh axes that run the SAME program but hold DIFFERENT
+    images (the ``data`` axis).  The loop's stop flag must be uniform
+    across them: the per-iteration ``ppermute``s rendezvous over every
+    device executing the program, so if one data row's images converge
+    first and its devices exit the loop, the others' collectives deadlock
+    (caught by the driver dryrun, 4-of-8 rendezvous timeout).  Converged
+    images are already frozen by the ``active`` mask — extra iterations
+    are no-ops on their outputs — so a psum'd global any-active flag
+    preserves the dense semantics exactly while keeping the trip count
+    identical on all devices."""
     axes = (row_axis,) if col_axis is None else (row_axis, col_axis)
+    all_axes = axes + tuple(sync_axes)
     n, hs, ws = x.shape
     weight = jnp.broadcast_to(jnp.asarray(weight, x.dtype),
                               (n,))[:, None, None]
@@ -126,19 +139,23 @@ def tv_sharded(
     p1 = _update_p(p0, gy, gx, norm, jnp.ones((n,), bool))
 
     def cond(state):
-        i, p, out, e_prev, active = state
-        return jnp.logical_and(i < max_iter, jnp.any(active))
+        i, p, out, e_prev, active, go = state
+        return jnp.logical_and(i < max_iter, go)
 
     def body(state):
-        i, p, out, e_prev, active = state
+        i, p, out, e_prev, active, go = state
         new_out, gy, gx, norm, e = _energy_and_out(p, first=False)
         out = jnp.where(active[:, None, None], new_out, out)
         p = _update_p(p, gy, gx, norm, active)
         still = jnp.abs(e_prev - e) >= eps * e0
         active = jnp.logical_and(active, still)
         e_prev = jnp.where(active, e, e_prev)
-        return (i + 1, p, out, e_prev, active)
+        # globally-uniform stop flag (see docstring): any active image on
+        # ANY device sharing this program keeps every device looping
+        go = lax.psum(jnp.any(active).astype(jnp.int32), all_axes) > 0
+        return (i + 1, p, out, e_prev, active, go)
 
-    _, _, out, _, _ = lax.while_loop(
-        cond, body, (jnp.asarray(1), p1, out0, e0, jnp.ones((n,), bool)))
+    _, _, out, _, _, _ = lax.while_loop(
+        cond, body, (jnp.asarray(1), p1, out0, e0, jnp.ones((n,), bool),
+                     jnp.asarray(True)))
     return out

@@ -63,6 +63,29 @@ class TestTVSharded:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
 
+    def test_data_rows_with_different_trip_counts(self):
+        """Regression: with ≥2 data rows, images converge after different
+        iteration counts; the loop's stop flag must stay uniform across
+        the WHOLE mesh or the per-iteration ppermutes deadlock (XLA
+        rendezvous spans every device running the program — the driver
+        dryrun caught a 4-of-8 timeout).  Two very different images on a
+        (2 data, 2 sy, 2 sx) mesh must complete AND match dense."""
+        mesh = make_mesh2d(n_data=2, n_sy=2, n_sx=2)
+        smooth = np.clip(
+            0.5 + 0.2 * np.sin(np.mgrid[0:64, 0:64][1] / 21.0), 0, 1
+        ).astype(np.float32)
+        x = jnp.stack([jnp.asarray(smooth), jnp.asarray(_img(9))])
+        w = jnp.asarray([0.01, 0.1], jnp.float32)
+        fn = shard_map(
+            partial(tv_sharded, row_axis="sy", col_axis="sx"),
+            mesh=mesh,
+            in_specs=(P("data", "sy", "sx"), P("data")),
+            out_specs=P("data", "sy", "sx"), check_vma=False)
+        got = fn(x, w)
+        want = tv_chambolle_xla(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
     def test_qa2d_with_full_optional_chain(self, mesh124):
         """qa_spatial2d with CLAHE + bilateral + TV — the whole optional
         chain in one SPMD program."""
