@@ -17,7 +17,7 @@ runs inside one ``shard_map``-compiled SPMD program:
   ``mdx.ops.quantile`` distributes as local count-below sums combined
   with ``lax.psum`` — 16 sweeps, each ending in one tiny [N,R,3]
   collective.  Results are bit-identical to gathering every shard and
-  sorting (parity asserted in tests/test_spatial.py).
+  sorting (parity asserted in tests/test_parallel.py).
 
 The metric *formulas* mirror ref pipeline/metrics.py:42-217 exactly;
 see mdx/core/metrics.py for the per-formula citations.
