@@ -47,8 +47,11 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from mdx.ops.filters import _LAPLACE, _SOBEL_H
-from mdx.ops.hist import entropy_from_hist as _entropy_from_hist
+from mdx.parallel._spmd_stats import (
+    SpatialPrims,
+    image_stats_block as _shared_image_stats,
+    qa_verdict as _qa_verdict,
+)
 from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
@@ -267,83 +270,31 @@ def estimate_sigma_2d(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _pq(v, qs):
+    """Exact global percentiles of the local tile (shared-formula prim)."""
+    total = v[0].size * lax.axis_size(_AY) * lax.axis_size(_AX)
+    return _pq_sharded(v, qs, _AXES, total)
+
+
+def _pmax_img(v):
+    return lax.pmax(jnp.max(v.reshape(v.shape[0], -1), axis=-1), _AXES)
+
+
+def _psum_img(v):
+    return lax.psum(jnp.sum(v.reshape(v.shape[0], -1), axis=-1), _AXES)
+
+
+_PRIMS = SpatialPrims(
+    conv2=_conv2_halo, local_variance=_local_variance_halo,
+    pmean=_pmean_img, pvar=_pvar_img, phist=_phist, pq=_pq,
+    pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_2d)
+
+
 def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """Per-shard body of the fused metric pass on [N, Hs, Ws] tiles;
-    returns globally-reduced [N] vectors for all 16 metrics + niqe +
-    edge_ratio (formulas: ref pipeline/metrics.py:42-217)."""
-    n = x.shape[0]
-    flat = lambda a: a.reshape(n, -1)
-
-    sigma = estimate_sigma_2d(x)
-
-    lap = _conv2_halo(x, _LAPLACE)
-    gh = _conv2_halo(x, _SOBEL_H)
-    gv = _conv2_halo(x, _SOBEL_H.T)
-    grad = jnp.hypot(gh, gv)
-
-    _, lap_var = _pvar_img(lap)
-    lap_energy = _pmean_img(lap * lap)
-    mean, var = _pvar_img(x)
-    std = jnp.sqrt(var)
-    pct_low = _pmean_img((x <= 0.01).astype(x.dtype))
-    pct_high = _pmean_img((x >= 0.99).astype(x.dtype))
-
-    ky, kx = lax.axis_size(_AY), lax.axis_size(_AX)
-    _, hs, ws = x.shape
-    total = hs * ky * ws * kx
-    p05, p25, p75, p95 = _pq_sharded(
-        x, [5.0, 25.0, 75.0, 95.0], _AXES, total)
-    one = jnp.ones((n,), x.dtype)
-    entropy = _entropy_from_hist(_phist(x, 256, one))
-
-    gmax = lax.pmax(jnp.max(flat(grad), axis=-1), _AXES)
-    edge_thr = jnp.where(gmax > 0, 0.1 * gmax, 0.0)
-    edge_density = _pmean_img((grad > edge_thr[:, None, None]).astype(x.dtype))
-    gmean, gvar = _pvar_img(grad)
-    gstd = jnp.sqrt(gvar)
-
-    sigma_safe = jnp.maximum(sigma, 1e-8)
-    snr = mean / sigma_safe
-    cnr = (p95 - p05) / sigma_safe
-
-    lv7 = jnp.sqrt(_local_variance_halo(x, 7))
-    _, lv7_var = _pvar_img(lv7)
-    local_contrast_std = jnp.sqrt(lv7_var)
-
-    g90 = _pq_sharded(grad, [90.0], _AXES, total)[0]
-    strong = (grad >= g90[:, None, None]).astype(x.dtype)
-    cnt = lax.psum(jnp.sum(flat(strong), axis=-1), _AXES)
-    ssum = lax.psum(jnp.sum(flat(grad * strong), axis=-1), _AXES)
-    gradient_strength = jnp.where(cnt > 0, ssum / jnp.maximum(cnt, 1.0), 0.0)
-
-    gradient_entropy = _entropy_from_hist(_phist(grad, 128, gmax + 1e-8))
-
-    lv16 = _local_variance_halo(x, 16)
-    lv_mean, lv_var = _pvar_img(lv16)
-    var_of_var = jnp.sqrt(lv_var) / (lv_mean + 1e-8)
-    edge_ratio = _pmean_img(jnp.abs(lap)) / (gmean + 1e-8)
-    niqe = var_of_var + jnp.maximum(edge_ratio - 1.0, 0.0) * 10.0
-
-    return {
-        "sigma": sigma,
-        "lap_var": lap_var,
-        "std": std,
-        "pct_low": pct_low,
-        "pct_high": pct_high,
-        "entropy": entropy,
-        "edge_density": edge_density,
-        "gradient_mag_mean": gmean,
-        "gradient_mag_std": gstd,
-        "snr_proxy": snr,
-        "cnr_proxy": cnr,
-        "laplacian_energy": lap_energy,
-        "histogram_spread": p75 - p25,
-        "local_contrast_std": local_contrast_std,
-        "gradient_strength": gradient_strength,
-        "gradient_entropy": gradient_entropy,
-        "niqe": niqe,
-        "edge_ratio": edge_ratio,
-    }
+    """Per-shard body of the fused metric pass on [N, Hs, Ws] tiles.  The
+    formulas live ONCE in mdx/parallel/_spmd_stats.py; this layer
+    contributes the two-phase-halo / two-axis-reduction primitives."""
+    return _shared_image_stats(x, _PRIMS)
 
 
 def _check_tiles(x: jnp.ndarray, mesh: Mesh) -> None:
@@ -585,8 +536,6 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
               tv_weight, post_denoise_strength, *, bilateral_d,
               clahe_tile=0, use_tv=False, use_denoise=False,
               use_post_denoise=False, use_noise_guard=False):
-    from mdx.core.metrics import THRESHOLDS
-
     before = _image_stats_block(xb)
     enhanced = _enhance_block(
         xb, gamma, unsharp_radius, unsharp_amount,
@@ -610,22 +559,7 @@ def _qa_block(xb, gamma, unsharp_radius, unsharp_amount,
     after = _image_stats_block(enhanced)
     s = _ssim_block(xb, enhanced)
     p = _psnr_block(xb, enhanced)
-    eps = 1e-8
-    contrast_gain = (after["std"] - before["std"]) / jnp.maximum(
-        before["std"], eps)
-    sharpness_gain = (after["lap_var"] - before["lap_var"]) / jnp.maximum(
-        before["lap_var"], eps)
-    noise_reduction = (before["sigma"] - after["sigma"]) / jnp.maximum(
-        before["sigma"], eps)
-    qi = (0.35 * contrast_gain + 0.35 * sharpness_gain
-          + 0.30 * noise_reduction)
-    meets_ssim = s >= THRESHOLDS["ssim"]
-    meets_psnr = p >= THRESHOLDS["psnr"]
-    meets_improvement = qi >= THRESHOLDS["quality_improvement"]
-    niqe_ok = after["niqe"] <= before["niqe"]
-    passes = ((meets_ssim & meets_psnr)
-              | (meets_ssim & meets_improvement)
-              | (meets_psnr & meets_improvement & niqe_ok))
+    qi, passes = _qa_verdict(before, after, s, p)
     return before, after, enhanced, s, p, qi, passes, noise_amp
 
 
