@@ -25,7 +25,15 @@ def validate(original: jnp.ndarray, enhanced: jnp.ndarray,
 
     s = ssim(original, enhanced, data_range=1.0)
     p = psnr(original, enhanced, data_range=1.0)
+    return validation_from_stats(mb, ma, s, p)
 
+
+def validation_from_stats(mb: dict, ma: dict, s: jnp.ndarray,
+                          p: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """Build the ~30-field validation dict from already-computed
+    before/after stats + SSIM/PSNR — pure [N] arithmetic, so the spatial
+    layer reuses it verbatim on its globally-reduced sharded stats
+    (ref pipeline/metrics.py:274-329)."""
     eps = 1e-8
     contrast_gain = (ma["std"] - mb["std"]) / jnp.maximum(mb["std"], eps)
     sharpness_gain = (ma["lap_var"] - mb["lap_var"]) / jnp.maximum(mb["lap_var"], eps)

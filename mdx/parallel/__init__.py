@@ -28,9 +28,10 @@ from mdx.parallel.mesh import (
 from mdx.parallel.batch import pad_batch, qa_deterministic_sharded, qa_plan_sharded
 from mdx.parallel import spatial
 from mdx.parallel import spatial2d
+from mdx.parallel.plan_sp import qa_plan_spatial
 
 __all__ = [
     "make_mesh", "make_mesh2d", "data_sharding", "spatial_sharding",
     "pad_batch", "qa_deterministic_sharded", "qa_plan_sharded",
-    "spatial", "spatial2d",
+    "qa_plan_spatial", "spatial", "spatial2d",
 ]

@@ -364,8 +364,12 @@ def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,
         d += 1
     r = d // 2
     n, hs, ws = x.shape
-    inv_2sc2 = 1.0 / (2.0 * sigma_color * sigma_color)
-    inv_2ss2d2 = 1.0 / (2.0 * sigma_space * sigma_space * float(d * d))
+    sc = jnp.broadcast_to(jnp.asarray(sigma_color, x.dtype),
+                          (n,))[:, None, None]
+    ss = jnp.broadcast_to(jnp.asarray(sigma_space, x.dtype),
+                          (n,))[:, None, None]
+    inv_2sc2 = 1.0 / (2.0 * sc * sc)
+    inv_2ss2d2 = 1.0 / (2.0 * ss * ss * float(d * d))
     xp = _halo2(x, r, r, r, r, "reflect")
     num = jnp.zeros_like(x)
     den = jnp.zeros_like(x)

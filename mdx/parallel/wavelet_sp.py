@@ -81,10 +81,13 @@ def denoise_wavelet_sharded(
     sigma: jnp.ndarray | None = None,
     mode: str = "soft",
     wavelet_levels: int | None = None,
+    soft_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """BayesShrink db1 denoise on spatially-sharded [N, Hs, Ws] blocks
     (runs under shard_map).  Per-shard extents must be even
-    (caller-validated by the spatial wrappers)."""
+    (caller-validated by the spatial wrappers).  ``soft_mask`` ([N] bool)
+    optionally selects soft/hard per image, overriding ``mode`` — same
+    contract as the dense op."""
     axes = (row_axis,) if col_axis is None else (row_axis, col_axis)
     n, hs, ws = x.shape
     ky = lax.axis_size(row_axis)
@@ -131,6 +134,9 @@ def denoise_wavelet_sharded(
     def _threshold(band, dvar):
         t = (noise_var / jnp.sqrt(jnp.maximum(dvar - noise_var, eps))
              )[:, None, None]
+        if soft_mask is not None:
+            return jnp.where(soft_mask[:, None, None],
+                             _soft(band, t), _hard(band, t))
         return _soft(band, t) if mode == "soft" else _hard(band, t)
 
     # 2. coarse levels: gather the (tiny) LL, run the dense machinery
