@@ -24,27 +24,28 @@ _LAPLACE = np.array([[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]])
 _SOBEL_H = np.array([[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]]) / 4.0
 
 
-def _pad1(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    pad = [(0, 0), (0, 0), (0, 0)]
-    pad[axis] = (1, 1)
-    return jnp.pad(x, pad, mode="symmetric")
+def laplace_core(xp: jnp.ndarray) -> jnp.ndarray:
+    """5-point Laplacian of an already 1-extended [N, H+2, W+2] block →
+    [N, H, W].  The extension may be a symmetric pad (dense path) or a
+    shard halo (spatial path) — the slice arithmetic is identical."""
+    c = xp[:, 1:-1, 1:-1]
+    return (4.0 * c - xp[:, :-2, 1:-1] - xp[:, 2:, 1:-1]
+            - xp[:, 1:-1, :-2] - xp[:, 1:-1, 2:])
 
 
-def _smooth3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """[1,2,1]/2 correlation along ``axis`` (symmetric boundary)."""
-    n = x.shape[axis]
-    xp = _pad1(x, axis)
-    return (0.5 * lax.slice_in_dim(xp, 0, n, axis=axis)
-            + lax.slice_in_dim(xp, 1, n + 1, axis=axis)
-            + 0.5 * lax.slice_in_dim(xp, 2, n + 2, axis=axis))
+def sobel_h_core(xp: jnp.ndarray) -> jnp.ndarray:
+    """Smoothed horizontal-edge Sobel of a 1-extended block → [N, H, W].
+
+    Bit-identical to per-stage symmetric padding of each separable stage:
+    the row diff and the column mirror act on different axes, so
+    pad-then-diff equals diff-then-pad exactly."""
+    d = 0.5 * (xp[:, 2:, :] - xp[:, :-2, :])          # [N, H, W+2]
+    return 0.5 * d[:, :, :-2] + d[:, :, 1:-1] + 0.5 * d[:, :, 2:]
 
 
-def _diff3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """[-1,0,1]/2 correlation along ``axis`` (symmetric boundary)."""
-    n = x.shape[axis]
-    xp = _pad1(x, axis)
-    return 0.5 * (lax.slice_in_dim(xp, 2, n + 2, axis=axis)
-                  - lax.slice_in_dim(xp, 0, n, axis=axis))
+def sobel_v_core(xp: jnp.ndarray) -> jnp.ndarray:
+    d = 0.5 * (xp[:, :, 2:] - xp[:, :, :-2])          # [N, H+2, W]
+    return 0.5 * d[:, :-2, :] + d[:, 1:-1, :] + 0.5 * d[:, 2:, :]
 
 
 def laplace(x: jnp.ndarray) -> jnp.ndarray:
@@ -55,9 +56,7 @@ def laplace(x: jnp.ndarray) -> jnp.ndarray:
     pays im2col/windowing overhead that five fused slice adds avoid.
     """
     vp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="symmetric")
-    c = vp[:, 1:-1, 1:-1]
-    return (4.0 * c - vp[:, :-2, 1:-1] - vp[:, 2:, 1:-1]
-            - vp[:, 1:-1, :-2] - vp[:, 1:-1, 2:])
+    return laplace_core(vp)
 
 
 def sobel_h(x: jnp.ndarray) -> jnp.ndarray:
@@ -65,11 +64,13 @@ def sobel_h(x: jnp.ndarray) -> jnp.ndarray:
 
     Separable shift-MAC ([−1,0,1]/2 rows ∘ [1,2,1]/2 cols): 5.5× faster
     than the 3×3 conv pair at 128×512² (gradient 11.0 → 2.0 ms)."""
-    return _smooth3(_diff3(x, 1), 2)
+    return sobel_h_core(jnp.pad(x, ((0, 0), (1, 1), (1, 1)),
+                                mode="symmetric"))
 
 
 def sobel_v(x: jnp.ndarray) -> jnp.ndarray:
-    return _smooth3(_diff3(x, 2), 1)
+    return sobel_v_core(jnp.pad(x, ((0, 0), (1, 1), (1, 1)),
+                                mode="symmetric"))
 
 
 def gradient_magnitude(x: jnp.ndarray) -> jnp.ndarray:
@@ -89,17 +90,25 @@ def box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """
     lo = size // 2
     hi = size - lo - 1
-    n, h, w = x.shape
-    xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)), mode="symmetric")
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi)), mode="symmetric")
+    return box_core(xp, size)
+
+
+def box_core(xp: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable shift-add mean of an already (size−1)-extended block
+    ([N, H+size−1, W+size−1], ``size//2`` leading / the rest trailing) →
+    [N, H, W].  Bit-identical to padding the row-mean's columns instead
+    (row sums and the column mirror act on different axes)."""
+    h = xp.shape[1] - (size - 1)
+    w = xp.shape[2] - (size - 1)
     acc = xp[:, 0:h, :]
     for i in range(1, size):
         acc = acc + xp[:, i:i + h, :]
     acc = acc * (1.0 / size)
-    xp = jnp.pad(acc, ((0, 0), (0, 0), (lo, hi)), mode="symmetric")
-    acc = xp[:, :, 0:w]
+    out = acc[:, :, 0:w]
     for i in range(1, size):
-        acc = acc + xp[:, :, i:i + w]
-    return acc * (1.0 / size)
+        out = out + acc[:, :, i:i + w]
+    return out * (1.0 / size)
 
 
 def local_variance(x: jnp.ndarray, size: int) -> jnp.ndarray:

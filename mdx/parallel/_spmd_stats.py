@@ -17,7 +17,6 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from mdx.ops.filters import _LAPLACE, _SOBEL_H
 from mdx.ops.hist import entropy_from_hist as _entropy_from_hist
 
 
@@ -28,7 +27,9 @@ class SpatialPrims:
     All callables operate on the local shard block [N, Hs, Ws(…)] and
     return globally-reduced values where applicable:
 
-    * ``conv2(x, kernel)`` — halo'd 2-D stencil, same shape out.
+    * ``lap_sobel(x)`` — halo'd (laplacian, sobel_h, sobel_v) triple,
+      shift-MAC cores on ONE 1-extended block (mdx/ops/filters.py
+      ``laplace_core``/``sobel_*_core``).
     * ``local_variance(x, size)`` — halo'd uniform-window variance.
     * ``pmean(v)`` / ``pvar(v)`` — global per-image mean / (mean, var).
     * ``phist(v, bins, hi)`` — global per-image histogram [N, bins].
@@ -38,7 +39,7 @@ class SpatialPrims:
     * ``sigma(x)`` — distributed wavelet-MAD noise estimate [N].
     """
 
-    conv2: Callable
+    lap_sobel: Callable
     local_variance: Callable
     pmean: Callable
     pvar: Callable
@@ -56,9 +57,7 @@ def image_stats_block(x: jnp.ndarray, p: SpatialPrims
     vectors (formulas: ref pipeline/metrics.py:42-217)."""
     sigma = p.sigma(x)
 
-    lap = p.conv2(x, _LAPLACE)
-    gh = p.conv2(x, _SOBEL_H)
-    gv = p.conv2(x, _SOBEL_H.T)
+    lap, gh, gv = p.lap_sobel(x)
     grad = jnp.hypot(gh, gv)
 
     _, lap_var = p.pvar(lap)

@@ -39,7 +39,7 @@ from jax import shard_map
 from mdx.core.enhance import OP_ORDER, PlanDynamic, PlanStatic, _as_n
 from mdx.core.score import objective_score
 from mdx.core.validate import validation_from_stats
-from mdx.ops.filters import _LAPLACE, _SOBEL_H, adjust_gamma
+from mdx.ops.filters import adjust_gamma
 from mdx.parallel._spmd_stats import (
     SpatialPrims,
     image_stats_block as _shared_image_stats,
@@ -88,8 +88,9 @@ def _layout_2d() -> Layout:
 def _edge_ratio_sp(x: jnp.ndarray, p: SpatialPrims) -> jnp.ndarray:
     """mean(|laplace|)/mean(grad_mag) on the tile grid → [N]
     (ref pipeline/metrics.py:213-217; halo-safeguard input)."""
-    lap = p.pmean(jnp.abs(p.conv2(x, _LAPLACE)))
-    grd = p.pmean(jnp.hypot(p.conv2(x, _SOBEL_H), p.conv2(x, _SOBEL_H.T)))
+    lap, gh, gv = p.lap_sobel(x)
+    lap = p.pmean(jnp.abs(lap))
+    grd = p.pmean(jnp.hypot(gh, gv))
     return lap / (grd + 1e-8)
 
 

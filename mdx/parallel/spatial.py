@@ -39,6 +39,7 @@ from mdx.parallel._spmd_stats import (
     image_stats_block as _shared_image_stats,
     qa_verdict as _qa_verdict,
 )
+from mdx.ops import filters as _F
 from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
@@ -60,18 +61,23 @@ def _halo_rows(x: jnp.ndarray, up: int, down: int,
 
     Interior halos come from the ring neighbours via ``ppermute``; the first
     and last shard pad their own rows with ``edge_mode`` — "symmetric"
-    (= ``jnp.pad(mode="symmetric")``, edge row repeated) or "reflect"
-    (edge row excluded) — matching the unsharded op's boundary handling.
+    (= ``jnp.pad(mode="symmetric")``, edge row repeated), "reflect"
+    (edge row excluded), or "edge" (edge row replicated, SciPy "nearest")
+    — matching the unsharded op's boundary handling.
     """
     k = lax.axis_size(_AXIS)
     idx = lax.axis_index(_AXIS)
-    off = 0 if edge_mode == "symmetric" else 1
+    off = 1 if edge_mode == "reflect" else 0
     parts = []
     if up:
         # shard j sends its bottom `up` rows to shard j+1
         from_above = lax.ppermute(
             x[:, -up:, :], _AXIS, [(j, j + 1) for j in range(k - 1)])
-        top_pad = x[:, off:up + off, :][:, ::-1, :]
+        if edge_mode == "edge":
+            top_pad = jnp.broadcast_to(x[:, :1, :],
+                                       (x.shape[0], up, x.shape[2]))
+        else:
+            top_pad = x[:, off:up + off, :][:, ::-1, :]
         parts.append(jnp.where(idx == 0, top_pad, from_above))
     parts.append(x)
     if down:
@@ -79,48 +85,34 @@ def _halo_rows(x: jnp.ndarray, up: int, down: int,
         from_below = lax.ppermute(
             x[:, :down, :], _AXIS, [(j + 1, j) for j in range(k - 1)])
         stop = x.shape[1] - off
-        bot_pad = x[:, stop - down:stop, :][:, ::-1, :]
+        if edge_mode == "edge":
+            bot_pad = jnp.broadcast_to(x[:, -1:, :],
+                                       (x.shape[0], down, x.shape[2]))
+        else:
+            bot_pad = x[:, stop - down:stop, :][:, ::-1, :]
         parts.append(jnp.where(idx == k - 1, bot_pad, from_below))
     return jnp.concatenate(parts, axis=1)
 
 
-def _conv2_halo(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """2-D stencil on row blocks: halo-pad H over the mesh, symmetric-pad W
-    locally.  True convolution (kernel flipped); same operator the
-    single-chip path now expresses as shift-MAC slices (parity asserted in
-    tests/test_parallel.py within conv-vs-slice reassociation tolerance)."""
-    kh, kw = kernel.shape
-    ph, pw = kh // 2, kw // 2
-    xp = _halo_rows(x, ph, ph)
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (pw, pw)), mode="symmetric")
-    k = jnp.asarray(kernel[::-1, ::-1], dtype=x.dtype).reshape(1, 1, kh, kw)
-    dn = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                    ("NCHW", "OIHW", "NCHW"))
-    out = lax.conv_general_dilated(
-        xp[:, None], k, (1, 1), "VALID", dimension_numbers=dn,
-        precision=lax.Precision.HIGHEST)
-    return out[:, 0]
+def _lap_sobel(x: jnp.ndarray):
+    """(laplacian, sobel_h, sobel_v) of row blocks via the dense shift-MAC
+    cores on ONE halo-extended block (mdx/ops/filters.py; the slice
+    arithmetic is identical to the single-chip ops, so parity is exact —
+    axis-wise mirrors commute with cross-axis arithmetic)."""
+    xp = jnp.pad(_halo_rows(x, 1, 1), ((0, 0), (0, 0), (1, 1)),
+                 mode="symmetric")
+    return _F.laplace_core(xp), _F.sobel_h_core(xp), _F.sobel_v_core(xp)
 
 
 def _box_halo(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Separable mean filter with SciPy uniform_filter offsets (left-heavy
-    for even sizes) across shard boundaries."""
+    """Separable shift-add mean with SciPy uniform_filter offsets
+    (left-heavy for even sizes) across shard boundaries — the dense
+    ``box_core`` on a halo-extended block."""
     lo = size // 2
     hi = size - lo - 1
-    k = np.full((size,), 1.0 / size)
-    xp = _halo_rows(x, lo, hi)
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (lo, hi)), mode="symmetric")
-    dn = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                    ("NCHW", "OIHW", "NCHW"))
-    kc = jnp.asarray(k, x.dtype).reshape(1, 1, size, 1)
-    kr = jnp.asarray(k, x.dtype).reshape(1, 1, 1, size)
-    out = lax.conv_general_dilated(xp[:, None], kc, (1, 1), "VALID",
-                                   dimension_numbers=dn,
-                                   precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID",
-                                   dimension_numbers=dn,
-                                   precision=lax.Precision.HIGHEST)
-    return out[:, 0]
+    xp = jnp.pad(_halo_rows(x, lo, hi), ((0, 0), (0, 0), (lo, hi)),
+                 mode="symmetric")
+    return _F.box_core(xp, size)
 
 
 def _local_variance_halo(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -261,7 +253,7 @@ def _psum_img(v):
 
 
 _PRIMS = SpatialPrims(
-    conv2=_conv2_halo, local_variance=_local_variance_halo,
+    lap_sobel=_lap_sobel, local_variance=_local_variance_halo,
     pmean=_pmean_img, pvar=_pvar_img, phist=_phist, pq=_pq,
     pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_spatial)
 
@@ -319,38 +311,27 @@ def _stats_program(mesh: Mesh):
 def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
                         max_radius: int = 12) -> jnp.ndarray:
     """Separable Gaussian with traced sigma on fixed support, skimage
-    ``nearest`` boundary, across row blocks."""
+    ``nearest`` (edge-replicate) boundary, across row blocks — the dense
+    batch-as-channels depthwise grouped conv (11× the plain conv,
+    docs/PERF.md) on a halo-extended block; per-image sigma supported."""
     r = max_radius
-    taps = jnp.arange(-r, r + 1, dtype=x.dtype)
-    sigma = jnp.asarray(sigma, x.dtype)
-    radius_eff = jnp.floor(4.0 * sigma + 0.5)
-    w = jnp.exp(-0.5 * jnp.square(taps / jnp.maximum(sigma, 1e-6)))
-    w = jnp.where(jnp.abs(taps) <= radius_eff, w, 0.0)
-    w = w / jnp.sum(w)
-
-    # Halo for the vertical pass; skimage "nearest" = edge-replicate at the
-    # global boundary.  _halo_rows uses symmetric; emulate edge by clamping:
-    idx = lax.axis_index(_AXIS)
-    k = lax.axis_size(_AXIS)
-    xp = _halo_rows(x, r, r)
-    top_edge = jnp.broadcast_to(x[:, :1, :], (x.shape[0], r, x.shape[2]))
-    bot_edge = jnp.broadcast_to(x[:, -1:, :], (x.shape[0], r, x.shape[2]))
-    xp = xp.at[:, :r, :].set(
-        jnp.where(idx == 0, top_edge, xp[:, :r, :]))
-    xp = xp.at[:, -r:, :].set(
-        jnp.where(idx == k - 1, bot_edge, xp[:, -r:, :]))
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (r, r)), mode="edge")
+    n = x.shape[0]
+    sigma_b = jnp.broadcast_to(
+        jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
+    w = _F._gauss_taps(sigma_b, x.dtype)
+    xp = _halo_rows(x, r, r, edge_mode="edge")
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (r, r)), mode="edge")[None]
+    kc = w.reshape(n, 1, 2 * r + 1, 1)
+    kr = w.reshape(n, 1, 1, 2 * r + 1)
     dn = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                     ("NCHW", "OIHW", "NCHW"))
-    kc = w.reshape(1, 1, 2 * r + 1, 1)
-    kr = w.reshape(1, 1, 1, 2 * r + 1)
-    out = lax.conv_general_dilated(xp[:, None], kc, (1, 1), "VALID",
-                                   dimension_numbers=dn,
-                                   precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID",
-                                   dimension_numbers=dn,
-                                   precision=lax.Precision.HIGHEST)
-    return out[:, 0]
+    out = lax.conv_general_dilated(
+        xp, kc, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=n, precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(
+        out, kr, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=n, precision=lax.Precision.HIGHEST)
+    return out[0]
 
 
 def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,

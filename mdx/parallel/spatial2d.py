@@ -52,6 +52,7 @@ from mdx.parallel._spmd_stats import (
     image_stats_block as _shared_image_stats,
     qa_verdict as _qa_verdict,
 )
+from mdx.ops import filters as _F
 from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
@@ -132,41 +133,23 @@ def _halo2(x: jnp.ndarray, up: int, down: int, left: int, right: int,
 # ---------------------------------------------------------------------------
 
 
-def _conv2_halo(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """2-D stencil on tiles: halo-pad both axes (symmetric at the global
-    border, matching the unsharded shift-MAC ops), VALID convolution."""
-    kh, kw = kernel.shape
-    ph, pw = kh // 2, kw // 2
-    xp = _halo2(x, ph, ph, pw, pw, "symmetric")
-    k = jnp.asarray(kernel[::-1, ::-1], dtype=x.dtype).reshape(1, 1, kh, kw)
-    out = lax.conv_general_dilated(
-        xp[:, None], k, (1, 1), "VALID", dimension_numbers=_DN,
-        precision=lax.Precision.HIGHEST)
-    return out[:, 0]
-
-
-def _sep_conv_valid(xp: jnp.ndarray, col_taps: jnp.ndarray,
-                    row_taps: jnp.ndarray) -> jnp.ndarray:
-    """Separable VALID convolution of an already halo-extended block."""
-    kc = col_taps.reshape(1, 1, -1, 1)
-    kr = row_taps.reshape(1, 1, 1, -1)
-    out = lax.conv_general_dilated(xp[:, None], kc, (1, 1), "VALID",
-                                   dimension_numbers=_DN,
-                                   precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(out, kr, (1, 1), "VALID",
-                                   dimension_numbers=_DN,
-                                   precision=lax.Precision.HIGHEST)
-    return out[:, 0]
+def _lap_sobel(x: jnp.ndarray):
+    """(laplacian, sobel_h, sobel_v) of tiles via the dense shift-MAC
+    cores on ONE two-phase-halo-extended block (mdx/ops/filters.py; the
+    slice arithmetic is identical to the single-chip ops, so parity is
+    exact — axis-wise mirrors commute with cross-axis arithmetic)."""
+    xp = _halo2(x, 1, 1, 1, 1, "symmetric")
+    return _F.laplace_core(xp), _F.sobel_h_core(xp), _F.sobel_v_core(xp)
 
 
 def _box_halo(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Separable mean filter with SciPy uniform_filter offsets (left-heavy
-    for even sizes) across both tile boundaries."""
+    """Separable shift-add mean with SciPy uniform_filter offsets
+    (left-heavy for even sizes) across both tile boundaries — the dense
+    ``box_core`` on a halo-extended block."""
     lo = size // 2
     hi = size - lo - 1
     xp = _halo2(x, lo, hi, lo, hi, "symmetric")
-    k = jnp.full((size,), 1.0 / size, x.dtype)
-    return _sep_conv_valid(xp, k, k)
+    return _F.box_core(xp, size)
 
 
 def _local_variance_halo(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -285,7 +268,7 @@ def _psum_img(v):
 
 
 _PRIMS = SpatialPrims(
-    conv2=_conv2_halo, local_variance=_local_variance_halo,
+    lap_sobel=_lap_sobel, local_variance=_local_variance_halo,
     pmean=_pmean_img, pvar=_pvar_img, phist=_phist, pq=_pq,
     pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_2d)
 
@@ -343,16 +326,24 @@ def _stats_program(mesh: Mesh):
 def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
                         max_radius: int = 12) -> jnp.ndarray:
     """Separable Gaussian with traced sigma on fixed support, skimage
-    ``nearest`` (edge-replicate) boundary, across both tile axes."""
+    ``nearest`` (edge-replicate) boundary, across both tile axes — the
+    dense batch-as-channels depthwise grouped conv (11× the plain conv,
+    docs/PERF.md) on a halo-extended block; per-image sigma supported."""
     r = max_radius
-    taps = jnp.arange(-r, r + 1, dtype=x.dtype)
-    sigma = jnp.asarray(sigma, x.dtype)
-    radius_eff = jnp.floor(4.0 * sigma + 0.5)
-    w = jnp.exp(-0.5 * jnp.square(taps / jnp.maximum(sigma, 1e-6)))
-    w = jnp.where(jnp.abs(taps) <= radius_eff, w, 0.0)
-    w = w / jnp.sum(w)
-    xp = _halo2(x, r, r, r, r, "edge")
-    return _sep_conv_valid(xp, w, w)
+    n = x.shape[0]
+    sigma_b = jnp.broadcast_to(
+        jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
+    w = _F._gauss_taps(sigma_b, x.dtype)
+    xp = _halo2(x, r, r, r, r, "edge")[None]
+    kc = w.reshape(n, 1, 2 * r + 1, 1)
+    kr = w.reshape(n, 1, 1, 2 * r + 1)
+    out = lax.conv_general_dilated(
+        xp, kc, (1, 1), "VALID", dimension_numbers=_DN,
+        feature_group_count=n, precision=lax.Precision.HIGHEST)
+    out = lax.conv_general_dilated(
+        out, kr, (1, 1), "VALID", dimension_numbers=_DN,
+        feature_group_count=n, precision=lax.Precision.HIGHEST)
+    return out[0]
 
 
 def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,
