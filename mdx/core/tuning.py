@@ -106,8 +106,19 @@ def autotune(
     ssim = np.asarray(validation["ssim"])
     psnr = np.asarray(validation["psnr"])
     qi = np.asarray(validation["quality_improvement"])
-    best = int(np.argmax(scores))
+    plans, records, best = plan_records(
+        cands, ops, tile_size, scores, ssim, psnr, qi,
+        best_rationale=("best of on-device autotune sweep "
+                        f"({k} candidates, one compiled program)"))
+    return plans[best], np.asarray(enhanced[best]), records
 
+
+def plan_records(cands, ops, tile_size, scores, ssim, psnr, qi,
+                 best_rationale: str):
+    """Candidate dicts + per-candidate metrics → (EnhancementPlans,
+    IterationRecords, best index) — shared by the dense lane sweep and the
+    spatial sequential sweep (mdx/parallel/plan_sp.py)."""
+    best = int(np.argmax(scores))
     records = []
     plans = []
     for i, c in enumerate(cands):
@@ -122,9 +133,7 @@ def autotune(
                 post_denoise_strength=float(c["post_denoise_strength"]),
                 denoise_mode="soft"),
             rationale=("on-device autotune sweep candidate"
-                       if i != best else
-                       "best of on-device autotune sweep "
-                       f"({k} candidates, one compiled program)"))
+                       if i != best else best_rationale))
         plans.append(plan)
         records.append(IterationRecord(
             iteration=i + 1, plan=plan, score=round(float(scores[i]), 4),
@@ -132,7 +141,7 @@ def autotune(
                      "psnr": round(float(psnr[i]), 2),
                      "quality_improvement": round(float(qi[i]), 4)},
             chosen=(i == best)))
-    return plans[best], np.asarray(enhanced[best]), records
+    return plans, records, best
 
 
 def autotune_batch(

@@ -158,19 +158,44 @@ def apply_plan_sp(x, static: PlanStatic, dyn: PlanDynamic, masks,
     n = x.shape[0]
     fixed_order = tuple(o for o in OP_ORDER if o in static.ops)
     rerun_order = static.order()
-    out = jnp.clip(_run_chain_sp(x, fixed_order, static, dyn, masks,
-                                 dyn.unsharp_amount, lay), 0.0, 1.0)
 
-    # Safeguard 1: halo → full re-run with halved amount (uniform cond:
-    # the re-run chain contains collectives)
+    # Prefix-reuse, as in the dense path (mdx/core/enhance.py apply_plan):
+    # when the halo re-run order equals the fixed order up to 'unsharp',
+    # the pre-unsharp ops are a pure function of the original image and
+    # identical in both runs — the (expensive, collective-bearing) sharded
+    # denoise/CLAHE need not repeat inside the guard branch.
+    u_at = fixed_order.index("unsharp") if "unsharp" in fixed_order else -1
+    prefix_reusable = (u_at >= 0
+                       and rerun_order[:u_at + 1] == fixed_order[:u_at + 1])
+    if prefix_reusable:
+        pre = _run_chain_sp(x, fixed_order[:u_at], static, dyn, masks,
+                            dyn.unsharp_amount, lay)
+        suffix = fixed_order[u_at:]
+        out = jnp.clip(_run_chain_sp(pre, suffix, static, dyn, masks,
+                                     dyn.unsharp_amount, lay), 0.0, 1.0)
+    else:
+        pre = x
+        suffix = fixed_order
+        out = jnp.clip(_run_chain_sp(x, fixed_order, static, dyn, masks,
+                                     dyn.unsharp_amount, lay), 0.0, 1.0)
+
+    # Safeguard 1: halo → re-run with halved amount, resuming from the
+    # shared prefix when possible (uniform cond: the re-run chain
+    # contains collectives)
     if "unsharp" in static.ops:
         halo = jnp.logical_and(_edge_ratio_sp(out, lay.prims) > 1.5,
                                masks["unsharp"])
         pred = lax.psum(jnp.any(halo).astype(jnp.int32), lay.all_axes) > 0
 
         def _rerun(prev):
-            redo = _run_chain_sp(x, rerun_order, static, dyn, masks,
-                                 _as_n(dyn.unsharp_amount, n) * 0.5, lay)
+            if prefix_reusable:
+                redo = _run_chain_sp(pre, suffix, static, dyn, masks,
+                                     _as_n(dyn.unsharp_amount, n) * 0.5,
+                                     lay)
+            else:
+                redo = _run_chain_sp(x, rerun_order, static, dyn, masks,
+                                     _as_n(dyn.unsharp_amount, n) * 0.5,
+                                     lay)
             return jnp.where(halo[:, None, None],
                              jnp.clip(redo, 0.0, 1.0), prev)
 
@@ -281,3 +306,61 @@ def qa_plan_spatial(
         "score": score,
         "flags": flags,
     }
+
+
+def autotune_spatial(
+    image,
+    issues: list[str],
+    mesh: Mesh,
+    *,
+    ops: tuple[str, ...] = ("denoise", "clahe", "gamma", "unsharp",
+                            "post_denoise"),
+    tile_size: int = 16,
+):
+    """LLM-free autotune for ONE huge slice on the spatial mesh: the
+    issue-aware candidate grid (mdx/core/tuning.py) swept as K sequential
+    ``qa_plan_spatial`` calls that share ONE compiled program (the plan
+    parameters are traced, so only the first candidate compiles).  The
+    lane-broadcast trick of the dense sweep would multiply per-shard
+    memory by K — for slices that needed spatial sharding in the first
+    place, sequential reuse is the right trade.  Returns
+    (best EnhancementPlan, enhanced [H, W] np.ndarray, IterationRecords),
+    the same contract as ``mdx.core.tuning.autotune``."""
+    import numpy as np
+
+    from mdx.core.tuning import candidate_grid, plan_records
+
+    cands = candidate_grid(issues)
+    x = jnp.asarray(image, jnp.float32)[None]
+    static = PlanStatic(ops=ops, tile_size=tile_size, bilateral_d=0,
+                        plan_order=ops)
+    scores, ssims, psnrs, qis = [], [], [], []
+    best_i, best_score, best_enhanced = -1, -np.inf, None
+    for c in cands:
+        dyn = PlanDynamic(
+            clahe_clip_limit=c["clahe_clip_limit"], gamma=c["gamma"],
+            unsharp_radius=c["unsharp_radius"],
+            unsharp_amount=c["unsharp_amount"],
+            post_denoise_strength=c["post_denoise_strength"],
+            bilateral_sigma_color=c["bilateral_sigma_color"],
+            bilateral_sigma_space=c["bilateral_sigma_space"],
+            tv_denoise_weight=c["tv_denoise_weight"],
+            denoise_soft=bool(c["denoise_soft"]))
+        out = qa_plan_spatial(x, mesh, static, dyn)
+        sc = float(np.asarray(out["score"])[0])
+        scores.append(sc)
+        ssims.append(float(np.asarray(out["validation"]["ssim"])[0]))
+        psnrs.append(float(np.asarray(out["validation"]["psnr"])[0]))
+        qis.append(float(np.asarray(
+            out["validation"]["quality_improvement"])[0]))
+        if sc > best_score:
+            best_i, best_score = len(scores) - 1, sc
+            best_enhanced = out["enhanced"]  # device ref; fetched once below
+    plans, records, best = plan_records(
+        cands, ops, tile_size, np.asarray(scores), np.asarray(ssims),
+        np.asarray(psnrs), np.asarray(qis),
+        best_rationale=("best of spatially-sharded autotune sweep "
+                        f"({len(cands)} candidates, one compiled "
+                        "program reused)"))
+    assert best == best_i
+    return plans[best], np.asarray(best_enhanced)[0], records

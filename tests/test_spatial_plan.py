@@ -77,6 +77,21 @@ class TestPlanSpatial:
         out = qa_plan_spatial(x, mesh, static, dyn)
         _assert_matches_dense(out, x, static, dyn)
 
+    def test_halo_guard_with_prefix_ops(self):
+        """Guard trip with pre-unsharp ops in the chain — exercises the
+        sharded prefix-reuse re-run (denoise/CLAHE not recomputed inside
+        the guard branch) against the dense path."""
+        static = E.PlanStatic(
+            ops=("clahe", "gamma", "unsharp"), tile_size=16,
+            bilateral_d=0, plan_order=("clahe", "gamma", "unsharp"))
+        dyn = E.PlanDynamic(clahe_clip_limit=0.05, gamma=1.05,
+                            unsharp_radius=1.5, unsharp_amount=2.2,
+                            tv_denoise_weight=0.0)
+        mesh = make_mesh(n_data=1, n_space=4)
+        x = jnp.stack([jnp.asarray(_img(5, noise=0.18))])
+        out = qa_plan_spatial(x, mesh, static, dyn)
+        _assert_matches_dense(out, x, static, dyn)
+
     def test_masks_and_data_rows(self):
         """Two data rows with different masks/content — the guard conds'
         psum'd predicates keep every device on the same branch (no
@@ -99,3 +114,25 @@ class TestPlanSpatial:
             np.testing.assert_array_equal(np.asarray(out["flags"][k]),
                                           np.asarray(want_flags[k]),
                                           err_msg=k)
+
+
+class TestAutotuneSpatial:
+    def test_matches_dense_autotune(self):
+        """The sequential spatial sweep must pick the same candidate with
+        the same scores as the dense K-lane sweep."""
+        from mdx.core.tuning import autotune as dense_autotune
+        from mdx.parallel.plan_sp import autotune_spatial
+
+        img = _img(8, noise=0.14)
+        issues = ["noise", "low_contrast"]
+        mesh = make_mesh2d(n_data=1, n_sy=2, n_sx=2)
+        plan_sp, enh_sp, recs_sp = autotune_spatial(img, issues, mesh)
+        plan_d, enh_d, recs_d = dense_autotune(img, issues)
+        assert len(recs_sp) == len(recs_d)
+        for a, b in zip(recs_sp, recs_d):
+            np.testing.assert_allclose(a.score, b.score, atol=2e-3)
+            assert a.chosen == b.chosen
+        assert plan_sp.params.gamma == plan_d.params.gamma
+        assert (plan_sp.params.clahe_clip_limit
+                == plan_d.params.clahe_clip_limit)
+        np.testing.assert_allclose(enh_sp, enh_d, atol=1e-4)
