@@ -96,7 +96,8 @@ def main(argv=None) -> int:
 
             context = run_pipeline_spatial(
                 input_path=args.input, output_dir=args.output,
-                save_artifacts=True, window=args.window)
+                save_artifacts=True, window=args.window,
+                autotune=args.autotune)
         elif args.batch:
             from mdx.pipeline.batch_runner import run_pipeline_batch
 

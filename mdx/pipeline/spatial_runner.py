@@ -66,6 +66,7 @@ def run_pipeline_spatial(
     save_artifacts: bool = True,
     mesh=None,
     window: bool = False,
+    autotune: bool = False,
 ) -> dict[str, Any]:
     """QA one (large) DICOM slice spatially sharded across the mesh,
     with the reference's DETERMINISTIC issue-driven decisions
@@ -147,8 +148,46 @@ def run_pipeline_spatial(
         kw["post_denoise_strength"] = PD["post_denoise_strength"]
         applied_ops += ["unsharp", "post_denoise"]
 
-    # Phase 2: sharded issue-driven enhancement + safeguard + validation.
-    out = qa_fn(x, mesh, **kw)
+    # Phase 2: sharded enhancement + safeguards + validation — either the
+    # issue-driven deterministic chain, or (--autotune) the candidate
+    # sweep on the plan path with all three safeguards.
+    best_plan = None
+    records = []
+    if autotune:
+        from mdx.core.enhance import PlanDynamic, PlanStatic
+        from mdx.parallel.plan_sp import autotune_spatial, qa_plan_spatial
+
+        issues_list = [k for k in ISSUE_ORDER if flags[k]]
+        ops = tuple(o for o in ("denoise", "clahe", "gamma", "unsharp",
+                                "post_denoise")
+                    if o != "clahe" or clahe_aligned)
+        best_plan, _enh, records = autotune_spatial(
+            frame, issues_list, mesh, ops=ops, tile_size=t)
+        p = best_plan.params
+        static = PlanStatic(ops=ops, tile_size=t, bilateral_d=0,
+                            plan_order=ops)
+        dyn = PlanDynamic(
+            clahe_clip_limit=p.clahe_clip_limit, gamma=p.gamma,
+            unsharp_radius=p.unsharp_radius,
+            unsharp_amount=p.unsharp_amount,
+            post_denoise_strength=p.post_denoise_strength,
+            tv_denoise_weight=0.0)
+        pout = qa_plan_spatial(x, mesh, static, dyn)
+        out = {
+            "stats_before": pout["stats_before"],
+            "stats_after": pout["validation"]["metrics_after"],
+            "issues": issue_masks,
+            "ssim": pout["validation"]["ssim"],
+            "psnr": pout["validation"]["psnr"],
+            "quality_improvement":
+                pout["validation"]["quality_improvement"],
+            "passes": pout["validation"]["passes"],
+            "noise_amp_guard": pout["flags"]["noise_amp"],
+            "enhanced": pout["enhanced"],
+        }
+        applied_ops = list(best_plan.recommended_ops)
+    else:
+        out = qa_fn(x, mesh, **kw)
 
     stats = {k: float(np.asarray(out["stats_before"][k])[0])
              for k in METRIC_KEYS}
@@ -173,8 +212,11 @@ def run_pipeline_spatial(
         f"({'2-D row×col tiles' if 'sx' in layout else '1-D row blocks'})",
         "",
         f"Issues detected: {', '.join(issues) or '—'}",
-        f"Applied (issue-driven, reference defaults): "
-        f"{', '.join(applied_ops) or '— (pass-through)'}"
+        (f"Applied (autotune sweep, {len(records)} candidates on one "
+         f"reused program): {', '.join(applied_ops) or '—'}"
+         if autotune else
+         f"Applied (issue-driven, reference defaults): "
+         f"{', '.join(applied_ops) or '— (pass-through)'}")
         + (" · noise-amp guard tripped" if noise_amp_tripped else ""),
         "",
         "| metric | before | after |", "|---|---|---|",
@@ -187,10 +229,14 @@ def run_pipeline_spatial(
         f"quality improvement {validation['quality_improvement']:.4f} → "
         f"**{'PASS' if validation['passes'] else 'FAIL'}**",
         "",
-        "_Every applied op ran spatially sharded "
-        "(mdx/parallel/{wavelet_sp,clahe_sp,tv_sp,spatial*}.py) with the "
-        "reference's deterministic issue→op mapping and noise-amplification "
-        "safeguard._",
+        ("_Every applied op ran spatially sharded "
+         "(mdx/parallel/{plan_sp,wavelet_sp,clahe_sp,tv_sp}.py) on the "
+         "plan path with all three reference safeguards; the winning "
+         "plan and per-candidate records are persisted._" if autotune else
+         "_Every applied op ran spatially sharded "
+         "(mdx/parallel/{wavelet_sp,clahe_sp,tv_sp,spatial*}.py) with the "
+         "reference's deterministic issue→op mapping and "
+         "noise-amplification safeguard._"),
     ]
     report_md = "\n".join(lines)
 
@@ -207,7 +253,9 @@ def run_pipeline_spatial(
                 run_id=run_id, input_filename=label,
                 metadata_summary=meta, issues=issues,
                 metrics_before=stats, metrics_after=stats_after,
-                plan_json="", validation=validation,
+                plan_json=(best_plan.model_dump_json()
+                           if best_plan is not None else ""),
+                validation=validation,
                 applied_ops=applied_ops,
                 explainability={}, report_path=report_path,
                 before_after_path="", agent_logs=[], status="completed")
@@ -222,6 +270,8 @@ def run_pipeline_spatial(
         "issues": issues,
         "applied_ops": applied_ops,
         "noise_amp_guard": noise_amp_tripped,
+        "plan": best_plan,
+        "iterations": records,
         "enhanced": np.asarray(out["enhanced"])[0],
         "metrics": stats,
         "metrics_after": stats_after,

@@ -98,6 +98,21 @@ class TestSpatialRunnerE2E:
             ctx["validation"]["ssim"],
             float(np.asarray(validation["ssim"])[0]), atol=1e-4)
 
+    def test_autotune_mode(self, tmp_path):
+        """--spatial --autotune: candidate sweep on the sharded plan path,
+        persisting the winning plan + iteration records."""
+        p = str(tmp_path / "a.dcm")
+        write_synthetic_dicom(p, kind="noisy", size=128)
+        ctx = run_pipeline_spatial(p, output_dir=str(tmp_path / "out"),
+                                   autotune=True)
+        assert ctx["plan"] is not None
+        assert len(ctx["iterations"]) >= 3
+        assert sum(1 for r in ctx["iterations"] if r.chosen) == 1
+        assert "autotune sweep" in ctx["report_md"]
+        from mdx.pipeline import storage
+        row = storage.get_run(ctx["run_id"])
+        assert row["plan_json"]  # winning plan persisted
+
     def test_cli_flag(self, tmp_path, capsys):
         import main as cli
 
