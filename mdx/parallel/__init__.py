@@ -20,6 +20,14 @@ net-new capability, designed TPU-first:
 * :mod:`mdx.parallel.spatial2d` — 2-D (row × column) tile sharding over a
   ``(data, sy, sx)`` mesh with two-phase halo exchange; lifts the 1-D
   layer's H/16 shard ceiling to (H/16)·(W/16).
+* :mod:`mdx.parallel.clahe_sp` / :mod:`tv_sp` / :mod:`wavelet_sp` — the
+  globally-coupled enhancement ops (CLAHE, TV-Chambolle, BayesShrink
+  wavelet denoise) sharded exactly, completing the 7-op reference chain
+  on both spatial layouts.
+* :mod:`mdx.parallel.plan_sp` — the plan path sharded: ``apply_plan``
+  with all three safeguards (uniform psum'd cond predicates), full
+  validation + objective score (``qa_plan_spatial``), and the LLM-free
+  candidate sweep for huge slices (``autotune_spatial``).
 """
 
 from mdx.parallel.mesh import (
