@@ -97,20 +97,29 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
     npix = float(t * t)
     clim = jnp.maximum(clip_ref[pl.program_id(0)] * npix, 1.0)
 
-    def excess_body(b, acc):
-        return acc + jnp.maximum(hist_ref[b] - clim, 0.0)
+    _CDF_UNROLL = 8
+
+    def excess_body(b0, acc):
+        for j in range(_CDF_UNROLL):
+            acc = acc + jnp.maximum(hist_ref[b0 * _CDF_UNROLL + j]
+                                    - clim, 0.0)
+        return acc
 
     excess = jax.lax.fori_loop(
-        0, nbins, excess_body, jnp.zeros((gy, gx), jnp.float32))
+        0, nbins // _CDF_UNROLL, excess_body,
+        jnp.zeros((gy, gx), jnp.float32))
     redist = excess / nbins
 
-    def cdf_body(b, running):
-        running = running + jnp.minimum(hist_ref[b], clim) + redist
-        lut_ref[b] = running
+    def cdf_body(b0, running):
+        for j in range(_CDF_UNROLL):
+            b = b0 * _CDF_UNROLL + j
+            running = running + jnp.minimum(hist_ref[b], clim) + redist
+            lut_ref[b] = running
         return running
 
     total = jax.lax.fori_loop(
-        0, nbins, cdf_body, jnp.zeros((gy, gx), jnp.float32))
+        0, nbins // _CDF_UNROLL, cdf_body,
+        jnp.zeros((gy, gx), jnp.float32))
     cdf0 = lut_ref[0]
     denom = jnp.maximum(total - cdf0, 1e-12)
 
