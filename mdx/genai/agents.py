@@ -121,12 +121,16 @@ def run_agent(
     tools: list[str] | None = None,
     max_turns: int = 5,
     on_tool_call: Callable[[str, str], None] | None = None,
+    on_tool_result: Callable[[str, str, str], None] | None = None,
     on_llm_call: Callable[[], bool] | None = None,
 ) -> AgentResult:
     """Turn-capped tool-calling loop with single fallback-model retry.
 
     ``on_llm_call`` is the cost guard hook: return False to deny the call
-    (ref genai_agents.py:380-387).
+    (ref genai_agents.py:380-387).  ``on_tool_result`` observes
+    ``(tool_name, args_json, result_json)`` after each tool executes —
+    the orchestrator uses it to pair tuning iterations through the
+    ``enhanced_image_id`` chain instead of by call order.
     """
     result = AgentResult(model_used=model)
     tool_schemas = [TOOL_SCHEMAS[t] for t in (tools or [])]
@@ -173,6 +177,8 @@ def run_agent(
                 res.tool_calls_made += 1
                 if on_tool_call is not None:
                     on_tool_call(fn_name, json.dumps(args))
+                if on_tool_result is not None:
+                    on_tool_result(fn_name, json.dumps(args), out)
                 messages.append({
                     "role": "tool",
                     "tool_call_id": call.get("id", ""),

@@ -65,6 +65,26 @@ def sanitise_metadata(metadata: dict[str, Any]) -> dict[str, str]:
     return out
 
 
+def _validations_match(stored: dict, scored: dict) -> bool:
+    """True when the validation dict the model passed to tool_score_plan is
+    the one tool_validate returned for a recorded enhanced image.  The
+    model echoes the JSON back, possibly re-serialised — compare parsed
+    values (floats within 1e-6) rather than strings."""
+    if set(stored) != set(scored):
+        return False
+    for k, a in stored.items():
+        b = scored[k]
+        if isinstance(a, bool) or isinstance(b, bool):
+            if bool(a) != bool(b):
+                return False
+        elif isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            if abs(float(a) - float(b)) > 1e-6:
+                return False
+        elif a != b:
+            return False
+    return True
+
+
 @dataclass
 class GenAIPipelineResult:
     """Mirror of ref genai_agents.py:308-326."""
@@ -166,23 +186,53 @@ def run_genai_pipeline(
         result.prompts_used["tuning"] = t_prompt
         trace.log_prompt("tuning", t_prompt)
 
-        iteration_state = {"plans": [], "scores": []}
+        # Per-iteration records keyed through the enhanced_image_id chain
+        # (apply → validate → score all reference it), NOT by call order:
+        # a model that applies two plans before scoring either would
+        # misattribute scores under a positional zip.
+        iteration_records: list[dict] = []
 
-        def _observe_tool(tool: str, args_json: str) -> None:
-            trace.log_tool_call("tuning", tool, args_json)
+        def _observe_result(tool: str, args_json: str,
+                            result_json: str) -> None:
             try:
                 args = json.loads(args_json)
+                out = json.loads(result_json)
                 if tool == "tool_apply_enhancement":
                     p = T.clamp_plan(EnhancementPlan.model_validate_json(
                         args.get("plan_json", "{}")))
-                    iteration_state["plans"].append(p)
+                    iteration_records.append({
+                        "plan": p,
+                        "enh_id": out.get("enhanced_image_id"),
+                        "validation": None, "score": None,
+                        "metrics": out.get("metrics") or {}})
+                elif tool == "tool_validate":
+                    if "error" in out:
+                        return
+                    enh = args.get("enhanced_id")
+                    for rec in iteration_records:
+                        if rec["enh_id"] == enh and rec["validation"] is None:
+                            rec["validation"] = out
+                            break
                 elif tool == "tool_score_plan":
+                    s = float(out.get("score", 0.0))
                     v = json.loads(args.get("validation_json", "{}"))
-                    s = json.loads(T.tool_score_plan(
-                        json.dumps(v))).get("score", 0.0)
-                    iteration_state["scores"].append(float(s))
+                    # match the scored validation back to the apply whose
+                    # enhanced image it validated; positional fallback only
+                    # when the model scored a validation it never obtained
+                    # from tool_validate
+                    rec = next(
+                        (r for r in iteration_records
+                         if r["score"] is None and r["validation"] is not None
+                         and _validations_match(r["validation"], v)), None)
+                    if rec is None:
+                        rec = next((r for r in iteration_records
+                                    if r["score"] is None), None)
+                    if rec is not None:
+                        rec["score"] = s
                     trace.log_iteration(
-                        "tuning", len(iteration_state["scores"]),
+                        "tuning",
+                        sum(r["score"] is not None
+                            for r in iteration_records),
                         f"score={s}")
             except Exception:
                 pass
@@ -194,7 +244,8 @@ def run_genai_pipeline(
             tools=["tool_apply_enhancement", "tool_validate",
                    "tool_score_plan"],
             max_turns=max_iters * 4 + 2,
-            on_tool_call=_observe_tool, on_llm_call=_allow_call)
+            on_tool_call=lambda t, a: trace.log_tool_call("tuning", t, a),
+            on_tool_result=_observe_result, on_llm_call=_allow_call)
         result.llm_call_count = calls["n"]
         if r2.error is None and r2.final_text:
             try:
@@ -208,13 +259,22 @@ def run_genai_pipeline(
                            "keeping seed plan")
         result.best_plan = best_plan
 
-        # populate IterationRecords (fix-forward, SURVEY.md §2.3)
-        for i, p in enumerate(iteration_state["plans"]):
-            score = (iteration_state["scores"][i]
-                     if i < len(iteration_state["scores"]) else 0.0)
+        # populate IterationRecords (fix-forward, SURVEY.md §2.3):
+        # ``chosen`` marks the scored best, not JSON equality with the
+        # final text (the model may restate its winner with reordered keys)
+        best_i, best_s = -1, float("-inf")
+        for i, rec in enumerate(iteration_records):
+            if rec["score"] is not None and rec["score"] > best_s:
+                best_i, best_s = i, rec["score"]
+        for i, rec in enumerate(iteration_records):
             result.iterations.append(IterationRecord(
-                iteration=i + 1, plan=p, score=score,
-                chosen=(p.model_dump_json() == best_plan.model_dump_json())))
+                iteration=i + 1, plan=rec["plan"],
+                metrics={k: v for k, v in rec["metrics"].items()
+                         if isinstance(v, (int, float))},
+                score=rec["score"] if rec["score"] is not None else 0.0,
+                chosen=(i == best_i) if best_i >= 0 else
+                       (rec["plan"].model_dump_json()
+                        == best_plan.model_dump_json())))
         trace.log_phase_end("tuning",
                             f"{len(result.iterations)} iterations")
 

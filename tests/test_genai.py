@@ -259,6 +259,91 @@ class TestOrchestration:
         assert r.iterations[0].score > -10
         assert r.iterations[0].chosen
 
+    def test_out_of_order_scoring_stays_attributed(self, noisy_image):
+        """A model that applies TWO plans before scoring either (nothing in
+        the tool contract forbids it) must still get correctly-paired
+        IterationRecords: scores are matched back through the
+        enhanced_image_id chain (apply → validate → score), not call
+        order.  Here plan B is validated and scored FIRST — a positional
+        zip would swap the two scores."""
+        plan_a = _plan_json(recommended_ops=["clahe"],
+                            params={"clahe_clip_limit": 0.01})
+        plan_b = _plan_json(recommended_ops=["clahe", "unsharp"],
+                            params={"clahe_clip_limit": 0.04,
+                                    "unsharp_amount": 2.5,
+                                    "unsharp_radius": 2.0})
+        captured = {}
+
+        def transport(model, payload):
+            msgs = payload["messages"]
+            tool_outs = [json.loads(m["content"]) for m in msgs
+                         if m.get("role") == "tool"]
+            stage = transport.stage
+            transport.stage += 1
+            if stage == 0:                      # planner
+                return _msg(plan_a)
+            if stage == 1:                      # tuning: apply A, apply B
+                return _msg(None, [
+                    {"id": "a1", "function": {
+                        "name": "tool_apply_enhancement",
+                        "arguments": json.dumps({"image_id": "original",
+                                                 "plan_json": plan_a})}},
+                    {"id": "a2", "function": {
+                        "name": "tool_apply_enhancement",
+                        "arguments": json.dumps({"image_id": "original",
+                                                 "plan_json": plan_b})}},
+                ])
+            if stage == 2:                      # validate B then A
+                id_a = tool_outs[0]["enhanced_image_id"]
+                id_b = tool_outs[1]["enhanced_image_id"]
+                captured["ids"] = (id_a, id_b)
+                return _msg(None, [
+                    {"id": "v1", "function": {
+                        "name": "tool_validate",
+                        "arguments": json.dumps({"original_id": "original",
+                                                 "enhanced_id": id_b})}},
+                    {"id": "v2", "function": {
+                        "name": "tool_validate",
+                        "arguments": json.dumps({"original_id": "original",
+                                                 "enhanced_id": id_a})}},
+                ])
+            if stage == 3:                      # score B's validation, then A's
+                captured["val_b"], captured["val_a"] = (tool_outs[2],
+                                                        tool_outs[3])
+                return _msg(None, [
+                    {"id": "s1", "function": {
+                        "name": "tool_score_plan",
+                        "arguments": json.dumps({"validation_json":
+                                                 json.dumps(tool_outs[2])})}},
+                    {"id": "s2", "function": {
+                        "name": "tool_score_plan",
+                        "arguments": json.dumps({"validation_json":
+                                                 json.dumps(tool_outs[3])})}},
+                ])
+            if stage == 4:                      # tuning final text
+                return _msg(plan_b)
+            raise llm.LLMError("no explainability")  # expl + fallback
+
+        transport.stage = 0
+        r = self._run(noisy_image, transport)
+        assert len(r.iterations) == 2
+        # records stay in apply order: [0]=A, [1]=B
+        assert r.iterations[0].plan.params.clahe_clip_limit == 0.01
+        assert r.iterations[1].plan.params.unsharp_amount == 2.5
+        score_a = json.loads(T.tool_score_plan(
+            json.dumps(captured["val_a"])))["score"]
+        score_b = json.loads(T.tool_score_plan(
+            json.dumps(captured["val_b"])))["score"]
+        assert score_a != score_b  # otherwise the swap would be invisible
+        assert r.iterations[0].score == pytest.approx(score_a)
+        assert r.iterations[1].score == pytest.approx(score_b)
+        # chosen = the scored best, regardless of the final-text plan
+        best = 0 if score_a > score_b else 1
+        assert [it.chosen for it in r.iterations] == \
+            [i == best for i in range(2)]
+        # apply-result metrics landed on the records
+        assert r.iterations[0].metrics.get("sigma") is not None
+
     def test_cost_guard_limits_calls(self, noisy_image, monkeypatch):
         """An agent that never stops calling tools hits the LLM budget."""
         loop_call = {"id": "c", "function": {
