@@ -200,3 +200,70 @@ def percentiles_exact_sharded(v: jnp.ndarray, qs, axis_name: str,
     else:
         succ = jnp.zeros_like(a, jnp.float32)
     return _interpolate(_from_ordered_u32(a), succ, plan)
+
+
+def percentiles_multi_sharded(sources, axis_name) -> list[jnp.ndarray]:
+    """Fused exact percentiles over MULTIPLE data sources in ONE search.
+
+    ``sources``: list of ``(v, qs, total, weights)`` — same contract per
+    entry as :func:`percentiles_exact_sharded`; all share the leading N.
+    Returns one ``[len(qs), N]`` array per source.
+
+    The spatial metric pass needs order statistics of three different
+    arrays (the image, the gradient magnitude, the |HH| wavelet subband).
+    Run separately, that is 3 × 32 count psums + 3 successor psum/pmin
+    pairs of tiny [N, R] tensors — ~100 latency-bound collectives per
+    pass.  Every search shares the same 32-sweep control flow, so the
+    per-sweep counts of ALL sources concatenate into ONE ``[N, ΣR]``
+    psum (and one batched successor psum + pmin): same compares, same
+    results bit-for-bit, ~3× fewer collectives on the ICI-latency path.
+    """
+    n = sources[0][0].shape[0]
+    us, ws, plans, spans = [], [], [], []
+    all_ranks: list[int] = []
+    for v, qs, total, weights in sources:
+        flat = v.reshape(n, -1)
+        us.append(_to_ordered_u32(flat))
+        ws.append(None if weights is None else
+                  (jnp.broadcast_to(weights, v.shape).reshape(n, -1) > 0))
+        ranks, plan = _plan(qs, int(total))
+        plans.append(plan)
+        spans.append((len(all_ranks), len(ranks)))
+        all_ranks.extend(ranks)
+    r_all = jnp.asarray(all_ranks, jnp.int32)[None, :]
+
+    def count_below(cand):                               # cand [N, ΣR]
+        parts = []
+        for u, w, (off, cnt) in zip(us, ws, spans):
+            c = cand[:, off:off + cnt]
+            below = (u[:, None, :] < c[:, :, None]).astype(jnp.int32)
+            if w is not None:
+                below = below * w[:, None, :].astype(jnp.int32)
+            parts.append(jnp.sum(below, axis=-1))
+        return lax.psum(jnp.concatenate(parts, axis=1), axis_name)
+
+    a = _bitsearch(us[0], tuple(all_ranks), count_below)  # [N, ΣR] mapped
+
+    if any(f for plan in plans for _, f in plan):
+        cnt_parts, min_parts = [], []
+        for u, w, (off, cnt) in zip(us, ws, spans):
+            asrc = a[:, off:off + cnt]
+            le = u[:, None, :] <= asrc[:, :, None]
+            cle = le.astype(jnp.int32)
+            excl = ~le
+            if w is not None:
+                cle = cle * w[:, None, :].astype(jnp.int32)
+                excl = excl & w[:, None, :]
+            cnt_parts.append(jnp.sum(cle, axis=-1))
+            min_parts.append(jnp.min(
+                jnp.where(excl, u[:, None, :], _UMAX), axis=-1))
+        cnt_le = lax.psum(jnp.concatenate(cnt_parts, axis=1), axis_name)
+        min_above = lax.pmin(jnp.concatenate(min_parts, axis=1), axis_name)
+        succ = _from_ordered_u32(jnp.where(cnt_le >= r_all + 1,
+                                           a, min_above))
+    else:
+        succ = jnp.zeros_like(a, jnp.float32)
+
+    af = _from_ordered_u32(a)
+    return [_interpolate(af[:, off:off + cnt], succ[:, off:off + cnt], plan)
+            for (off, cnt), plan in zip(spans, plans)]

@@ -37,6 +37,12 @@ class SpatialPrims:
     * ``pmax_img(v)`` — global per-image max [N].
     * ``psum_img(v)`` — global per-image sum [N].
     * ``sigma(x)`` — distributed wavelet-MAD noise estimate [N].
+    * ``mad_source(x)`` — (|HH| subband, static valid count, weights) for
+      the MAD median, so the metric pass can fold it into ``pq_multi``.
+    * ``pq_multi(sources)`` — fused exact percentiles over several arrays
+      in ONE 32-sweep search (one [N, ΣR] count psum per sweep instead of
+      one per source); ``sources`` = list of (v, qs, total|None, weights),
+      total None ⇒ the full block.  Returns one [len(qs), N] per source.
     """
 
     lap_sobel: Callable
@@ -48,6 +54,8 @@ class SpatialPrims:
     pmax_img: Callable
     psum_img: Callable
     sigma: Callable
+    mad_source: Callable
+    pq_multi: Callable
 
 
 def image_stats_block(x: jnp.ndarray, p: SpatialPrims
@@ -55,10 +63,21 @@ def image_stats_block(x: jnp.ndarray, p: SpatialPrims
     """Per-shard body of the fused metric pass (runs under shard_map):
     the full 16-metric + niqe + edge_ratio dict of globally-reduced [N]
     vectors (formulas: ref pipeline/metrics.py:42-217)."""
-    sigma = p.sigma(x)
+    from mdx.refimpl.wavelet_np import MAD_TO_SIGMA
 
     lap, gh, gv = p.lap_sobel(x)
     grad = jnp.hypot(gh, gv)
+
+    # ONE fused order-statistic search for every quantile the pass needs —
+    # image percentiles, the p90 gradient cut, and the wavelet-MAD median —
+    # instead of three independent 32-sweep searches (3× the collectives).
+    hh_abs, hh_total, hh_valid = p.mad_source(x)
+    (p05, p25, p75, p95), (g90,), (mad_med,) = p.pq_multi([
+        (x, [5.0, 25.0, 75.0, 95.0], None, None),
+        (grad, [90.0], None, None),
+        (hh_abs, [50.0], hh_total, hh_valid),
+    ])
+    sigma = mad_med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
 
     _, lap_var = p.pvar(lap)
     lap_energy = p.pmean(lap * lap)
@@ -67,7 +86,6 @@ def image_stats_block(x: jnp.ndarray, p: SpatialPrims
     pct_low = p.pmean((x <= 0.01).astype(x.dtype))
     pct_high = p.pmean((x >= 0.99).astype(x.dtype))
 
-    p05, p25, p75, p95 = p.pq(x, [5.0, 25.0, 75.0, 95.0])
     one = jnp.ones((x.shape[0],), x.dtype)
     entropy = _entropy_from_hist(p.phist(x, 256, one))
 
@@ -85,7 +103,6 @@ def image_stats_block(x: jnp.ndarray, p: SpatialPrims
     _, lv7_var = p.pvar(lv7)
     local_contrast_std = jnp.sqrt(lv7_var)
 
-    g90 = p.pq(grad, [90.0])[0]
     strong = (grad >= g90[:, None, None]).astype(x.dtype)
     cnt = p.psum_img(strong)
     ssum = p.psum_img(grad * strong)

@@ -40,7 +40,10 @@ from mdx.parallel._spmd_stats import (
     qa_verdict as _qa_verdict,
 )
 from mdx.ops import filters as _F
-from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
+from mdx.ops.quantile import (
+    percentiles_exact_sharded as _pq_sharded,
+    percentiles_multi_sharded as _pq_multi_sharded,
+)
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
 _AXIS = "space"
@@ -220,17 +223,25 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
     return keep, valid
 
 
+def _mad_source(x: jnp.ndarray):
+    """(|HH| db2 subband, static global valid count, validity weights) —
+    the order-statistic input of the wavelet-MAD sigma, exposed so the
+    metric pass can fold its median into the fused multi-source search."""
+    hh, valid = _hh_subband_halo(x, "db2")
+    k = lax.axis_size(_AXIS)
+    _, hs2, wout = hh.shape
+    total = ((hs2 - 1) * k + 1) * wout  # valid rows: hs/2 per shard + 1 tail
+    return jnp.abs(hh), total, valid
+
+
 def estimate_sigma_spatial(x: jnp.ndarray) -> jnp.ndarray:
     """Distributed wavelet-MAD noise sigma over row blocks → [N].
 
     The median of |HH| is EXACT: a psum-distributed bitwise order-statistic
     search over the validity-weighted subband (the trailing duplicate row
     on interior shards carries weight 0)."""
-    hh, valid = _hh_subband_halo(x, "db2")
-    k = lax.axis_size(_AXIS)
-    _, hs2, wout = hh.shape
-    total = ((hs2 - 1) * k + 1) * wout  # valid rows: hs/2 per shard + 1 tail
-    med = _pq_sharded(jnp.abs(hh), [50.0], _AXIS, total, weights=valid)[0]
+    hh_abs, total, valid = _mad_source(x)
+    med = _pq_sharded(hh_abs, [50.0], _AXIS, total, weights=valid)[0]
     return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
 
 
@@ -244,6 +255,14 @@ def _pq(v, qs):
     return _pq_sharded(v, qs, _AXIS, total)
 
 
+def _pq_multi(sources):
+    """Fused multi-source search (shared-formula prim); total None ⇒ the
+    whole row-block axis."""
+    full = [(v, qs, v[0].size * lax.axis_size(_AXIS) if total is None
+             else total, w) for v, qs, total, w in sources]
+    return _pq_multi_sharded(full, _AXIS)
+
+
 def _pmax_img(v):
     return lax.pmax(jnp.max(v.reshape(v.shape[0], -1), axis=-1), _AXIS)
 
@@ -255,7 +274,8 @@ def _psum_img(v):
 _PRIMS = SpatialPrims(
     lap_sobel=_lap_sobel, local_variance=_local_variance_halo,
     pmean=_pmean_img, pvar=_pvar_img, phist=_phist, pq=_pq,
-    pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_spatial)
+    pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_spatial,
+    mad_source=_mad_source, pq_multi=_pq_multi)
 
 
 def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:

@@ -53,7 +53,10 @@ from mdx.parallel._spmd_stats import (
     qa_verdict as _qa_verdict,
 )
 from mdx.ops import filters as _F
-from mdx.ops.quantile import percentiles_exact_sharded as _pq_sharded
+from mdx.ops.quantile import (
+    percentiles_exact_sharded as _pq_sharded,
+    percentiles_multi_sharded as _pq_multi_sharded,
+)
 from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
 
 _AY = "sy"
@@ -237,14 +240,22 @@ def _hh_subband_2d(x: jnp.ndarray, wavelet: str = "db2"):
     return d_hw, valid
 
 
-def estimate_sigma_2d(x: jnp.ndarray) -> jnp.ndarray:
-    """Distributed wavelet-MAD noise sigma over 2-D tiles → [N]; the median
-    of |HH| is exact (two-axis psum-distributed order-statistic search)."""
+def _mad_source(x: jnp.ndarray):
+    """(|HH| db2 subband, static global valid count, validity weights) —
+    the order-statistic input of the wavelet-MAD sigma, exposed so the
+    metric pass can fold its median into the fused multi-source search."""
     hh, valid = _hh_subband_2d(x, "db2")
     ky, kx = lax.axis_size(_AY), lax.axis_size(_AX)
     _, hs2, ws2 = hh.shape
     total = ((hs2 - 1) * ky + 1) * ((ws2 - 1) * kx + 1)
-    med = _pq_sharded(jnp.abs(hh), [50.0], _AXES, total, weights=valid)[0]
+    return jnp.abs(hh), total, valid
+
+
+def estimate_sigma_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Distributed wavelet-MAD noise sigma over 2-D tiles → [N]; the median
+    of |HH| is exact (two-axis psum-distributed order-statistic search)."""
+    hh_abs, total, valid = _mad_source(x)
+    med = _pq_sharded(hh_abs, [50.0], _AXES, total, weights=valid)[0]
     return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
 
 
@@ -259,6 +270,15 @@ def _pq(v, qs):
     return _pq_sharded(v, qs, _AXES, total)
 
 
+def _pq_multi(sources):
+    """Fused multi-source search (shared-formula prim); total None ⇒ the
+    whole two-axis tile grid."""
+    k = lax.axis_size(_AY) * lax.axis_size(_AX)
+    full = [(v, qs, v[0].size * k if total is None else total, w)
+            for v, qs, total, w in sources]
+    return _pq_multi_sharded(full, _AXES)
+
+
 def _pmax_img(v):
     return lax.pmax(jnp.max(v.reshape(v.shape[0], -1), axis=-1), _AXES)
 
@@ -270,7 +290,8 @@ def _psum_img(v):
 _PRIMS = SpatialPrims(
     lap_sobel=_lap_sobel, local_variance=_local_variance_halo,
     pmean=_pmean_img, pvar=_pvar_img, phist=_phist, pq=_pq,
-    pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_2d)
+    pmax_img=_pmax_img, psum_img=_psum_img, sigma=estimate_sigma_2d,
+    mad_source=_mad_source, pq_multi=_pq_multi)
 
 
 def _image_stats_block(x: jnp.ndarray) -> dict[str, jnp.ndarray]:

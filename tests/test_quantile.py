@@ -134,3 +134,47 @@ def test_jit_and_grad_safe_under_vmapped_batch():
     assert out.shape == (2, 4)
     want = np.percentile(np.asarray(x), [5.0, 95.0], axis=-1)
     assert np.allclose(np.asarray(out), want, rtol=1e-6)
+
+
+def test_multi_source_fused_search_bit_exact():
+    """percentiles_multi_sharded == one percentiles_exact_sharded per
+    source, bit for bit — fusing the count psums into one [N, ΣR]
+    collective must not change a single bit (mixed shapes, a weighted
+    source, shared control flow)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from mdx.ops.quantile import (
+        percentiles_exact_sharded,
+        percentiles_multi_sharded,
+    )
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("space",))
+    rng = np.random.default_rng(21)
+    a = rng.normal(0, 1, (2, 64, 40)).astype(np.float32)
+    b = np.abs(rng.normal(0, 3, (2, 64, 24))).astype(np.float32)
+    c = rng.uniform(-5, 5, (2, 64, 16)).astype(np.float32)
+    wc = np.zeros((2, 64, 16), np.float32)
+    wc[:, ::2, :] = 1.0                       # uniform per-image valid count
+    total_c = int(wc[0].sum())
+    qa_, qb_, qc_ = [5.0, 25.0, 75.0, 95.0], [90.0], [50.0]
+
+    def fused(al, bl, cl, wl):
+        return tuple(percentiles_multi_sharded(
+            [(al, qa_, 64 * 40, None), (bl, qb_, 64 * 24, None),
+             (cl, qc_, total_c, wl)], "space"))
+
+    def separate(al, bl, cl, wl):
+        return (percentiles_exact_sharded(al, qa_, "space", 64 * 40),
+                percentiles_exact_sharded(bl, qb_, "space", 64 * 24),
+                percentiles_exact_sharded(cl, qc_, "space", total_c,
+                                          weights=wl))
+
+    specs = (P(None, "space", None),) * 4
+    got = jax.jit(shard_map(fused, mesh=mesh, in_specs=specs,
+                            out_specs=(P(),) * 3))(a, b, c, wc)
+    want = jax.jit(shard_map(separate, mesh=mesh, in_specs=specs,
+                             out_specs=(P(),) * 3))(a, b, c, wc)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
