@@ -426,6 +426,74 @@ def load_dicom(path: str, window: bool = False
     return image, metadata
 
 
+def raw_ingest_descriptor(ds: DicomDataset, raw: np.ndarray
+                          ) -> Dict[str, object]:
+    """Per-file scalars for device-side normalisation of raw pixels
+    (mdx/ops/ingest.py).
+
+    The rescaled stack bounds come from the raw integer min/max pushed
+    through the same f32 mul-then-add the host rescale applies: the map is
+    monotone and f32 ops are exactly rounded, so ``min(f(raw)) ==
+    f(min(raw))`` — identical to reducing the rescaled array, without
+    materialising it."""
+    slope = float(ds.get("RescaleSlope", 1.0) or 1.0)
+    intercept = float(ds.get("RescaleIntercept", 0.0) or 0.0)
+    f = np.float32
+    rmin, rmax = int(raw.min()), int(raw.max())
+    v0 = float(f(f(rmin) * f(slope)) + f(intercept))
+    v1 = float(f(f(rmax) * f(slope)) + f(intercept))
+    gmin, gmax = (v0, v1) if slope >= 0 else (v1, v0)
+    wc, ww = ds.get("WindowCenter"), ds.get("WindowWidth")
+    return {
+        "slope": slope, "intercept": intercept,
+        "mono1": _is_mono1(ds), "gmin": gmin, "gmax": gmax,
+        "window": (float(wc), float(ww))
+                  if wc is not None and ww is not None else None,
+    }
+
+
+def load_frames_raw(path: str, window: bool = False
+                    ) -> Tuple[np.ndarray, Dict[str, object] | None,
+                               Dict[str, str]]:
+    """Load for device-side normalisation: → (frames, descriptor, meta).
+
+    When the pixels are plain grayscale integers, ``frames`` is the RAW
+    stored [F, H, W] stack (native byte order) and ``descriptor`` the
+    :func:`raw_ingest_descriptor` scalars — 2× (uint16) to 4× (uint8)
+    fewer host→device bytes than decoded float32 on the upload-bound
+    batch paths.  Anything else (RGB, float pixel data) falls back to the
+    host pipeline: ``descriptor`` is None and ``frames`` is the
+    :func:`load_series` float32 stack (windowed per ``window``)."""
+    ds = read_dataset(path)
+    raw = decode_pixels(ds)
+    if (raw.dtype.kind not in "iu" or raw.ndim not in (2, 3)
+            or (raw.ndim == 3 and raw.shape[-1] in (3, 4))):
+        image = _pixels(ds, window)
+        if image.ndim == 2:
+            image = image[None]
+        meta = {
+            "Modality": str(ds.get("Modality", "Unknown") or "Unknown"),
+            "BodyPartExamined":
+                str(ds.get("BodyPartExamined", "Unknown") or "Unknown"),
+            "StudyDescription":
+                str(ds.get("StudyDescription", "Unknown") or "Unknown"),
+        }
+        return np.asarray(image, np.float32), None, meta
+    if raw.ndim == 2:
+        raw = raw[None]
+    if raw.dtype.byteorder == ">":
+        raw = raw.astype(raw.dtype.newbyteorder("="))
+    raw = np.ascontiguousarray(raw)
+    meta = {
+        "Modality": str(ds.get("Modality", "Unknown") or "Unknown"),
+        "BodyPartExamined":
+            str(ds.get("BodyPartExamined", "Unknown") or "Unknown"),
+        "StudyDescription":
+            str(ds.get("StudyDescription", "Unknown") or "Unknown"),
+    }
+    return raw, raw_ingest_descriptor(ds, raw), meta
+
+
 def load_series(path: str, window: bool = False
                 ) -> Tuple[np.ndarray, Dict[str, str]]:
     """Load a DICOM file keeping *all* frames: → ([F, H, W] float32, metadata).

@@ -30,7 +30,8 @@ logger = logging.getLogger(__name__)
 
 def _collect_inputs(input_path: str, window: bool = False
                     ) -> list[tuple[str, np.ndarray, dict]]:
-    """Return [(label, [F,H,W] stack, metadata)] for a file or directory.
+    """Return [(label, [F,H,W] stack, metadata)] for a file or directory,
+    decoded + normalised on the host (the autotune path).
 
     Directory decode runs on a host thread pool (the pipeline-parallel
     ingest of SURVEY.md §2.9 row 3 — decode overlaps decode; the
@@ -61,6 +62,46 @@ def _collect_inputs(input_path: str, window: bool = False
     return out
 
 
+def _collect_inputs_raw(input_path: str, window: bool = False
+                        ) -> list[tuple[str, np.ndarray, dict | None, dict]]:
+    """[(label, frames, ingest descriptor | None, metadata)] keeping raw
+    integer pixels for device-side normalisation (mdx/ops/ingest.py) —
+    2–4× fewer host→device bytes on the upload-bound batch paths.
+    Descriptor None ⇒ frames are host-normalised float32 (RGB/float pixel
+    fallback)."""
+    from mdx.io.dicom import load_frames_raw
+
+    out = []
+    if os.path.isdir(input_path):
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = sorted(
+            n for n in os.listdir(input_path)
+            if os.path.splitext(n)[1].lower() in (".dcm", ".dicom"))
+
+        def _one(name: str):
+            try:
+                frames, desc, meta = load_frames_raw(
+                    os.path.join(input_path, name), window=window)
+                if frames.shape[0] > 1:
+                    # directory entries contribute one frame each (the
+                    # reference's middle-slice reduction, dicom_io.py:60-81);
+                    # the descriptor keeps whole-stack scalars, matching the
+                    # host path's stack-wide MONO1 pivot
+                    frames = frames[frames.shape[0] // 2][None]
+                return (name, frames, desc, meta)
+            except Exception as exc:
+                logger.warning("Skipping %s: %s", name, exc)
+                return None
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            out = [r for r in pool.map(_one, names) if r is not None]
+    else:
+        frames, desc, meta = load_frames_raw(input_path, window=window)
+        out.append((os.path.basename(input_path), frames, desc, meta))
+    return out
+
+
 def _buckets(items: list[tuple[str, np.ndarray, dict]],
              window: bool = False):
     """Group frames by (H, W) so each bucket compiles once.
@@ -74,6 +115,23 @@ def _buckets(items: list[tuple[str, np.ndarray, dict]],
                      else normalize_image(stack[f]))
             key = frame.shape
             by_shape.setdefault(key, []).append((label, f, frame, meta))
+    return by_shape
+
+
+def _buckets_raw(items, window: bool = False):
+    """Group frames by (H, W, dtype) — raw integer frames keep their
+    stored dtype (normalised on device), float32 fallbacks behave as
+    :func:`_buckets`.  Entries: (label, frame_idx, frame, meta, desc)."""
+    by_shape: dict[tuple[int, int, str], list] = {}
+    for label, stack, desc, meta in items:
+        for f in range(stack.shape[0]):
+            frame = stack[f]
+            if desc is None:
+                frame = (np.asarray(frame, np.float32) if window
+                         else normalize_image(frame))
+            key = frame.shape + (str(frame.dtype),)
+            by_shape.setdefault(key, []).append((label, f, frame, meta,
+                                                 desc))
     return by_shape
 
 
@@ -134,7 +192,7 @@ def _collect(frames, packed_np, h, w, results, save_artifacts):
     nm = len(METRIC_KEYS)
     ni = len(ISSUE_ORDER)
     db_rows = []
-    for i, (label, fidx, _frame, meta) in enumerate(frames):
+    for i, (label, fidx, _frame, meta, _desc) in enumerate(frames):
         col = packed_np[:, i]
         frame_issues = [k for j, k in enumerate(ISSUE_ORDER)
                         if bool(col[nm + j])]
@@ -212,6 +270,69 @@ def _autotune_chunk(x: np.ndarray):
     return enhanced, stats, issue_masks, flags, validation, score
 
 
+_RAW_QA_JIT: dict[bool, Any] = {}
+
+
+def _raw_qa_program(window: bool):
+    """One fused jitted program per windowing mode: raw integer frames +
+    per-frame scalars → device normalisation (mdx/ops/ingest.py) →
+    qa_deterministic.  Only the stored bytes cross the host→device link
+    (the upload was the dominant warm cost of configs 3/5, docs/PERF.md)."""
+    fn = _RAW_QA_JIT.get(window)
+    if fn is None:
+        import jax
+
+        from mdx.core import qa
+        from mdx.ops.ingest import normalize_ingest
+
+        @jax.jit
+        def fn(raw, slope, intercept, mono1, gmax, use_w, wlo, wden,
+               nlo, nhi):
+            x = normalize_ingest(raw, slope, intercept, mono1, gmax,
+                                 use_w, wlo, wden, nlo, nhi,
+                                 per_frame_minmax=not window)
+            return qa.qa_deterministic(x)
+
+        _RAW_QA_JIT[window] = fn
+    return fn
+
+
+def _ingest_params(descs: list[dict], window: bool, n_pad: int):
+    """Per-frame [n_pad] float32 scalar vectors for normalize_ingest from
+    the per-file descriptors (padding replicates the last frame)."""
+    f32 = np.float32
+
+    def build(fn):
+        vals = [fn(d) for d in descs]
+        vals += [vals[-1]] * (n_pad - len(vals))
+        return np.asarray(vals, f32)
+
+    def wparams(d):
+        if not window or d["window"] is None:
+            return (0.0, 0.0, 1.0)
+        wc, ww = d["window"]
+        width = max(float(ww), 1.0 + 1e-6)
+        lo = float(wc) - 0.5 - (width - 1.0) / 2.0
+        return (1.0, f32(lo), f32(width - 1.0))
+
+    def nbounds(d):
+        # windowless-fallback bounds over the whole stack, in the space
+        # AFTER the MONO1 inversion (z = gmax - v has bounds [0, gmax-gmin])
+        if d["mono1"]:
+            return (0.0, float(f32(d["gmax"]) - f32(d["gmin"])))
+        return (d["gmin"], d["gmax"])
+
+    return (build(lambda d: d["slope"]),
+            build(lambda d: d["intercept"]),
+            build(lambda d: 1.0 if d["mono1"] else 0.0),
+            build(lambda d: d["gmax"]),
+            build(lambda d: wparams(d)[0]),
+            build(lambda d: wparams(d)[1]),
+            build(lambda d: wparams(d)[2]),
+            build(lambda d: nbounds(d)[0]),
+            build(lambda d: nbounds(d)[1]))
+
+
 def run_pipeline_batch(
     input_path: str,
     output_dir: str = "outputs",
@@ -244,12 +365,24 @@ def run_pipeline_batch(
     from mdx.parallel import make_mesh, pad_batch
     from mdx.parallel.mesh import data_sharding
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     storage.init_db()
     if mesh is None:
         mesh = make_mesh()
 
-    items = _collect_inputs(input_path, window=window)
+    if autotune:
+        # autotune consumes host-normalised frames (its sweep runs from
+        # numpy); the raw-upload path applies to the deterministic QA flow
+        items = _collect_inputs(input_path, window=window)
+        buckets = {
+            (h, w, "float32"): [(lb, fi, fr, m, None) for lb, fi, fr, m
+                                in v]
+            for (h, w), v in _buckets(items, window=window).items()}
+    else:
+        raw_items = _collect_inputs_raw(input_path, window=window)
+        items = raw_items
+        buckets = _buckets_raw(raw_items, window=window)
     if not items:
         raise RuntimeError(f"No DICOM inputs found at {input_path}")
 
@@ -267,7 +400,7 @@ def run_pipeline_batch(
 
     skipped = 0
     results: list[dict[str, Any]] = []
-    for (h, w), frames in sorted(_buckets(items, window=window).items()):
+    for (h, w, _kind), frames in sorted(buckets.items()):
         if done:
             kept = [f for f in frames
                     if f"{f[0]}#frame{f[1]}" not in done]
@@ -276,12 +409,22 @@ def run_pipeline_batch(
             if not frames:
                 continue
         def _submit(chunk):
-            x = np.stack([f[2] for f in chunk]).astype(np.float32)
             if autotune:
+                x = np.stack([f[2] for f in chunk]).astype(np.float32)
                 return (chunk, len(chunk), _pack_outputs(_autotune_chunk(x)))
+            x = np.stack([f[2] for f in chunk])
             xp, n_valid = pad_batch(jnp.asarray(x), mesh)
             xp = jax.device_put(xp, data_sharding(mesh))
-            out = qa.qa_deterministic(xp)
+            if chunk[0][4] is not None:
+                # raw integer frames: upload stored bytes, normalise
+                # on device (2–4× fewer bytes over the link)
+                params = _ingest_params([f[4] for f in chunk], window,
+                                        xp.shape[0])
+                vec = NamedSharding(mesh, P("data"))
+                params = tuple(jax.device_put(p, vec) for p in params)
+                out = _raw_qa_program(window)(xp, *params)
+            else:
+                out = qa.qa_deterministic(xp)
             # keep only what collection reads, packed into one device
             # array — dropping the [chunk,H,W] enhanced stack bounds device
             # memory to ~2 chunks in flight, and the single packed fetch
