@@ -95,11 +95,17 @@ def _measure_tpu(batch: np.ndarray, reps: int) -> float:
         float(tiny(x))
     rtt = (time.perf_counter() - t0) / 5
 
+    from mdx.core.batching import map_subbatches
+
     @partial(jax.jit, static_argnames=("s", "n"))
     def fused_loop(v, s, d, n):
+        def step(c, dd):
+            return M.image_stats(c), E.apply_plan(c, s, dd)
+
         def body(i, carry):
-            stats = M.image_stats(carry)           # 16 metrics + niqe
-            enh, flags = E.apply_plan(carry, s, d)  # 7 ops + 3 safeguards
+            # ≤32-image groups: XLA fusion degrades past that batch
+            # (mdx/core/batching.py); 16 metrics + 7 ops + 3 safeguards
+            stats, (enh, flags) = map_subbatches(step, carry, d)
             # chain iterations through EVERY output (all 18 stats + the
             # guard flags) so XLA cannot dead-code-eliminate any metric —
             # depending only on one stat lets the compiler drop the rest

@@ -26,23 +26,23 @@ import jax.numpy as jnp
 
 from mdx.core import enhance as E
 from mdx.core import metrics as M
+from mdx.core.batching import map_subbatches
 from mdx.core.validate import validate as _validate
 from mdx.core.score import objective_score
 
 
-@jax.jit
-def detect(x: jnp.ndarray):
-    """[N,H,W] → (stats dict incl. 16 metrics, issue masks)."""
+def _detect_body(x: jnp.ndarray):
     stats = M.image_stats(x)
     return stats, M.detect_issues(stats)
 
 
 @jax.jit
-def qa_deterministic(x: jnp.ndarray):
-    """Full deterministic QA: one compiled program.
+def detect(x: jnp.ndarray):
+    """[N,H,W] → (stats dict incl. 16 metrics, issue masks)."""
+    return map_subbatches(_detect_body, x)
 
-    Returns (enhanced, stats_before, issues, flags, validation, score).
-    """
+
+def _qa_deterministic_body(x: jnp.ndarray):
     stats = M.image_stats(x)
     issues = M.detect_issues(stats)
     enhanced, flags = E.apply_issue_driven(x, issues)
@@ -54,16 +54,31 @@ def qa_deterministic(x: jnp.ndarray):
     return enhanced, stats, issues, flags, validation, score
 
 
+@jax.jit
+def qa_deterministic(x: jnp.ndarray):
+    """Full deterministic QA: one compiled program.
+
+    Returns (enhanced, stats_before, issues, flags, validation, score).
+    Internally re-runs the fused pass over ≤32-image groups — XLA's
+    fusion degrades super-linearly past that batch (mdx/core/batching.py).
+    """
+    return map_subbatches(_qa_deterministic_body, x)
+
+
+def _qa_plan_body(x, dyn, *, static):
+    enhanced, flags = E.apply_plan(x, static, dyn)
+    validation = _validate(x, enhanced)
+    score, _ = objective_score(validation)
+    return enhanced, flags, validation, score
+
+
 @partial(jax.jit, static_argnames=("static",))
 def qa_plan(x: jnp.ndarray, static: E.PlanStatic, dyn: E.PlanDynamic):
     """One plan-driven tuning iteration fully on device.
 
     Returns (enhanced, guard flags, validation, score).
     """
-    enhanced, flags = E.apply_plan(x, static, dyn)
-    validation = _validate(x, enhanced)
-    score, _ = objective_score(validation)
-    return enhanced, flags, validation, score
+    return map_subbatches(partial(_qa_plan_body, static=static), x, dyn)
 
 
 @partial(jax.jit, static_argnames=("static",))

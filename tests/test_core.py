@@ -150,3 +150,43 @@ class TestValidationScore:
         assert float(stats["sigma"][0]) > float(
             M.image_stats(enhanced[:1])["sigma"][0])
         assert np.asarray(score).shape == (2,)
+
+
+class TestSubBatching:
+    def test_grouped_matches_whole(self):
+        """qa_deterministic's internal ≤32-image grouping
+        (mdx/core/batching.py) is semantically the identity: a batch that
+        triggers grouping (N=16 → groups of 8) must match the ungrouped
+        body leaf-for-leaf."""
+        import jax
+
+        from mdx.core import qa
+        from mdx.core.batching import map_subbatches
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(np.clip(rng.normal(0.5, 0.15, (16, 64, 64)),
+                                0, 1), jnp.float32)
+        grouped = qa.qa_deterministic(x)
+        whole = jax.jit(qa._qa_deterministic_body)(x)
+        for g, w in zip(jax.tree_util.tree_leaves(grouped),
+                        jax.tree_util.tree_leaves(whole)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6)
+
+    def test_per_image_args_split_with_rows(self):
+        """[N] parameter leaves (per-image plans) must split with the rows
+        — shared-closure misalignment would mix plans across groups."""
+        from mdx.core import enhance as E
+        from mdx.core import qa
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(np.clip(rng.normal(0.5, 0.1, (16, 32, 32)),
+                                0, 1), jnp.float32)
+        static = E.PlanStatic(ops=("gamma",), tile_size=16, bilateral_d=0,
+                              plan_order=("gamma",))
+        gammas = np.linspace(0.6, 1.6, 16).astype(np.float32)
+        dyn = E.PlanDynamic(gamma=jnp.asarray(gammas),
+                            tv_denoise_weight=0.0)
+        enh, _, _, _ = qa.qa_plan(x, static, dyn)
+        want = np.asarray(x) ** gammas[:, None, None]
+        np.testing.assert_allclose(np.asarray(enh), want, atol=1e-5)
