@@ -25,12 +25,13 @@ GROUPS = (32, 16, 8)
 
 def map_subbatches(fn, x, *args, groups=GROUPS):
     """``fn(x, *args)`` evaluated over row groups of ``x`` via ``lax.map``,
-    outputs re-flattened to leading N.  Runs ``fn`` whole when N has no
-    usable divisor (N ≤ g or N % g ≠ 0 for every candidate).  Arg leaves
+    outputs re-flattened to leading N.  Runs ``fn`` whole when N is at or
+    below the knee (≤ groups[0]) or has no usable divisor.  Arg leaves
     with a leading N axis (per-image parameter vectors) are split with
     the rows; everything else is closed over."""
     n = x.shape[0]
-    g = next((c for c in groups if n > c and n % c == 0), None)
+    g = (None if n <= groups[0]
+         else next((c for c in groups if n % c == 0), None))
     if g is None:
         return fn(x, *args)
 

@@ -156,22 +156,22 @@ class TestSubBatching:
     def test_grouped_matches_whole(self):
         """qa_deterministic's internal ≤32-image grouping
         (mdx/core/batching.py) is semantically the identity: a batch that
-        triggers grouping (N=16 → groups of 8) must match the ungrouped
+        triggers grouping (N=48 → groups of 16) must match the ungrouped
         body leaf-for-leaf."""
         import jax
 
         from mdx.core import qa
-        from mdx.core.batching import map_subbatches
 
         rng = np.random.default_rng(3)
-        x = jnp.asarray(np.clip(rng.normal(0.5, 0.15, (16, 64, 64)),
+        x = jnp.asarray(np.clip(rng.normal(0.5, 0.15, (48, 64, 64)),
                                 0, 1), jnp.float32)
         grouped = qa.qa_deterministic(x)
         whole = jax.jit(qa._qa_deterministic_body)(x)
         for g, w in zip(jax.tree_util.tree_leaves(grouped),
                         jax.tree_util.tree_leaves(whole)):
+            # identical math; tolerance covers XLA reduction-order noise
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                       atol=1e-6)
+                                       rtol=1e-5, atol=1e-5)
 
     def test_per_image_args_split_with_rows(self):
         """[N] parameter leaves (per-image plans) must split with the rows
@@ -180,11 +180,11 @@ class TestSubBatching:
         from mdx.core import qa
 
         rng = np.random.default_rng(4)
-        x = jnp.asarray(np.clip(rng.normal(0.5, 0.1, (16, 32, 32)),
+        x = jnp.asarray(np.clip(rng.normal(0.5, 0.1, (48, 32, 32)),
                                 0, 1), jnp.float32)
         static = E.PlanStatic(ops=("gamma",), tile_size=16, bilateral_d=0,
                               plan_order=("gamma",))
-        gammas = np.linspace(0.6, 1.6, 16).astype(np.float32)
+        gammas = np.linspace(0.6, 1.6, 48).astype(np.float32)
         dyn = E.PlanDynamic(gamma=jnp.asarray(gammas),
                             tv_denoise_weight=0.0)
         enh, _, _, _ = qa.qa_plan(x, static, dyn)
