@@ -247,16 +247,25 @@ def run_genai_pipeline(
             on_tool_call=lambda t, a: trace.log_tool_call("tuning", t, a),
             on_tool_result=_observe_result, on_llm_call=_allow_call)
         result.llm_call_count = calls["n"]
+        def _scored_best_fallback(reason: str) -> None:
+            nonlocal best_plan
+            scored = [r for r in iteration_records
+                      if r["score"] is not None]
+            if scored:
+                best_plan = max(scored, key=lambda r: r["score"])["plan"]
+                trace.log_info("tuning", f"{reason}; using scored-best "
+                               "iteration plan")
+            else:
+                trace.log_info("tuning", f"{reason}; keeping seed plan")
+
         if r2.error is None and r2.final_text:
             try:
                 best_plan = T.clamp_plan(EnhancementPlan.model_validate(
                     llm.extract_json(r2.final_text)))
             except Exception as exc:
-                trace.log_info("tuning", f"final plan unparseable ({exc}); "
-                               "keeping seed plan")
+                _scored_best_fallback(f"final plan unparseable ({exc})")
         else:
-            trace.log_info("tuning", f"tuning failed ({r2.error}); "
-                           "keeping seed plan")
+            _scored_best_fallback(f"tuning failed ({r2.error})")
         result.best_plan = best_plan
 
         # populate IterationRecords (fix-forward, SURVEY.md §2.3):

@@ -560,3 +560,41 @@ class TestHttpTransport:
 from mdx.genai.tools import TOOL_SCHEMAS as _TS  # noqa: E402
 
 TOOL_SCHEMAS_GET = _TS["tool_get_metrics"]
+
+
+class TestScoredBestFallback:
+    def test_unparseable_final_text_uses_scored_best(self, noisy_image):
+        """When the tuning agent's final message isn't a plan but
+        iterations WERE scored, best_plan falls back to the scored best
+        (fix-forward: the reference keeps the seed, but it never had the
+        records to do better — ref pipeline/genai_agents.py:283-300)."""
+        plan_good = _plan_json(recommended_ops=["clahe"],
+                               params={"clahe_clip_limit": 0.02})
+        apply_call = {"id": "a1", "function": {
+            "name": "tool_apply_enhancement",
+            "arguments": json.dumps({"image_id": "original",
+                                     "plan_json": plan_good})}}
+        score_call = {"id": "s1", "function": {
+            "name": "tool_score_plan",
+            "arguments": json.dumps({"validation_json": json.dumps({
+                "contrast_gain": 0.2, "sharpness_gain": 0.2,
+                "noise_change": -0.1, "niqe_after": 1.0,
+                "niqe_before": 1.2, "passes": True, "edge_ratio": 0.9,
+                "entropy_change": 0.0, "snr_change": 0.5,
+                "histogram_spread_change": 0.0,
+                "local_contrast_change": 0.0,
+                "gradient_strength_change": 0.0,
+                "gradient_entropy_change": 0.0})})}}
+        tr = ScriptedTransport([
+            _msg(_plan_json()),               # planner (seed: denoise+clahe)
+            _msg(None, [apply_call]),
+            _msg(None, [score_call]),
+            _msg("thanks, that went well!"),  # final text: no JSON at all
+            llm.LLMError("no expl"), llm.LLMError("no expl fb"),
+        ])
+        r = self._run(noisy_image, tr)
+        # best_plan is the scored iteration's plan, not the seed
+        assert r.best_plan.normalized_ops() == ["clahe"]
+        assert r.iterations[0].chosen
+
+    _run = TestOrchestration._run
