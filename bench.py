@@ -100,7 +100,9 @@ def _measure_tpu(batch: np.ndarray, reps: int) -> float:
     @partial(jax.jit, static_argnames=("s", "n"))
     def fused_loop(v, s, d, n):
         def step(c, dd):
-            return M.image_stats(c), E.apply_plan(c, s, dd)
+            stats = M.image_stats(c)
+            return stats, E.apply_plan(c, s, dd,
+                                       niqe_before=stats["niqe"])
 
         def body(i, carry):
             # ≤32-image groups: XLA fusion degrades past that batch

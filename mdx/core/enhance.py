@@ -146,11 +146,15 @@ def apply_plan(
     static: PlanStatic,
     dyn: PlanDynamic,
     masks: dict[str, jnp.ndarray] | None = None,
+    niqe_before: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Plan-driven chain + 3 safeguards (ref pipeline/enhancement.py:235-369).
 
     Returns (enhanced [N,H,W], guard flags {halo, noise_amp, over_processed}
-    as [N] bools for reporting).
+    as [N] bools for reporting).  ``niqe_before``: precomputed
+    ``compute_niqe(x)`` (e.g. ``stats["niqe"]`` from the metric pass) —
+    callers that already ran image_stats pass it to avoid re-running the
+    box-stats kernel on x (Pallas custom-calls are opaque to XLA CSE).
     """
     n = x.shape[0]
     if masks is None:
@@ -214,7 +218,9 @@ def apply_plan(
     out = lax.cond(jnp.any(noise_amp), _fix_noise, lambda o: o, out)
 
     # Safeguard 3: over-processing (NIQE degraded > 0.5) → blend back 40%
-    over = (_niqe(out) - _niqe(x)) > 0.5
+    if niqe_before is None:
+        niqe_before = _niqe(x)
+    over = (_niqe(out) - niqe_before) > 0.5
     out = _sel(over, jnp.clip(0.6 * out + 0.4 * x, 0.0, 1.0), out)
 
     return out, {"halo": halo, "noise_amp": noise_amp, "over_processed": over}

@@ -53,12 +53,42 @@ def compute_niqe(x: jnp.ndarray) -> jnp.ndarray:
 
     Shared by image_stats and the enhancement safeguards so the guard
     decisions and the reported niqe cannot drift apart; XLA CSEs the
-    repeated Laplacian/Sobel subexpressions inside a fused program.
+    repeated Laplacian/Sobel subexpressions inside a fused program.  The
+    CoV comes from the same box-stats source as image_stats (Pallas
+    kernel on TPU) — mixing sources would break that CSE and compute the
+    16×16 local variance twice per image per pass.
     """
-    n = x.shape[0]
-    lv = _f.local_variance(x, 16).reshape(n, -1)
-    cov = jnp.std(lv, axis=-1) / (jnp.mean(lv, axis=-1) + 1e-8)
+    _, m16, s16 = _lv_box_stats(x)
+    cov = s16 / (m16 + 1e-8)
     return cov + jnp.maximum(compute_edge_ratio(x) - 1.0, 0.0) * 10.0
+
+
+def _use_box_kernel(x: jnp.ndarray) -> bool:
+    try:
+        import jax as _jax
+
+        from mdx.ops.pallas_kernels import box_stats_fits
+
+        return (_jax.default_backend() == "tpu"
+                and box_stats_fits(x.shape[1], x.shape[2]))
+    except Exception:
+        return False
+
+
+def _lv_box_stats(x: jnp.ndarray):
+    """(std(sqrt(lv7)), mean(lv16), std(lv16)) — Pallas whole-image kernel
+    on TPU (one VMEM-resident pass for both box pairs + reductions; the
+    XLA shift-add lowering streams ~8 intermediates through HBM, 8% of
+    VPU roofline, docs/PERF.md), XLA fallback elsewhere / large images."""
+    if _use_box_kernel(x):
+        from mdx.ops.pallas_kernels import box_stats_tpu
+
+        return box_stats_tpu(x)
+    n = x.shape[0]
+    lv7s = jnp.sqrt(_f.local_variance(x, 7)).reshape(n, -1)
+    lv16 = _f.local_variance(x, 16).reshape(n, -1)
+    return (jnp.std(lv7s, axis=-1), jnp.mean(lv16, axis=-1),
+            jnp.std(lv16, axis=-1))
 
 
 def image_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
@@ -95,8 +125,7 @@ def image_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     snr = mean / sigma_safe
     cnr = (p95 - p05) / sigma_safe
 
-    local_std7 = jnp.sqrt(_f.local_variance(x, 7))
-    local_contrast_std = jnp.std(flatten(local_std7), axis=-1)
+    local_contrast_std, _lv16_mean, _lv16_std = _lv_box_stats(x)
 
     # gradient strength: mean of grad values ≥ per-image p90
     g90 = _h.percentiles(grad, [90.0])[0]
@@ -112,9 +141,7 @@ def image_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
         _h.histogram_scaled(grad, 128, gmax + 1e-8))
 
     # NIQE-approx: CoV of 16×16 local variance + halo penalty
-    lv16 = _f.local_variance(x, 16)
-    lv_flat = flatten(lv16)
-    var_of_var = jnp.std(lv_flat, axis=-1) / (jnp.mean(lv_flat, axis=-1) + 1e-8)
+    var_of_var = _lv16_std / (_lv16_mean + 1e-8)
     edge_ratio = jnp.mean(flatten(jnp.abs(lap)), axis=-1) / (gmean + 1e-8)
     niqe = var_of_var + jnp.maximum(edge_ratio - 1.0, 0.0) * 10.0
 

@@ -66,8 +66,12 @@ def qa_deterministic(x: jnp.ndarray):
 
 
 def _qa_plan_body(x, dyn, *, static):
-    enhanced, flags = E.apply_plan(x, static, dyn)
-    validation = _validate(x, enhanced)
+    # one metric pass on x, shared by the over-processing guard and the
+    # validation before-stats (Pallas custom-calls don't CSE across uses)
+    stats = M.image_stats(x)
+    enhanced, flags = E.apply_plan(x, static, dyn,
+                                   niqe_before=stats["niqe"])
+    validation = _validate(x, enhanced, stats_before=stats)
     score, _ = objective_score(validation)
     return enhanced, flags, validation, score
 

@@ -444,3 +444,85 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
 
 # Whole-image kernel VMEM budget: image + out + 2×(nbins·gy·gx) floats.
 _WHOLE_IMAGE_LIMIT = 768 * 768
+
+
+# ---------------------------------------------------------------------------
+# Box-filter local-variance statistics — VMEM-resident separable shift-add
+# ---------------------------------------------------------------------------
+
+
+def _box_stats_kernel(xp_ref, out_ref, *, h: int, w: int):
+    """One image per grid step: both local-variance box pairs (7×7 and
+    16×16, SciPy uniform_filter semantics via the pre-mirrored input) and
+    their image reductions, entirely in VMEM.
+
+    The XLA lowering streams ~8 [N,H,W] intermediates through HBM between
+    the shift-add sweeps (measured 8% of VPU roofline, docs/PERF.md
+    roofline table); here the padded image is read once and only three
+    scalars leave the kernel.  Accumulation order matches
+    mdx/ops/filters.py box_filter exactly (sequential shifted adds, one
+    1/size scale per axis), so values agree to fp-association noise.
+    ``xp``: [h+15, w+15] symmetric-padded image, pad (8, 7) per axis —
+    the size-7 window reads it at offset 5 (mirror pads nest)."""
+    xp = xp_ref[0]
+    x2p = xp * xp
+
+    def sep_box(ap, size, off):
+        inv = jnp.float32(1.0 / size)
+        racc = jax.lax.slice(ap, (off, 0), (off + h, w + 15))
+        for i in range(1, size):
+            racc = racc + jax.lax.slice(ap, (off + i, 0),
+                                        (off + i + h, w + 15))
+        racc = racc * inv
+        cacc = jax.lax.slice(racc, (0, off), (h, off + w))
+        for j in range(1, size):
+            cacc = cacc + jax.lax.slice(racc, (0, off + j),
+                                        (h, off + j + w))
+        return cacc * inv
+
+    m7 = sep_box(xp, 7, 5)
+    m7_2 = sep_box(x2p, 7, 5)
+    lv7s = jnp.sqrt(jnp.maximum(m7_2 - m7 * m7, 0.0))
+    mu7 = jnp.mean(lv7s)
+    lcs = jnp.sqrt(jnp.mean(jnp.square(lv7s - mu7)))
+
+    m16 = sep_box(xp, 16, 0)
+    m16_2 = sep_box(x2p, 16, 0)
+    lv16 = jnp.maximum(m16_2 - m16 * m16, 0.0)
+    mu16 = jnp.mean(lv16)
+    s16 = jnp.sqrt(jnp.mean(jnp.square(lv16 - mu16)))
+
+    out_ref[...] = jnp.stack(
+        [lcs, mu16, s16, jnp.float32(0.0)]).reshape(1, 1, 4)
+
+
+# whole-image box kernel: padded image + ~6 [H,W] live intermediates must
+# fit VMEM (same budget class as the CLAHE whole-image kernel)
+_BOX_WHOLE_IMAGE_LIMIT = 512 * 512
+
+
+def box_stats_tpu(x: jnp.ndarray, interpret: bool = False):
+    """(std(sqrt(lv7)), mean(lv16), std(lv16)) per image — the three
+    local-variance reductions of the metric pass (mdx/core/metrics.py
+    image_stats) as one Pallas kernel.  Returns None-equivalent via the
+    caller's dispatch for images too large for whole-image VMEM."""
+    n, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (8, 7), (8, 7)), mode="symmetric")
+    kernel = functools.partial(_box_stats_kernel, h=h, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h + 15, w + 15), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp)
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+
+
+def box_stats_fits(h: int, w: int) -> bool:
+    return h * w <= _BOX_WHOLE_IMAGE_LIMIT

@@ -135,3 +135,31 @@ class TestClaheTileSizeEdges:
         b = PK._clahe_banded(xp, clip, tile, 256, interpret=True)[
             :, :batch.shape[1], :batch.shape[2]]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestBoxStatsKernel:
+    def test_interpret_parity_vs_xla_formulas(self):
+        """box_stats_tpu (interpret) == the XLA local-variance reductions
+        it replaces in image_stats (same shift-add order, fp-association
+        tolerance)."""
+        from mdx.ops.filters import local_variance
+        from mdx.ops.pallas_kernels import box_stats_tpu
+
+        rng = np.random.default_rng(5)
+        for shape in ((3, 64, 96), (2, 96, 64), (1, 128, 128)):
+            x = jnp.asarray(
+                np.clip(rng.normal(0.5, 0.2, shape), 0, 1), jnp.float32)
+            lcs, m16, s16 = box_stats_tpu(x, interpret=True)
+
+            lv7s = jnp.sqrt(local_variance(x, 7)).reshape(shape[0], -1)
+            want_lcs = jnp.std(lv7s, axis=-1)
+            lv16 = local_variance(x, 16).reshape(shape[0], -1)
+            np.testing.assert_allclose(np.asarray(lcs),
+                                       np.asarray(want_lcs),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(m16),
+                                       np.asarray(jnp.mean(lv16, -1)),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(s16),
+                                       np.asarray(jnp.std(lv16, -1)),
+                                       rtol=1e-5, atol=1e-7)
