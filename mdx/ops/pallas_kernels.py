@@ -30,6 +30,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Scoped-VMEM budget for the whole-image kernels.  Mosaic's DEFAULT scoped
+# limit is 16 MB — far below v5e's physical VMEM: raising it to 100 MB
+# compiles and runs the 1024²-class whole-image kernels (box stats 33 MB
+# scoped, TV ~32 MB, CLAHE ~20 MB), unlocking whole-image CLAHE at 1024²
+# (1.7 ms vs banded 9.8) and Pallas TV at 1024² (0.3 ms vs XLA 7.7).
+# 2048²-class state (≥70 MB) fails to compile — that is the physical
+# ceiling; the banded/XLA fallbacks remain for larger slices.
+_SCOPED_VMEM_BYTES = 100 * 1024 * 1024
+
 
 def _tile_membership(n_pix: int, t: int) -> np.ndarray:
     """[n_pix, n_pix//t] 0/1 matrix: pixel p belongs to tile p//t."""
@@ -214,6 +223,8 @@ def clahe_tpu(
             pltpu.VMEM((nbins, gy, gx), jnp.float32),
             pltpu.VMEM((nbins, gy, gx), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(clip_arr, xp, row_sel, col_sel, w_row, w_col)
     return out[:, :h, :w]
@@ -311,6 +322,8 @@ def tv_chambolle_tpu(
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(weight_arr, x)
 
@@ -443,7 +456,7 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
 
 
 # Whole-image kernel VMEM budget: image + out + 2×(nbins·gy·gx) floats.
-_WHOLE_IMAGE_LIMIT = 768 * 768
+_WHOLE_IMAGE_LIMIT = 1024 * 1024  # raised-scoped-VMEM bound (see top)
 
 
 # ---------------------------------------------------------------------------
@@ -518,7 +531,7 @@ def box_stats_tpu(x: jnp.ndarray, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1, 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(xp)
     return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]

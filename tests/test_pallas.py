@@ -104,9 +104,11 @@ class TestClaheBanded:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
     def test_dispatch_threshold(self):
+        # raised to the 1024² class with the scoped-VMEM bump (round 3);
+        # 2048²-class whole-image state exceeds physical VMEM
         from mdx.ops import pallas_kernels as PK
 
-        assert 512 * 512 <= PK._WHOLE_IMAGE_LIMIT < 1024 * 1024
+        assert 1024 * 1024 <= PK._WHOLE_IMAGE_LIMIT < 2048 * 2048
 
 
 class TestClaheTileSizeEdges:
