@@ -539,3 +539,214 @@ def box_stats_tpu(x: jnp.ndarray, interpret: bool = False):
 
 def box_stats_fits(h: int, w: int) -> bool:
     return h * w <= _BOX_WHOLE_IMAGE_LIMIT
+
+
+# ---------------------------------------------------------------------------
+# Banded TV-Chambolle for large slices (whole-image state exceeds VMEM >1024²)
+# ---------------------------------------------------------------------------
+
+
+def _tv_band_kernel(active_ref, weight_ref, x_ref, xdn_ref, p0_ref, p1_ref,
+                    p0up_ref, p0dn_ref, p1dn_ref, outprev_ref,
+                    p0o_ref, p1o_ref, outo_ref, eparts_ref, *,
+                    band: int, w: int, n_bands: int):
+    """ONE Chambolle dual-ascent iteration over a band of rows.
+
+    Grid (image, band); the iteration loop stays in XLA (lax.while_loop
+    calling this kernel once per iteration) because >1024² state cannot be
+    VMEM-resident.  vs the pure-XLA iteration this fuses the ~10 streamed
+    intermediates (d, out, gy, gx, norm, scale, …) into one pass: per
+    iteration the HBM traffic is exactly read {x, p0, p1, out} + write
+    {p0, p1, out} + O(rows) halos.
+
+    The row-halo terms of the stencil (p0[a−1] for the divergence, p0/p1/x
+    at row b for the band's last gy row) arrive as [n_bands, w] snapshot
+    arrays strided-sliced from the PRE-iteration state in XLA — grid steps
+    on TPU are sequential and p0/p1/out are aliased in place, so band k+1
+    must not read rows band k just overwrote.
+
+    Per-image convergence: ``active`` gates a copy-through (outputs are
+    aliased, but Pallas still DMAs every output block, so frozen images
+    must write their old values).  Energy partials (Σd², Σ‖∇out‖) exit as
+    per-band scalars; XLA reduces them and owns the stop test.
+
+    Semantics: skimage denoise_tv_chambolle / mdx.ops.tv.tv_chambolle_xla
+    (ref pipeline/enhancement.py:309-312); bit-exact vs the XLA form at
+    fixed trip counts (energy partials reduce band-first, so the stop test
+    can differ by one iteration in the last ulp of E).
+    """
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    act = active_ref[i] != 0
+    wgt = weight_ref[i]
+    tau = 0.25
+
+    x = x_ref[0]            # [band, w]
+    p0 = p0_ref[0]
+    p1 = p1_ref[0]
+    up = p0up_ref[0]        # [1, w] — p0 row above the band (zeros for b=0)
+
+    # divergence  d = −(p0+p1) + shift_down(p0) + shift_right(p1)
+    d = -(p0 + p1)
+    d = d + jnp.concatenate([up, p0[:-1, :]], axis=0)
+    d = d + jnp.concatenate(
+        [jnp.zeros((band, 1), jnp.float32), p1[:, :-1]], axis=1)
+    out = x + d
+
+    # the row just below the band, for the band's last gy row
+    p0dn = p0dn_ref[0]      # [1, w] (zeros for the last band — masked below)
+    p1dn = p1dn_ref[0]
+    xdn = xdn_ref[0]
+    ddn = -(p0dn + p1dn) + p0[band - 1:band, :] + jnp.concatenate(
+        [jnp.zeros((1, 1), jnp.float32), p1dn[:, :-1]], axis=1)
+    outdn = xdn + ddn
+
+    gy = jnp.concatenate([out[1:, :], outdn], axis=0) - out
+    last_row = jnp.logical_and(
+        b == n_bands - 1,
+        jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) == band - 1)
+    gy = jnp.where(last_row, 0.0, gy)
+    gx = jnp.concatenate(
+        [out[:, 1:] - out[:, :-1], jnp.zeros((band, 1), jnp.float32)], axis=1)
+    norm = jnp.sqrt(gy * gy + gx * gx)
+
+    scale = norm * tau / wgt + 1.0
+    np0 = (p0 - tau * gy) / scale
+    np1 = (p1 - tau * gx) / scale
+
+    p0o_ref[0] = jnp.where(act, np0, p0)
+    p1o_ref[0] = jnp.where(act, np1, p1)
+    outo_ref[0] = jnp.where(act, out, outprev_ref[0])
+    eparts_ref[...] = jnp.stack(
+        [jnp.sum(d * d), jnp.sum(norm)]).reshape(1, 1, 2)
+
+
+def _tv_band_step(x, xdn, p0, p1, out_prev, active, weight_arr, band, kernel,
+                  interpret):
+    """One banded Chambolle iteration: snapshot halos, run the kernel."""
+    n, h, w = x.shape
+    nb = h // band
+    zrow = jnp.zeros((n, 1, w), jnp.float32)
+    # halo arrays flattened to [n*nb, 1, w] so the banded (1,1,w) blocks
+    # keep their last two dims full-size (Mosaic block-shape rule)
+    p0up = jnp.concatenate(
+        [zrow, p0[:, band - 1:h - 1:band, :]], axis=1).reshape(n * nb, 1, w)
+    p0dn = jnp.concatenate(
+        [p0[:, band::band, :], zrow], axis=1).reshape(n * nb, 1, w)
+    p1dn = jnp.concatenate(
+        [p1[:, band::band, :], zrow], axis=1).reshape(n * nb, 1, w)
+
+    def _band_spec():
+        return pl.BlockSpec((1, band, w), lambda i, b: (i, b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _row_spec():
+        return pl.BlockSpec((1, 1, w), lambda i, b: (i * nb + b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    new_p0, new_p1, new_out, eparts = pl.pallas_call(
+        kernel,
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # active
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # weight
+            _band_spec(),                            # x
+            _row_spec(),                             # x row below band
+            _band_spec(),                            # p0   (aliased → out 0)
+            _band_spec(),                            # p1   (aliased → out 1)
+            _row_spec(),                             # p0 row above band
+            _row_spec(),                             # p0 row below band
+            _row_spec(),                             # p1 row below band
+            _band_spec(),                            # out  (aliased → out 2)
+        ],
+        out_specs=[
+            _band_spec(), _band_spec(), _band_spec(),
+            pl.BlockSpec((1, 1, 2), lambda i, b: (i * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n * nb, 1, 2), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 9: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(active.astype(jnp.int32), weight_arr, x, xdn, p0, p1,
+      p0up, p0dn, p1dn, out_prev)
+    return new_p0, new_p1, new_out, eparts.reshape(n, nb, 2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "max_iter", "band", "interpret"))
+def tv_chambolle_banded(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    eps: float = 2e-4,
+    max_iter: int = 200,
+    band: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded-Pallas TV denoise of [N,H,W] float32; H must divide by band.
+
+    Iteration 0 (E_init from the raw image, first p update) runs in XLA —
+    one-time cost; every subsequent iteration is one `_tv_band_kernel`
+    launch at minimal HBM traffic.  Convergence bookkeeping (per-image
+    |E_prev−E| < eps·E_init, global all-converged exit) stays in XLA on
+    [N] vectors, matching tv_chambolle_xla.
+    """
+    n, h, w = x.shape
+    assert h % band == 0, (h, band)
+    nb = h // band
+    weight_arr = jnp.broadcast_to(
+        jnp.asarray(weight, jnp.float32).reshape(-1), (n,))
+    wcol = weight_arr[:, None, None]
+    size = float(h * w)
+    tau = 0.25
+    kernel = functools.partial(_tv_band_kernel, band=band, w=w, n_bands=nb)
+
+    zrow = jnp.zeros((n, 1, w), jnp.float32)
+    # x rows just below each band (zeros for the last band), fixed all solve
+    xdn = jnp.concatenate(
+        [x[:, band::band, :], zrow], axis=1).reshape(n * nb, 1, w)
+
+    # iteration 0 in XLA: d = 0, out0 = x, E_init, first p update
+    gy = jnp.concatenate([x[:, 1:, :] - x[:, :-1, :], zrow], axis=1)
+    gx = jnp.concatenate(
+        [x[:, :, 1:] - x[:, :, :-1], jnp.zeros((n, h, 1), jnp.float32)],
+        axis=2)
+    norm = jnp.sqrt(gy * gy + gx * gx)
+    e0 = wcol[:, 0, 0] * jnp.sum(norm, axis=(1, 2)) / size
+    scale = norm * tau / wcol + 1.0
+    p0 = (-tau * gy) / scale
+    p1 = (-tau * gx) / scale
+
+    def cond(state):
+        i, _p0, _p1, _out, _e_prev, active = state
+        return jnp.logical_and(i < max_iter, jnp.any(active))
+
+    def body(state):
+        i, p0, p1, out, e_prev, active = state
+        p0, p1, out, eparts = _tv_band_step(
+            x, xdn, p0, p1, out, active, weight_arr, band, kernel, interpret)
+        e = (jnp.sum(eparts[:, :, 0], axis=1)
+             + weight_arr * jnp.sum(eparts[:, :, 1], axis=1)) / size
+        still = jnp.abs(e_prev - e) >= eps * e0
+        active = jnp.logical_and(active, still)
+        e_prev = jnp.where(active, e, e_prev)
+        return (i + 1, p0, p1, out, e_prev, active)
+
+    _, _, _, out, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(1), p0, p1, x, e0, jnp.ones((n,), bool)))
+    return out
+
+
+def tv_band_for(h: int) -> int:
+    """Largest band ≤256 (≥64, multiple of 8) dividing h; 0 if none."""
+    for band in (256, 128, 64):
+        if h % band == 0:
+            return band
+    return 0

@@ -102,9 +102,19 @@ def tv_chambolle(
     # the kernel keeps x/out/p0/p1 (+temps) in VMEM — safe up to 1024²
     # with the raised scoped-VMEM limit (measured: 0.3 ms vs the XLA
     # while_loop's 7.7 ms at 4×1024²; 2048² exceeds physical VMEM and
-    # fails to compile — larger images use the XLA while_loop)
-    if on_tpu and h * w <= 1024 * 1024:
-        from mdx.ops.pallas_kernels import tv_chambolle_tpu
+    # fails to compile — larger images use the banded per-iteration
+    # kernel (one pallas_call per Chambolle iteration, row bands through
+    # VMEM, halo rows snapshotted in XLA) when a band divides H, else
+    # the XLA while_loop
+    if on_tpu:
+        if h * w <= 1024 * 1024:
+            from mdx.ops.pallas_kernels import tv_chambolle_tpu
 
-        return tv_chambolle_tpu(x, weight, eps=eps, max_iter=max_iter)
+            return tv_chambolle_tpu(x, weight, eps=eps, max_iter=max_iter)
+        from mdx.ops.pallas_kernels import tv_band_for, tv_chambolle_banded
+
+        band = tv_band_for(h)
+        if band:
+            return tv_chambolle_banded(x, weight, eps=eps,
+                                       max_iter=max_iter, band=band)
     return tv_chambolle_xla(x, weight, eps=eps, max_iter=max_iter)
