@@ -12,6 +12,15 @@ the batch-32 operating point: full pass at 128 = 169.6 → 125.2 ms
 
 Every per-image program in mdx is row-independent, so grouping is
 semantically the identity.
+
+The knee is PIXEL-based, not image-based (round-3 sweep of the full
+plan path on hardware): the optimum group is 32 images at 512²
+(8.4M px), 8 at 1024² (g32/g16/g8/g4 = 229/198/178/222 ms at batch 32),
+and 4 at 2048² (whole-16/g8/g4/g2 = 1639/1647/1421/1536 ms) — i.e.
+``min(32, max(4, 8.4M // H·W))``.  The 4-image floor exists because
+per-group dispatch overhead (the banded TV kernel's per-iteration
+pallas_calls amortise over the group's images) overtakes the fusion win
+below it.
 """
 
 from __future__ import annotations
@@ -19,19 +28,34 @@ from __future__ import annotations
 import jax
 from jax import lax
 
-# group sizes tried in order — 32 is the measured knee of the fused pass
-GROUPS = (32, 16, 8)
+# 32 × 512² — the measured pixel knee of the fused pass
+PIXEL_KNEE = 8_388_608
+GROUPS = (32, 16, 8)  # legacy explicit-override form
 
 
-def map_subbatches(fn, x, *args, groups=GROUPS):
+def group_limit(shape) -> int:
+    """Largest efficient group for images of ``shape[-2:]``."""
+    px = int(shape[-2]) * int(shape[-1]) if len(shape) >= 3 else 512 * 512
+    return min(32, max(4, PIXEL_KNEE // px))
+
+
+def map_subbatches(fn, x, *args, groups=None):
     """``fn(x, *args)`` evaluated over row groups of ``x`` via ``lax.map``,
     outputs re-flattened to leading N.  Runs ``fn`` whole when N is at or
-    below the knee (≤ groups[0]) or has no usable divisor.  Arg leaves
-    with a leading N axis (per-image parameter vectors) are split with
-    the rows; everything else is closed over."""
+    below the pixel-aware knee (``group_limit``) or has no divisor ≥ 2
+    within it (prime batch sizes run whole — rare, and splitting would
+    need a second compiled remainder program).  Arg leaves with a leading
+    N axis (per-image parameter vectors) are split with the rows;
+    everything else is closed over.  ``groups`` overrides the knee with
+    an explicit candidate tuple (tests / sweeps)."""
     n = x.shape[0]
-    g = (None if n <= groups[0]
-         else next((c for c in groups if n % c == 0), None))
+    if groups is not None:
+        g = (None if n <= groups[0]
+             else next((c for c in groups if n % c == 0), None))
+    else:
+        gmax = group_limit(x.shape)
+        g = (None if n <= gmax
+             else next((c for c in range(gmax, 1, -1) if n % c == 0), None))
     if g is None:
         return fn(x, *args)
 
