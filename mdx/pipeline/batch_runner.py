@@ -367,6 +367,8 @@ def run_pipeline_batch(
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from mdx.pipeline.compile_cache import enable as _enable_compile_cache
+    _enable_compile_cache()
     storage.init_db()
     if mesh is None:
         mesh = make_mesh()

@@ -1,0 +1,71 @@
+"""Persistent XLA compilation cache for fresh deploys.
+
+Cold-starting the product recompiles every fused program through the TPU
+toolchain — measured ≈22 min for the three raw-ingest dtype buckets of a
+mixed stream (docs/PERF.md "known next levers"); the compiled executables
+are content-addressed by HLO, so a process restart on the same host/chip
+repays none of it.  Enabling JAX's persistent compilation cache keyed to
+a local directory makes every program compile once per HOST instead of
+once per PROCESS: restarts, worker respawns, and multi-process serving
+all reuse the cached executables.
+
+Controlled by ``MDX_COMPILE_CACHE``:
+
+* unset  → enabled at ``~/.cache/mdx/jax-cache`` (or ``$XDG_CACHE_HOME``)
+* a path → enabled there
+* ``0`` / ``off`` / ``""`` → disabled (JAX's own defaults apply)
+
+``enable()`` is idempotent, works before or after the first ``import
+jax`` (it uses ``jax.config.update``, not env vars, which JAX only reads
+at import), and never raises — a read-only filesystem degrades to the
+uncached behaviour.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger(__name__)
+
+_DISABLED = ("0", "off", "false", "no")
+_enabled_dir: str | None = None
+
+
+def cache_dir() -> str | None:
+    """Resolved cache directory, or None when disabled."""
+    v = os.environ.get("MDX_COMPILE_CACHE")
+    if v is not None:
+        v = v.strip()
+        return None if v.lower() in _DISABLED or not v else v
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "mdx", "jax-cache")
+
+
+def enable() -> str | None:
+    """Point JAX's persistent compilation cache at ``cache_dir()``.
+
+    Returns the directory in use (None when disabled or unavailable).
+    Must run before the first compilation to benefit that program;
+    later calls are no-ops.
+    """
+    global _enabled_dir
+    if _enabled_dir is not None:
+        return _enabled_dir
+    d = cache_dir()
+    if d is None:
+        return None
+    try:
+        os.makedirs(d, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache everything: tunnel compiles are minutes, entries are MBs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - defensive
+        log.warning("compile cache unavailable (%s); continuing uncached", e)
+        return None
+    _enabled_dir = d
+    return d

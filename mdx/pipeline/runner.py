@@ -58,6 +58,8 @@ def run_pipeline(
     the mdx-only ``autotune`` mode (LLM-free on-device parameter sweep,
     mdx/core/tuning.py).
     """
+    from mdx.pipeline.compile_cache import enable as _enable_compile_cache
+    _enable_compile_cache()
     storage.init_db()
     run_id = run_id or storage.generate_run_id()
     base_name = os.path.splitext(os.path.basename(input_path))[0]

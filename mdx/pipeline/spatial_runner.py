@@ -89,7 +89,9 @@ def run_pipeline_spatial(
     from mdx.core.enhance import DETERMINISTIC_DEFAULTS as PD
     from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS, detect_issues
     from mdx.io import load_dicom, normalize_image
+    from mdx.pipeline.compile_cache import enable as _enable_compile_cache
 
+    _enable_compile_cache()
     storage.init_db()
     img, meta = load_dicom(input_path, window=window)
     frame = (np.asarray(img, np.float32) if window

@@ -20,10 +20,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("MDX_DB_PATH", "")  # set per-test via tmp_path
 
 # Persistent compilation cache: the fused programs are expensive to compile
-# on the CPU backend; cache them across test runs.
+# on the CPU backend; cache them across test runs.  The product-side cache
+# (mdx/pipeline/compile_cache.py, enabled by the runners) is pointed at the
+# same directory so e2e tests don't write to the user's ~/.cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 import numpy as np
 import pytest
@@ -33,10 +36,17 @@ import pytest
 # is the remote "axon" tunnel — tests would then compile over the network).
 # Re-apply the platform choice through jax.config, which works as long as the
 # backend has not been initialised yet.
-if not os.environ.get("MDX_TEST_TPU"):
-    import jax
+import jax
 
+if not os.environ.get("MDX_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+
+# The cache env vars above are ALSO ignored when jax was pre-imported —
+# re-apply through jax.config so test compiles persist across suite runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,79 @@
+"""Persistent compilation cache wiring (mdx/pipeline/compile_cache.py).
+
+The cache itself is JAX's; these tests cover mdx's resolution /
+enablement contract.  End-to-end behaviour was verified on the TPU
+backend: a fresh process logs ``Persistent compilation cache hit`` and
+skips the remote compile (docs/PERF.md "fresh deploys").
+"""
+
+import os
+
+import jax
+import pytest
+
+from mdx.pipeline import compile_cache as CC
+
+
+@pytest.fixture()
+def _reset(monkeypatch):
+    """Isolate module state and restore the session's jax cache config."""
+    monkeypatch.setattr(CC, "_enabled_dir", None)
+    old = jax.config.jax_compilation_cache_dir
+    yield
+    if old is not None:
+        jax.config.update("jax_compilation_cache_dir", old)
+
+
+class TestCacheDir:
+    def test_disabled_values(self, monkeypatch):
+        for v in ("0", "off", "FALSE", "no", "", "  "):
+            monkeypatch.setenv("MDX_COMPILE_CACHE", v)
+            assert CC.cache_dir() is None
+
+    def test_explicit_path(self, monkeypatch):
+        monkeypatch.setenv("MDX_COMPILE_CACHE", "/x/y/cache")
+        assert CC.cache_dir() == "/x/y/cache"
+
+    def test_default_under_user_cache(self, monkeypatch):
+        monkeypatch.delenv("MDX_COMPILE_CACHE", raising=False)
+        monkeypatch.setenv("XDG_CACHE_HOME", "/tmp/xdg-test")
+        assert CC.cache_dir() == "/tmp/xdg-test/mdx/jax-cache"
+
+
+class TestEnable:
+    def test_enable_points_jax_at_dir(self, tmp_path, monkeypatch, _reset):
+        d = str(tmp_path / "cc")
+        monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        assert CC.enable() == d
+        assert os.path.isdir(d)
+        assert jax.config.jax_compilation_cache_dir == d
+        assert jax.config.jax_persistent_cache_min_entry_size_bytes == 0
+
+    def test_idempotent(self, tmp_path, monkeypatch, _reset):
+        d = str(tmp_path / "cc")
+        monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        assert CC.enable() == d
+        # later env changes don't re-point an enabled cache
+        monkeypatch.setenv("MDX_COMPILE_CACHE", str(tmp_path / "other"))
+        assert CC.enable() == d
+
+    def test_disabled_is_noop(self, monkeypatch, _reset):
+        monkeypatch.setenv("MDX_COMPILE_CACHE", "0")
+        before = jax.config.jax_compilation_cache_dir
+        assert CC.enable() is None
+        assert jax.config.jax_compilation_cache_dir == before
+
+    def test_cpu_backend_round_trip(self, tmp_path, monkeypatch, _reset):
+        """A compiled program actually lands in the cache directory."""
+        d = str(tmp_path / "cc")
+        monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        CC.enable()
+        import numpy as np
+        import jax.numpy as jnp
+
+        @jax.jit
+        def probe(x):
+            return jnp.tanh(x * 3.21) + jnp.flip(x, axis=0) * 0.5
+
+        float(jnp.sum(probe(jnp.asarray(np.ones((33, 17), np.float32)))))
+        assert any(name.endswith("-cache") for name in os.listdir(d))
