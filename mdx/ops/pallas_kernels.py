@@ -546,8 +546,8 @@ def box_stats_fits(h: int, w: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _tv_band_kernel(active_ref, weight_ref, x_ref, xdn_ref, p0_ref, p1_ref,
-                    p0up_ref, p0dn_ref, p1dn_ref, outprev_ref,
+def _tv_band_kernel(active_ref, weight_ref, glast_ref, x_ref, xdn_ref,
+                    p0_ref, p1_ref, p0up_ref, p0dn_ref, p1dn_ref, outprev_ref,
                     p0o_ref, p1o_ref, outo_ref, eparts_ref, *,
                     band: int, w: int, n_bands: int):
     """ONE Chambolle dual-ascent iteration over a band of rows.
@@ -574,11 +574,18 @@ def _tv_band_kernel(active_ref, weight_ref, x_ref, xdn_ref, p0_ref, p1_ref,
     (ref pipeline/enhancement.py:309-312); bit-exact vs the XLA form at
     fixed trip counts (energy partials reduce band-first, so the stop test
     can differ by one iteration in the last ulp of E).
+
+    ``glast`` (SMEM, [1]): whether this array's last row is the GLOBAL
+    image edge (gy there is zero).  Dense callers pass 1; the spatially-
+    sharded caller (mdx/parallel/tv_sp.py) passes ``axis_index == k−1``
+    and supplies ppermuted neighbour rows as the edge halos, so interior
+    shards compute real gradients across the shard boundary.
     """
     i = pl.program_id(0)
     b = pl.program_id(1)
     act = active_ref[i] != 0
     wgt = weight_ref[i]
+    glast = glast_ref[0] != 0
     tau = 0.25
 
     x = x_ref[0]            # [band, w]
@@ -603,7 +610,7 @@ def _tv_band_kernel(active_ref, weight_ref, x_ref, xdn_ref, p0_ref, p1_ref,
 
     gy = jnp.concatenate([out[1:, :], outdn], axis=0) - out
     last_row = jnp.logical_and(
-        b == n_bands - 1,
+        jnp.logical_and(b == n_bands - 1, glast),
         jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) == band - 1)
     gy = jnp.where(last_row, 0.0, gy)
     gx = jnp.concatenate(
@@ -622,19 +629,28 @@ def _tv_band_kernel(active_ref, weight_ref, x_ref, xdn_ref, p0_ref, p1_ref,
 
 
 def _tv_band_step(x, xdn, p0, p1, out_prev, active, weight_arr, band, kernel,
-                  interpret):
-    """One banded Chambolle iteration: snapshot halos, run the kernel."""
+                  interpret, up_row=None, dn_p0=None, dn_p1=None, glast=None):
+    """One banded Chambolle iteration: snapshot halos, run the kernel.
+
+    ``up_row``/``dn_p0``/``dn_p1`` ([N,1,W]) override the rows adjacent
+    to the ARRAY edges (dense default: zeros = global image boundary;
+    the sharded caller passes the neighbour shard's ppermuted rows).
+    ``glast`` ([1] int32): see ``_tv_band_kernel``."""
     n, h, w = x.shape
     nb = h // band
     zrow = jnp.zeros((n, 1, w), jnp.float32)
+    up_row = zrow if up_row is None else up_row
+    dn_p0 = zrow if dn_p0 is None else dn_p0
+    dn_p1 = zrow if dn_p1 is None else dn_p1
+    glast = jnp.ones((1,), jnp.int32) if glast is None else glast
     # halo arrays flattened to [n*nb, 1, w] so the banded (1,1,w) blocks
     # keep their last two dims full-size (Mosaic block-shape rule)
     p0up = jnp.concatenate(
-        [zrow, p0[:, band - 1:h - 1:band, :]], axis=1).reshape(n * nb, 1, w)
+        [up_row, p0[:, band - 1:h - 1:band, :]], axis=1).reshape(n * nb, 1, w)
     p0dn = jnp.concatenate(
-        [p0[:, band::band, :], zrow], axis=1).reshape(n * nb, 1, w)
+        [p0[:, band::band, :], dn_p0], axis=1).reshape(n * nb, 1, w)
     p1dn = jnp.concatenate(
-        [p1[:, band::band, :], zrow], axis=1).reshape(n * nb, 1, w)
+        [p1[:, band::band, :], dn_p1], axis=1).reshape(n * nb, 1, w)
 
     def _band_spec():
         return pl.BlockSpec((1, band, w), lambda i, b: (i, b, 0),
@@ -650,6 +666,7 @@ def _tv_band_step(x, xdn, p0, p1, out_prev, active, weight_arr, band, kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # active
             pl.BlockSpec(memory_space=pltpu.SMEM),   # weight
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # glast
             _band_spec(),                            # x
             _row_spec(),                             # x row below band
             _band_spec(),                            # p0   (aliased → out 0)
@@ -670,11 +687,11 @@ def _tv_band_step(x, xdn, p0, p1, out_prev, active, weight_arr, band, kernel,
             jax.ShapeDtypeStruct((n, h, w), jnp.float32),
             jax.ShapeDtypeStruct((n * nb, 1, 2), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1, 9: 2},
+        input_output_aliases={5: 0, 6: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
-    )(active.astype(jnp.int32), weight_arr, x, xdn, p0, p1,
+    )(active.astype(jnp.int32), weight_arr, glast, x, xdn, p0, p1,
       p0up, p0dn, p1dn, out_prev)
     return new_p0, new_p1, new_out, eparts.reshape(n, nb, 2)
 

@@ -22,6 +22,10 @@ def _reset(monkeypatch):
     yield
     if old is not None:
         jax.config.update("jax_compilation_cache_dir", old)
+        from jax.experimental.compilation_cache import (
+            compilation_cache as jax_cc)
+
+        jax_cc.reset_cache()
 
 
 class TestCacheDir:
@@ -64,10 +68,20 @@ class TestEnable:
         assert jax.config.jax_compilation_cache_dir == before
 
     def test_cpu_backend_round_trip(self, tmp_path, monkeypatch, _reset):
-        """A compiled program actually lands in the cache directory."""
+        """A compiled program actually lands in the cache directory.
+
+        JAX initialises its cache object lazily at the FIRST compile and
+        keeps it; in a full-suite run the session cache (conftest) is
+        already live, so re-pointing the config must be paired with a
+        reset — the product never re-points (enable() runs once at
+        process start), this is test-session hygiene only."""
+        from jax.experimental.compilation_cache import (
+            compilation_cache as jax_cc)
+
         d = str(tmp_path / "cc")
         monkeypatch.setenv("MDX_COMPILE_CACHE", d)
         CC.enable()
+        jax_cc.reset_cache()
         import numpy as np
         import jax.numpy as jnp
 

@@ -86,6 +86,69 @@ class TestTVSharded:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
 
+    def test_banded_vs_dense_banded_at_fixed_trips(self, mesh14):
+        """The banded-Pallas sharded body (interpret mode) vs the dense
+        banded kernel at fixed trip counts.  4 shards × hs=64 = nb=1 per
+        shard, so EVERY halo row crosses a shard boundary — the halo
+        TRANSPORT is exact (the iteration-0 ``gy`` diffed bit-identical
+        when isolated); the residual ±1-ulp tolerance is XLA contracting
+        ``gy·gy + gx·gx`` into an FMA differently in the two programs'
+        iteration-0 init, which then propagates through the solve."""
+        x = jnp.stack([jnp.asarray(_img(0, 256, 128)),
+                       jnp.asarray(_img(1, 256, 128))])
+        w = jnp.asarray([0.06, 0.03], jnp.float32)
+        from mdx.ops.pallas_kernels import tv_chambolle_banded
+        fn = shard_map(
+            partial(tv_sharded, row_axis="space", banded=True,
+                    interpret=True, eps=0.0, max_iter=9),
+            mesh=mesh14,
+            in_specs=(P("data", "space", None), P()),
+            out_specs=P("data", "space", None), check_vma=False)
+        got = fn(x, w)
+        want = tv_chambolle_banded(x, w, eps=0.0, max_iter=9, band=64,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-7)
+
+    def test_banded_convergence_matches_dense(self, mesh14):
+        """With the real stop test and per-image divergent trip counts,
+        the banded sharded solve matches the dense XLA solve."""
+        x = jnp.stack([jnp.asarray(_img(4, 256, 128)),
+                       jnp.asarray(_img(5, 256, 128))])
+        w = jnp.asarray([0.08, 0.02], jnp.float32)
+        fn = shard_map(
+            partial(tv_sharded, row_axis="space", banded=True,
+                    interpret=True, max_iter=60),
+            mesh=mesh14,
+            in_specs=(P("data", "space", None), P()),
+            out_specs=P("data", "space", None), check_vma=False)
+        got = fn(x, w)
+        want = tv_chambolle_xla(x, w, max_iter=60)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_banded_data_rows_divergent_trips(self):
+        """Deadlock regression for the banded body: its per-iteration
+        ppermutes rendezvous over the whole mesh, so the stop flag must
+        stay uniform across the data axis too (psum over ALL axes)."""
+        mesh = make_mesh(n_data=2, n_space=2)
+        smooth = np.clip(
+            0.5 + 0.2 * np.sin(np.mgrid[0:128, 0:128][1] / 21.0), 0, 1
+        ).astype(np.float32)
+        x = jnp.stack([jnp.asarray(smooth),
+                       jnp.asarray(_img(9, 128, 128))])
+        w = jnp.asarray([0.01, 0.1], jnp.float32)
+        fn = shard_map(
+            partial(tv_sharded, row_axis="space", banded=True,
+                    interpret=True, max_iter=60),
+            mesh=mesh,
+            in_specs=(P("data", "space", None), P("data")),
+            out_specs=P("data", "space", None), check_vma=False)
+        got = fn(x, w)
+        want = tv_chambolle_xla(x, w, max_iter=60)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
     def test_qa2d_with_full_optional_chain(self, mesh124):
         """qa_spatial2d with CLAHE + bilateral + TV — the whole optional
         chain in one SPMD program."""
