@@ -1,0 +1,166 @@
+"""Deploy-time compile-cache priming.
+
+Fresh hosts pay the remote-TPU toolchain once per distinct fused program
+(~25 s for the single 512² QA pass; ≈22 min for a mixed stream's three
+raw-ingest dtype buckets — docs/PERF.md "Fresh deploys").  The persistent
+cache (mdx/pipeline/compile_cache.py) makes that once per HOST; this
+module moves it to BUILD time: run it while baking a deploy image (or
+right after provisioning) and every listed program is compiled, executed
+once on synthetic pixels, and written to the cache, so the first real
+study hits only warm executables.
+
+The primer drives the SAME entry points the product uses —
+``qa.qa_deterministic`` at the single-image and padded-chunk shapes, the
+batch runner's raw-ingest programs per stored dtype and windowing mode,
+and the packed-output collector — so the cache keys match the production
+HLO exactly (a lookalike re-implementation here would compile a
+different program and prime nothing).
+
+CLI::
+
+    python -m mdx.pipeline.prime --shapes 512x512,1024x1024 \
+        --chunk 64 --dtypes uint16,int16,uint8,float32 --window both
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Iterable, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+RAW_DTYPES = ("uint16", "int16", "uint8")
+
+
+def _synthetic_descs(dtype: str, n: int) -> list[dict]:
+    """Plausible raw-ingest descriptors (mdx/io/dicom.py load_frames_raw
+    contract) for synthetic frames — the scalar VALUES don't affect the
+    compiled program, only its structure does."""
+    gmax = {"uint8": 255.0, "int16": 2047.0, "uint16": 4095.0}[dtype]
+    return [{
+        "slope": 1.0, "intercept": 0.0, "mono1": False,
+        "gmin": 0.0, "gmax": gmax,
+        "window": (gmax / 2.0, gmax) if i % 2 else None,
+    } for i in range(n)]
+
+
+def _synthetic_frames(h: int, w: int, n: int, dtype: str) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    if dtype == "float32":
+        return rng.random((n, h, w), np.float32)
+    hi = {"uint8": 255, "int16": 2048, "uint16": 4096}[dtype]
+    return rng.integers(0, hi, (n, h, w)).astype(dtype)
+
+
+def prime(
+    shapes: Sequence[tuple[int, int]] = ((512, 512),),
+    *,
+    chunk: int = 64,
+    dtypes: Iterable[str] = RAW_DTYPES + ("float32",),
+    window_modes: Iterable[bool] = (False, True),
+    single: bool = True,
+    mesh=None,
+    log: Callable[[str], None] = logger.info,
+) -> int:
+    """Compile + cache the product's standard device programs.
+
+    Returns the number of programs executed (each lands in the persistent
+    cache; re-runs are cheap cache hits, so priming is idempotent)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mdx.core import qa
+    from mdx.parallel import make_mesh, pad_batch
+    from mdx.parallel.mesh import data_sharding
+    from mdx.pipeline.batch_runner import (
+        _ingest_params,
+        _pack_outputs,
+        _raw_qa_program,
+    )
+    from mdx.pipeline.compile_cache import enable as _enable_compile_cache
+
+    cache_dir = _enable_compile_cache()
+    log(f"compile cache: {cache_dir or 'DISABLED'}")
+    if mesh is None:
+        mesh = make_mesh()
+    d = mesh.shape["data"]
+    chunk_n = max(-(-chunk // d) * d, d)
+
+    count = 0
+    for h, w in shapes:
+        t_shape = time.perf_counter()
+        if single:
+            # single-image runner: qa_deterministic on [1, H, W]
+            out = qa.qa_deterministic(
+                jnp.asarray(_synthetic_frames(h, w, 1, "float32")))
+            jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+            count += 1
+            log(f"  [{h}x{w}] single-image QA pass")
+        for dtype in dtypes:
+            for window in window_modes:
+                if dtype == "float32" and window:
+                    continue  # f32 fallback frames are pre-windowed
+                frames = _synthetic_frames(h, w, chunk_n, dtype)
+                xp, _ = pad_batch(jnp.asarray(frames), mesh)
+                xp = jax.device_put(xp, data_sharding(mesh))
+                if dtype == "float32":
+                    out = qa.qa_deterministic(xp)
+                else:
+                    params = _ingest_params(
+                        _synthetic_descs(dtype, chunk_n), window,
+                        xp.shape[0])
+                    vec = NamedSharding(mesh, P("data"))
+                    params = tuple(jax.device_put(p, vec) for p in params)
+                    out = _raw_qa_program(window)(xp, *params)
+                packed = _pack_outputs(out)
+                jax.block_until_ready(packed)
+                count += 1
+                log(f"  [{h}x{w}] chunk={chunk_n} dtype={dtype}"
+                    f" window={window}")
+        log(f"[{h}x{w}] done in {time.perf_counter() - t_shape:.1f} s")
+    return count
+
+
+def _parse_shapes(s: str) -> list[tuple[int, int]]:
+    out = []
+    for part in s.split(","):
+        hw = part.lower().split("x")
+        out.append((int(hw[0]), int(hw[1] if len(hw) > 1 else hw[0])))
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Prime the persistent compile cache with the "
+                    "product's standard device programs.")
+    ap.add_argument("--shapes", default="512x512",
+                    help="comma-separated HxW list (e.g. 512x512,1024x1024)")
+    ap.add_argument("--chunk", type=int, default=64,
+                    help="batch chunk size to prime (runner default 64)")
+    ap.add_argument("--dtypes", default="uint16,int16,uint8,float32")
+    ap.add_argument("--window", choices=("off", "on", "both"),
+                    default="both")
+    ap.add_argument("--no-single", action="store_true",
+                    help="skip the [1,H,W] single-image program")
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    modes = {"off": (False,), "on": (True,), "both": (False, True)}
+    n = prime(
+        _parse_shapes(args.shapes),
+        chunk=args.chunk,
+        dtypes=tuple(t.strip() for t in args.dtypes.split(",") if t.strip()),
+        window_modes=modes[args.window],
+        single=not args.no_single,
+    )
+    logger.info("primed %d programs", n)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,49 @@
+"""Deploy-time cache priming (mdx/pipeline/prime.py): the primer drives
+the product entry points (qa_deterministic + the raw-ingest batch
+program + packed collector) and lands executables in the persistent
+cache.  Full dtype×window matrix exercised on TPU/CPU manually (8
+programs at 64²); the suite primes a minimal matrix for wiring."""
+
+import os
+
+import pytest
+
+from mdx.pipeline.prime import _parse_shapes, prime
+
+
+class TestParseShapes:
+    def test_pairs_and_squares(self):
+        assert _parse_shapes("512x512,1024x768") == [(512, 512), (1024, 768)]
+        assert _parse_shapes("256") == [(256, 256)]
+
+
+class TestPrime:
+    def test_primes_product_programs(self, tmp_path, monkeypatch):
+        d = str(tmp_path / "cc")
+        monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        import jax
+        from jax.experimental.compilation_cache import (
+            compilation_cache as jax_cc)
+
+        import mdx.pipeline.compile_cache as CC
+        monkeypatch.setattr(CC, "_enabled_dir", None)
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            # Point jax at the empty dir FIRST (enable is idempotent, so
+            # prime()'s internal call becomes a no-op), reset the live
+            # cache object, and drop in-memory executables so the primed
+            # programs actually recompile and persist in a full-suite run.
+            assert CC.enable() == d
+            jax_cc.reset_cache()
+            jax.clear_caches()
+            msgs = []
+            n = prime([(64, 64)], chunk=2, dtypes=("uint16",),
+                      window_modes=(False,), log=msgs.append)
+            # single-image pass + one raw-ingest chunk program
+            assert n == 2
+            assert any(name.endswith("-cache") for name in os.listdir(d))
+            assert any("dtype=uint16" in m for m in msgs)
+        finally:
+            if old is not None:
+                jax.config.update("jax_compilation_cache_dir", old)
+                jax_cc.reset_cache()
