@@ -28,14 +28,9 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 
 __version__ = "0.1.0"
 
-import os as _os
-
-# Persistent XLA compilation cache for every mdx surface (CLI, API server,
-# batch runner): the first compile of the fused QA programs on a TPU can
-# take minutes; caching makes process restarts warm.  Opt out with
-# MDX_NO_COMPILE_CACHE=1.  Must be set before the jax backend initialises.
-if not _os.environ.get("MDX_NO_COMPILE_CACHE"):
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-del _os
+# The persistent XLA compilation cache is NOT enabled at import time:
+# every runner calls mdx.pipeline.compile_cache.enable(), which gates on
+# the backend — jaxlib 0.9.0's XLA:CPU cache-load path CHECK-aborts
+# repeated SPMD executions (colliding all-reduce rendezvous run-ids; see
+# that module's docstring), so only TPU processes get the cache.  An
+# import-time JAX_COMPILATION_CACHE_DIR default would bypass that gate.

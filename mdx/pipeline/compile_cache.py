@@ -19,6 +19,18 @@ Controlled by ``MDX_COMPILE_CACHE``:
 jax`` (it uses ``jax.config.update``, not env vars, which JAX only reads
 at import), and never raises — a read-only filesystem degrades to the
 uncached behaviour.
+
+TPU-only: ``enable()`` refuses on the CPU backend.  jax/jaxlib 0.9.0's
+XLA:CPU cache-load path (``cpu_aot_loader``) executes SPMD programs with
+colliding collective rendezvous run-ids: repeated back-to-back runs of a
+cache-LOADED multi-device executable let a straggler device thread from
+run N join run N+1's all-reduce — ``rendezvous.h:315 Check failed:
+id < num_threads (4 vs. 4)`` / ``356 use_count() == num_threads
+(5 vs. 4)`` — and the CHECK aborts the whole process (SIGABRT, often no
+Python-visible error).  Freshly JIT-compiled executables are immune, so
+only the cache's load path is affected; TPU executables round-trip fine
+(measured, docs/PERF.md "fresh deploys").  ``MDX_COMPILE_CACHE_FORCE=1``
+overrides the gate for single-device CPU use at your own risk.
 """
 
 from __future__ import annotations
@@ -57,9 +69,17 @@ def enable() -> str | None:
     if d is None:
         return None
     try:
-        os.makedirs(d, exist_ok=True)
         import jax
 
+        if (jax.default_backend() == "cpu"
+                and os.environ.get("MDX_COMPILE_CACHE_FORCE") != "1"):
+            # XLA:CPU AOT reload executes collectives with colliding
+            # rendezvous run-ids and CHECK-aborts (module docstring).
+            log.info("compile cache disabled on the CPU backend "
+                     "(jaxlib 0.9.0 AOT-reload rendezvous bug); set "
+                     "MDX_COMPILE_CACHE_FORCE=1 to override")
+            return None
+        os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         # cache everything: tunnel compiles are minutes, entries are MBs
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

@@ -19,14 +19,19 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("MDX_DB_PATH", "")  # set per-test via tmp_path
 
-# Persistent compilation cache: the fused programs are expensive to compile
-# on the CPU backend; cache them across test runs.  The product-side cache
-# (mdx/pipeline/compile_cache.py, enabled by the runners) is pointed at the
-# same directory so e2e tests don't write to the user's ~/.cache.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
+# NO persistent compilation cache on the CPU mesh: jax/jaxlib 0.9.0's
+# XLA:CPU cache-LOAD path executes SPMD collectives with colliding
+# rendezvous run-ids — repeated runs of a reloaded multi-device
+# executable let a straggler thread from run N join run N+1's
+# all-reduce (`rendezvous.h:315 Check failed: id < num_threads`) and
+# the CHECK SIGABRTs pytest mid-suite with no Python error, at a test
+# that depends on which entries happen to be warm.  Freshly-compiled
+# executables are immune, so the suite runs uncached; the product cache
+# (mdx/pipeline/compile_cache.py) gates itself to TPU for the same
+# reason.  Two-phase repro: tools/repro scripts in the round-3 notes,
+# docs/PERF.md "Measured dead ends".
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+os.environ.setdefault("MDX_COMPILE_CACHE", "0")
 
 import numpy as np
 import pytest
@@ -41,12 +46,11 @@ import jax
 if not os.environ.get("MDX_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# The cache env vars above are ALSO ignored when jax was pre-imported —
-# re-apply through jax.config so test compiles persist across suite runs.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# An ambient JAX_COMPILATION_CACHE_DIR may still have been snapshotted if
+# a plugin pre-imported jax — clear it through jax.config so no cached CPU
+# executable is ever loaded (the rendezvous bug above).
+if not os.environ.get("MDX_TEST_TPU"):
+    jax.config.update("jax_compilation_cache_dir", None)
 
 
 @pytest.fixture(scope="session")

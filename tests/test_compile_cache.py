@@ -20,7 +20,10 @@ def _reset(monkeypatch):
     monkeypatch.setattr(CC, "_enabled_dir", None)
     old = jax.config.jax_compilation_cache_dir
     yield
-    if old is not None:
+    if jax.config.jax_compilation_cache_dir != old:
+        # Always restore — the suite runs with NO cache dir (None) on the
+        # CPU mesh; leaking a force-enabled dir would re-expose the whole
+        # suite to the AOT-reload rendezvous abort (conftest note).
         jax.config.update("jax_compilation_cache_dir", old)
         from jax.experimental.compilation_cache import (
             compilation_cache as jax_cc)
@@ -45,9 +48,22 @@ class TestCacheDir:
 
 
 class TestEnable:
+    def test_cpu_backend_refused(self, tmp_path, monkeypatch, _reset):
+        """On the CPU backend enable() is a guarded no-op: the jaxlib
+        0.9.0 AOT-reload path CHECK-aborts SPMD collectives (module
+        docstring / conftest note)."""
+        monkeypatch.setenv("MDX_COMPILE_CACHE", str(tmp_path / "cc"))
+        monkeypatch.delenv("MDX_COMPILE_CACHE_FORCE", raising=False)
+        if jax.default_backend() != "cpu":
+            pytest.skip("CPU-backend gate")
+        before = jax.config.jax_compilation_cache_dir
+        assert CC.enable() is None
+        assert jax.config.jax_compilation_cache_dir == before
+
     def test_enable_points_jax_at_dir(self, tmp_path, monkeypatch, _reset):
         d = str(tmp_path / "cc")
         monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        monkeypatch.setenv("MDX_COMPILE_CACHE_FORCE", "1")
         assert CC.enable() == d
         assert os.path.isdir(d)
         assert jax.config.jax_compilation_cache_dir == d
@@ -56,6 +72,7 @@ class TestEnable:
     def test_idempotent(self, tmp_path, monkeypatch, _reset):
         d = str(tmp_path / "cc")
         monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        monkeypatch.setenv("MDX_COMPILE_CACHE_FORCE", "1")
         assert CC.enable() == d
         # later env changes don't re-point an enabled cache
         monkeypatch.setenv("MDX_COMPILE_CACHE", str(tmp_path / "other"))
@@ -68,18 +85,20 @@ class TestEnable:
         assert jax.config.jax_compilation_cache_dir == before
 
     def test_cpu_backend_round_trip(self, tmp_path, monkeypatch, _reset):
-        """A compiled program actually lands in the cache directory.
+        """A compiled program actually lands in the cache directory
+        (single-device program, FORCE-enabled — safe: the rendezvous bug
+        needs SPMD collectives on the reload path).
 
         JAX initialises its cache object lazily at the FIRST compile and
-        keeps it; in a full-suite run the session cache (conftest) is
-        already live, so re-pointing the config must be paired with a
-        reset — the product never re-points (enable() runs once at
-        process start), this is test-session hygiene only."""
+        keeps it; re-pointing the config must be paired with a reset —
+        the product never re-points (enable() runs once at process
+        start), this is test-session hygiene only."""
         from jax.experimental.compilation_cache import (
             compilation_cache as jax_cc)
 
         d = str(tmp_path / "cc")
         monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        monkeypatch.setenv("MDX_COMPILE_CACHE_FORCE", "1")
         CC.enable()
         jax_cc.reset_cache()
         import numpy as np

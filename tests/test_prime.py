@@ -21,6 +21,9 @@ class TestPrime:
     def test_primes_product_programs(self, tmp_path, monkeypatch):
         d = str(tmp_path / "cc")
         monkeypatch.setenv("MDX_COMPILE_CACHE", d)
+        # The primed programs are single-device (no SPMD collectives), so
+        # forcing the cache past the CPU-backend gate is safe here.
+        monkeypatch.setenv("MDX_COMPILE_CACHE_FORCE", "1")
         import jax
         from jax.experimental.compilation_cache import (
             compilation_cache as jax_cc)
@@ -44,6 +47,8 @@ class TestPrime:
             assert any(name.endswith("-cache") for name in os.listdir(d))
             assert any("dtype=uint16" in m for m in msgs)
         finally:
-            if old is not None:
+            # Restore even when old is None — the suite must run with NO
+            # cache dir on the CPU mesh (conftest rendezvous-bug note).
+            if jax.config.jax_compilation_cache_dir != old:
                 jax.config.update("jax_compilation_cache_dir", old)
                 jax_cc.reset_cache()
