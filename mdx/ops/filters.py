@@ -179,19 +179,32 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
 
     Matches skimage ``gaussian(mode='nearest', truncate=4)``: taps beyond
     ``int(4σ+0.5)`` are masked to exactly zero, so a dynamic sigma never
-    changes the compiled program. A per-image ``sigma`` of shape [N] runs as
-    a depthwise (grouped) convolution with the batch as channels.
-    Ref pipeline/enhancement.py:202-205.
+    changes the compiled program.  Ref pipeline/enhancement.py:202-205.
+
+    Batch-size dispatch (hardware-swept at 512², docs/PERF.md round 3):
+    the batch-as-channels grouped conv needs many channels to tile onto
+    the MXU (n=32: 1.15 ms conv vs 1.29 shift-MAC; at 128×512² it is 11×
+    a plain conv) but is PATHOLOGICAL at small batch — n=1 costs 18.4 ms
+    (73 ms at 1024²) while unrolled shift-MACs are sub-ms at n≤16.  The
+    single-image runner and the LLM tuning loop run at n=1.
     """
     r = _GAUSS_MAX_RADIUS
-    n = x.shape[0]
-    # Always take the batch-as-channels depthwise route: XLA's grouped-conv
-    # lowering is 11× faster than the plain separable conv for the same
-    # 25-tap kernel at 128×512² (2.1 vs 23.4 ms) — broadcast a scalar sigma
-    # to per-image taps rather than ever hitting the slow path.
+    n, h, wd = x.shape
     sigma = jnp.broadcast_to(
         jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
     w = _gauss_taps(sigma, x.dtype)
+    if n <= 16:
+        xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="edge")
+        acc = None
+        for k in range(2 * r + 1):
+            t = w[:, k][:, None, None] * xp[:, k:k + h, :]
+            acc = t if acc is None else acc + t
+        acc = jnp.pad(acc, ((0, 0), (0, 0), (r, r)), mode="edge")
+        out = None
+        for k in range(2 * r + 1):
+            t = w[:, k][:, None, None] * acc[:, :, k:k + wd]
+            out = t if out is None else out + t
+        return out
     xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")[None]  # [1,N,H+2r,W+2r]
     kc = w.reshape(n, 1, 2 * r + 1, 1)
     kr = w.reshape(n, 1, 1, 2 * r + 1)

@@ -184,17 +184,19 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
     lo_f, hi_f = qmf_pair(wavelet)
     L = len(lo_f)
     n, hs, w = x.shape
-    dn = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                    ("NCHW", "OIHW", "NCHW"))
+    hi_r = hi_f[::-1]
 
-    # Along W (local): symmetric half-sample extension, stride 2.
+    # Along W (local): symmetric half-sample extension, stride 2 —
+    # strided shift-MACs, same lowering as the dense analysis
+    # (mdx/ops/wavelet.py _analysis_last; the n=1 strided conv this
+    # replaces cost ~19 ms at 1×2048² k=1, docs/PERF.md round 3).
     xp = jnp.pad(x, ((0, 0), (0, 0), (L - 1, L - 1)), mode="symmetric")[..., 1:]
-    kh = jnp.asarray(hi_f[::-1], x.dtype).reshape(1, 1, 1, L)
-    d_w = lax.conv_general_dilated(
-        xp[:, None], kh, (1, 2), "VALID", dimension_numbers=dn,
-        precision=lax.Precision.HIGHEST)[:, 0]
     n_out_w = (w + L - 1) // 2
-    d_w = d_w[..., :n_out_w]
+    d_w = None
+    for i in range(L):
+        s = xp[..., i:i + 2 * n_out_w:2][..., :n_out_w]
+        t = jnp.asarray(hi_r[i], x.dtype) * s
+        d_w = t if d_w is None else d_w + t
 
     # Along H (cross-shard): halo of L-1 rows on both sides, then start one
     # row in.  Global output j reads extended rows [2j-(L-2), 2j+2); with
@@ -205,10 +207,12 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
     # same offset holds there.
     ext = _halo_rows(d_w, L - 1, L - 1)
     ext = lax.slice_in_dim(ext, 1, 1 + hs + 2 * (L - 1) - 1, axis=1)
-    kv = jnp.asarray(hi_f[::-1], x.dtype).reshape(1, 1, L, 1)
-    d_hw = lax.conv_general_dilated(
-        ext[:, None], kv, (2, 1), "VALID", dimension_numbers=dn,
-        precision=lax.Precision.HIGHEST)[:, 0]
+    n_out_h = (ext.shape[1] - L) // 2 + 1
+    d_hw = None
+    for i in range(L):
+        s = ext[:, i:i + 2 * n_out_h:2, :][:, :n_out_h]
+        t = jnp.asarray(hi_r[i], x.dtype) * s
+        d_hw = t if d_hw is None else d_hw + t
     # Global output count is (H+L-1)//2 = H/2+1 rows (db2, even H): each
     # shard owns hs/2 rows plus ONE trailing row that (a) on the last shard
     # is the genuine bottom-boundary output and (b) on interior shards
@@ -331,27 +335,31 @@ def _stats_program(mesh: Mesh):
 def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
                         max_radius: int = 12) -> jnp.ndarray:
     """Separable Gaussian with traced sigma on fixed support, skimage
-    ``nearest`` (edge-replicate) boundary, across row blocks — the dense
-    batch-as-channels depthwise grouped conv (11× the plain conv,
-    docs/PERF.md) on a halo-extended block; per-image sigma supported."""
+    ``nearest`` (edge-replicate) boundary, across row blocks — unrolled
+    shift-MACs on the halo-extended block; per-image sigma supported.
+
+    The dense op's batch-as-channels grouped conv is the WRONG lowering
+    here: its 11× win needs many channels to tile onto the MXU, and the
+    spatial layers run 1–4 images per shard — measured 276.8 ms for the
+    two n=1 convs at 1×2048² k=1 vs 2.6 ms for these 50 shifted MACs
+    (docs/PERF.md round 3; the same pathology cost the db2 HH subband
+    ~19 ms)."""
     r = max_radius
-    n = x.shape[0]
+    n, hs, ws = x.shape
     sigma_b = jnp.broadcast_to(
         jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
     w = _F._gauss_taps(sigma_b, x.dtype)
     xp = _halo_rows(x, r, r, edge_mode="edge")
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (r, r)), mode="edge")[None]
-    kc = w.reshape(n, 1, 2 * r + 1, 1)
-    kr = w.reshape(n, 1, 1, 2 * r + 1)
-    dn = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                    ("NCHW", "OIHW", "NCHW"))
-    out = lax.conv_general_dilated(
-        xp, kc, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=n, precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(
-        out, kr, (1, 1), "VALID", dimension_numbers=dn,
-        feature_group_count=n, precision=lax.Precision.HIGHEST)
-    return out[0]
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (r, r)), mode="edge")
+    acc = None
+    for k in range(2 * r + 1):
+        t = w[:, k][:, None, None] * xp[:, k:k + hs, :]
+        acc = t if acc is None else acc + t
+    out = None
+    for k in range(2 * r + 1):
+        t = w[:, k][:, None, None] * acc[:, :, k:k + ws]
+        out = t if out is None else out + t
+    return out
 
 
 def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,

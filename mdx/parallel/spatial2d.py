@@ -66,8 +66,6 @@ _AXES = (_AY, _AX)
 # see mdx/parallel/spatial.py) — now a floor on BOTH per-shard extents.
 _MIN_PER_SHARD = 16
 
-_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
-                                 ("NCHW", "OIHW", "NCHW"))
 
 
 # ---------------------------------------------------------------------------
@@ -213,22 +211,30 @@ def _hh_subband_2d(x: jnp.ndarray, wavelet: str = "db2"):
     n, hs, ws = x.shape
 
     # Along W (cross-shard over sx): halo, drop one leading col, stride 2.
+    # Strided shift-MACs instead of n=1 strided convs — the conv lowering
+    # has no channel parallelism to tile here (same pathology as the 1-D
+    # layer's blur/HH, docs/PERF.md round 3).
+    hi_r = hi_f[::-1]
     extc = _halo_axis(x, L - 1, L - 1, 2, _AX, "symmetric")
     extc = lax.slice_in_dim(extc, 1, 1 + ws + 2 * (L - 1) - 1, axis=2)
-    kh = jnp.asarray(hi_f[::-1], x.dtype).reshape(1, 1, 1, L)
-    d_w = lax.conv_general_dilated(
-        extc[:, None], kh, (1, 2), "VALID", dimension_numbers=_DN,
-        precision=lax.Precision.HIGHEST)[:, 0]          # [N, hs, ws/2+1]
+    n_out_w = (extc.shape[2] - L) // 2 + 1
+    d_w = None
+    for i in range(L):
+        s = extc[:, :, i:i + 2 * n_out_w:2][:, :, :n_out_w]
+        t = jnp.asarray(hi_r[i], x.dtype) * s
+        d_w = t if d_w is None else d_w + t              # [N, hs, ws/2+1]
 
     # Along H (cross-shard over sy) on the column subband — its duplicate
     # tail column is carried through (columns transform independently) and
     # masked by the validity weights below.
     extr = _halo_axis(d_w, L - 1, L - 1, 1, _AY, "symmetric")
     extr = lax.slice_in_dim(extr, 1, 1 + hs + 2 * (L - 1) - 1, axis=1)
-    kv = jnp.asarray(hi_f[::-1], x.dtype).reshape(1, 1, L, 1)
-    d_hw = lax.conv_general_dilated(
-        extr[:, None], kv, (2, 1), "VALID", dimension_numbers=_DN,
-        precision=lax.Precision.HIGHEST)[:, 0]          # [N, hs/2+1, ws/2+1]
+    n_out_h = (extr.shape[1] - L) // 2 + 1
+    d_hw = None
+    for i in range(L):
+        s = extr[:, i:i + 2 * n_out_h:2, :][:, :n_out_h]
+        t = jnp.asarray(hi_r[i], x.dtype) * s
+        d_hw = t if d_hw is None else d_hw + t           # [N, hs/2+1, ws/2+1]
 
     iy, ky = lax.axis_index(_AY), lax.axis_size(_AY)
     ix, kx = lax.axis_index(_AX), lax.axis_size(_AX)
@@ -347,24 +353,26 @@ def _stats_program(mesh: Mesh):
 def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
                         max_radius: int = 12) -> jnp.ndarray:
     """Separable Gaussian with traced sigma on fixed support, skimage
-    ``nearest`` (edge-replicate) boundary, across both tile axes — the
-    dense batch-as-channels depthwise grouped conv (11× the plain conv,
-    docs/PERF.md) on a halo-extended block; per-image sigma supported."""
+    ``nearest`` (edge-replicate) boundary, across both tile axes —
+    unrolled shift-MACs on the halo-extended block; per-image sigma
+    supported.  The grouped-conv lowering is pathological at the spatial
+    layers' 1–4 images per shard (no channel parallelism to tile:
+    276.8 ms → 2.6 ms at 1×2048², docs/PERF.md round 3)."""
     r = max_radius
-    n = x.shape[0]
+    n, hs, ws = x.shape
     sigma_b = jnp.broadcast_to(
         jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
     w = _F._gauss_taps(sigma_b, x.dtype)
-    xp = _halo2(x, r, r, r, r, "edge")[None]
-    kc = w.reshape(n, 1, 2 * r + 1, 1)
-    kr = w.reshape(n, 1, 1, 2 * r + 1)
-    out = lax.conv_general_dilated(
-        xp, kc, (1, 1), "VALID", dimension_numbers=_DN,
-        feature_group_count=n, precision=lax.Precision.HIGHEST)
-    out = lax.conv_general_dilated(
-        out, kr, (1, 1), "VALID", dimension_numbers=_DN,
-        feature_group_count=n, precision=lax.Precision.HIGHEST)
-    return out[0]
+    xp = _halo2(x, r, r, r, r, "edge")
+    acc = None
+    for k in range(2 * r + 1):
+        t = w[:, k][:, None, None] * xp[:, k:k + hs, :]
+        acc = t if acc is None else acc + t
+    out = None
+    for k in range(2 * r + 1):
+        t = w[:, k][:, None, None] * acc[:, :, k:k + ws]
+        out = t if out is None else out + t
+    return out
 
 
 def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,

@@ -73,6 +73,21 @@ class TestGaussianUnsharpGamma:
         np.testing.assert_allclose(got[0], F.gaussian_blur(noisy_image, 0.5), atol=1e-5)
         np.testing.assert_allclose(got[1], F.gaussian_blur(clean_image, 2.0), atol=1e-5)
 
+    def test_gaussian_batch_dispatch_agrees(self, noisy_image):
+        # gaussian_blur lowers via unrolled shift-MACs at n<=16 and the
+        # batch-as-channels grouped conv above (docs/PERF.md round 3);
+        # the same image must blur identically through both branches.
+        rng = np.random.default_rng(7)
+        batch = np.clip(
+            noisy_image[None] + rng.normal(0, 0.05, (20,) + noisy_image.shape),
+            0.0, 1.0).astype(np.float32)
+        sigmas = np.linspace(0.4, 2.5, 20).astype(np.float32)
+        via_conv = np.asarray(
+            ops.gaussian_blur(jnp.asarray(batch), jnp.asarray(sigmas)))
+        via_macs = np.asarray(
+            ops.gaussian_blur(jnp.asarray(batch[:16]), jnp.asarray(sigmas[:16])))
+        np.testing.assert_allclose(via_conv[:16], via_macs, atol=2e-6)
+
     def test_unsharp(self, clean_image):
         got = np.asarray(ops.unsharp_mask(_b(clean_image), 0.8, 0.5)[0])
         np.testing.assert_allclose(got, F.unsharp_mask(clean_image, 0.8, 0.5),
