@@ -16,10 +16,19 @@ and the packed-output collector — so the cache keys match the production
 HLO exactly (a lookalike re-implementation here would compile a
 different program and prime nothing).
 
+``--tuning`` additionally primes the tuning surface: the K-lane dense
+autotune sweep program per issue set (K is the only thing that changes
+the HLO — 9 lanes for non-blur sets, 27 with blur's unsharp grid) via
+``mdx.core.tuning.autotune``, and the GenAI tool programs at ``[1,H,W]``
+(``image_stats``, ``enhance_only`` for the default op chain,
+``validate``) — their continuous parameters are weak-typed traced
+scalars, so one compile covers every parameter value the LLM can send.
+
 CLI::
 
     python -m mdx.pipeline.prime --shapes 512x512,1024x1024 \
-        --chunk 64 --dtypes uint16,int16,uint8,float32 --window both
+        --chunk 64 --dtypes uint16,int16,uint8,float32 --window both \
+        --tuning --issues noise+low_contrast,blur
 """
 
 from __future__ import annotations
@@ -53,6 +62,61 @@ def _synthetic_frames(h: int, w: int, n: int, dtype: str) -> np.ndarray:
         return rng.random((n, h, w), np.float32)
     hi = {"uint8": 255, "int16": 2048, "uint16": 4096}[dtype]
     return rng.integers(0, hi, (n, h, w)).astype(dtype)
+
+
+def prime_tuning(
+    shapes: Sequence[tuple[int, int]] = ((512, 512),),
+    *,
+    issue_sets: Sequence[Sequence[str]] = (("noise", "low_contrast"),
+                                           ("blur",)),
+    log: Callable[[str], None] = logger.info,
+) -> int:
+    """Compile + cache the tuning-surface programs (autotune sweep per
+    issue set, GenAI tool programs at [1, H, W]).  Same entry points as
+    the product (``mdx.core.tuning.autotune``, ``mdx/genai/tools.py``);
+    returns the number of programs executed."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdx.core.metrics import image_stats
+    from mdx.core.qa import enhance_only
+    from mdx.core.tuning import autotune, candidate_grid
+    from mdx.core.validate import validate
+    from mdx.pipeline.schemas import EnhancementPlan
+
+    count = 0
+    for h, w in shapes:
+        t_shape = time.perf_counter()
+        img = _synthetic_frames(h, w, 1, "float32")[0]
+        seen_k = set()
+        for issues in issue_sets:
+            k = len(candidate_grid(list(issues)))
+            if k in seen_k:  # same K ⇒ same HLO ⇒ already primed
+                continue
+            seen_k.add(k)
+            autotune(img, list(issues))
+            count += 1
+            log(f"  [{h}x{w}] autotune sweep K={k} "
+                f"(issues={'+'.join(issues)})")
+        # GenAI tool programs: the tool path lowers an EnhancementPlan's
+        # Python-float params to weak-typed traced scalars, so the cache
+        # key depends only on the op set — prime the default chain.
+        x1 = jnp.asarray(img, jnp.float32)[None]
+        stats = image_stats(x1)
+        jax.block_until_ready(stats["sigma"])
+        static, dyn = EnhancementPlan(recommended_ops=[
+            "denoise", "clahe", "gamma", "unsharp", "post_denoise",
+        ]).to_static_dynamic()
+        enhanced, _flags = enhance_only(x1, static, dyn)
+        v = validate(x1, enhanced)
+        jax.block_until_ready(v["ssim"])
+        count += 3
+        log(f"  [{h}x{w}] GenAI tool programs "
+            f"(image_stats, enhance_only[{'+'.join(static.ops)}], "
+            "validate)")
+        log(f"[{h}x{w}] tuning surface done in "
+            f"{time.perf_counter() - t_shape:.1f} s")
+    return count
 
 
 def prime(
@@ -148,6 +212,12 @@ def main(argv: list[str] | None = None) -> int:
                     default="both")
     ap.add_argument("--no-single", action="store_true",
                     help="skip the [1,H,W] single-image program")
+    ap.add_argument("--tuning", action="store_true",
+                    help="also prime the tuning surface (autotune sweep "
+                         "per issue set + GenAI tool programs)")
+    ap.add_argument("--issues", default="noise+low_contrast,blur",
+                    help="comma-separated issue sets for --tuning, "
+                         "'+'-joined within a set")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     modes = {"off": (False,), "on": (True,), "both": (False, True)}
@@ -158,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
         window_modes=modes[args.window],
         single=not args.no_single,
     )
+    if args.tuning:
+        n += prime_tuning(
+            _parse_shapes(args.shapes),
+            issue_sets=tuple(
+                tuple(i.strip() for i in part.split("+") if i.strip())
+                for part in args.issues.split(",") if part.strip()),
+        )
     logger.info("primed %d programs", n)
     return 0
 

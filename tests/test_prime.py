@@ -8,13 +8,32 @@ import os
 
 import pytest
 
-from mdx.pipeline.prime import _parse_shapes, prime
+from mdx.pipeline.prime import _parse_shapes, prime, prime_tuning
 
 
 class TestParseShapes:
     def test_pairs_and_squares(self):
         assert _parse_shapes("512x512,1024x768") == [(512, 512), (1024, 768)]
         assert _parse_shapes("256") == [(256, 256)]
+
+
+class TestPrimeTuning:
+    def test_primes_tuning_surface(self):
+        """Drives the K-lane autotune sweep + the three GenAI tool
+        programs through the product entry points; issue sets with the
+        same candidate count K are deduplicated (same K ⇒ same HLO)."""
+        msgs = []
+        n = prime_tuning(
+            [(64, 64)],
+            issue_sets=(("noise", "low_contrast"), ("low_contrast",),
+                        ("blur",)),
+            log=msgs.append)
+        # two distinct K values (9 and 27; the second set dedups) + the
+        # three tool programs
+        assert n == 5
+        assert any("K=9" in m for m in msgs)
+        assert any("K=27" in m for m in msgs)
+        assert any("GenAI tool programs" in m for m in msgs)
 
 
 class TestPrime:
