@@ -119,6 +119,70 @@ def prime_tuning(
     return count
 
 
+def prime_spatial(
+    shapes: Sequence[tuple[int, int]] = ((2048, 2048),),
+    *,
+    mesh=None,
+    log: Callable[[str], None] = logger.info,
+) -> int:
+    """Compile + cache the huge-slice (``--spatial``) programs: the
+    sharded detect stats pass, the issue-driven QA chain with every op
+    gate open + the noise guard, and the spatial autotune sweep (which
+    also compiles the ``qa_plan_spatial`` program it reuses).  Uses the
+    same mesh construction as ``run_pipeline_spatial`` (``choose_layout``
+    over all visible devices when ``mesh`` is None), so the cache keys
+    match the deploy host's real topology."""
+    import jax
+
+    from mdx.core.enhance import DETERMINISTIC_DEFAULTS as PD
+    from mdx.parallel.plan_sp import autotune_spatial
+    from mdx.pipeline.spatial_runner import choose_layout
+
+    count = 0
+    for h, w in shapes:
+        t_shape = time.perf_counter()
+        m = mesh
+        if m is None:
+            sy, sx = choose_layout(h, w, len(jax.devices()))
+            if sx > 1:
+                from mdx.parallel import make_mesh2d
+                m = make_mesh2d(n_data=1, n_sy=sy, n_sx=sx)
+            else:
+                from mdx.parallel import make_mesh
+                m = make_mesh(n_data=1, n_space=sy)
+        if "sx" in m.shape:
+            from mdx.parallel import spatial2d as sp_mod
+            qa_fn = sp_mod.qa_spatial2d
+            stats_fn = sp_mod.image_stats_spatial2d
+            layout = f"sy={m.shape['sy']} sx={m.shape['sx']}"
+        else:
+            from mdx.parallel import spatial as sp_mod
+            qa_fn = sp_mod.qa_spatial
+            stats_fn = sp_mod.image_stats_spatial
+            layout = f"space={m.shape['space']}"
+
+        frame = _synthetic_frames(h, w, 1, "float32")[0]
+        x = frame[None]
+        stats = stats_fn(x, m)
+        jax.block_until_ready(stats["sigma"])
+        out = qa_fn(
+            x, m, denoise=True,
+            clahe_clip_limit=float(PD["clahe_clip_limit"]),
+            gamma=float(PD["gamma_darken"]),
+            unsharp_amount=float(PD["unsharp_amount"]),
+            unsharp_radius=float(PD["unsharp_radius"]),
+            post_denoise_strength=float(PD["post_denoise_strength"]),
+            bilateral_d=0, noise_guard=True)
+        jax.block_until_ready(out["enhanced"])
+        autotune_spatial(frame, ["noise", "low_contrast"], m)
+        count += 3
+        log(f"  [{h}x{w}] spatial programs ({layout}: stats, QA chain, "
+            "autotune sweep)")
+        log(f"[{h}x{w}] spatial surface done in "
+            f"{time.perf_counter() - t_shape:.1f} s")
+    return count
+
+
 def prime(
     shapes: Sequence[tuple[int, int]] = ((512, 512),),
     *,
@@ -215,6 +279,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tuning", action="store_true",
                     help="also prime the tuning surface (autotune sweep "
                          "per issue set + GenAI tool programs)")
+    ap.add_argument("--spatial", action="store_true",
+                    help="also prime the huge-slice --spatial programs "
+                         "on this host's device topology")
     ap.add_argument("--issues", default="noise+low_contrast,blur",
                     help="comma-separated issue sets for --tuning, "
                          "'+'-joined within a set")
@@ -235,6 +302,8 @@ def main(argv: list[str] | None = None) -> int:
                 tuple(i.strip() for i in part.split("+") if i.strip())
                 for part in args.issues.split(",") if part.strip()),
         )
+    if args.spatial:
+        n += prime_spatial(_parse_shapes(args.shapes))
     logger.info("primed %d programs", n)
     return 0
 

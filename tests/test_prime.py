@@ -8,7 +8,12 @@ import os
 
 import pytest
 
-from mdx.pipeline.prime import _parse_shapes, prime, prime_tuning
+from mdx.pipeline.prime import (
+    _parse_shapes,
+    prime,
+    prime_spatial,
+    prime_tuning,
+)
 
 
 class TestParseShapes:
@@ -34,6 +39,19 @@ class TestPrimeTuning:
         assert any("K=9" in m for m in msgs)
         assert any("K=27" in m for m in msgs)
         assert any("GenAI tool programs" in m for m in msgs)
+
+    def test_primes_spatial_surface(self):
+        """Drives the sharded stats pass, the all-gates-open QA chain,
+        and the spatial autotune sweep on an explicit 2-D mesh."""
+        from mdx.parallel import make_mesh2d
+
+        msgs = []
+        n = prime_spatial([(64, 64)],
+                          mesh=make_mesh2d(n_data=1, n_sy=2, n_sx=2),
+                          log=msgs.append)
+        assert n == 3
+        assert any("spatial programs" in m and "sy=2 sx=2" in m
+                   for m in msgs)
 
 
 class TestPrime:
