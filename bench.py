@@ -27,10 +27,11 @@ import time
 import numpy as np
 
 # Persistent XLA compilation cache: first compile of the fused pass through
-# the remote-TPU tunnel takes minutes; cache it across invocations.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# the remote-TPU tunnel takes minutes; cache it across invocations.  The
+# JAX_COMPILATION_CACHE_DIR env var is inert in jax 0.9.0 — go through
+# compile_cache.enable() (jax.config.update; TPU-gated), pointed at the
+# bench's own /tmp dir unless the caller set one.
+os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
@@ -142,6 +143,9 @@ def _measure_baseline(img: np.ndarray) -> float:
 
 
 def main() -> None:
+    from mdx.pipeline.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()  # TPU-gated; no-op on the CPU backend
     batch_n = int(os.environ.get("MDX_BENCH_BATCH", "32"))
     reps = int(os.environ.get("MDX_BENCH_REPS", "10"))
 

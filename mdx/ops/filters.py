@@ -174,6 +174,28 @@ def _gauss_taps(sigma: jnp.ndarray, dtype) -> jnp.ndarray:
     return w / jnp.sum(w, axis=-1, keepdims=True)
 
 
+def shift_macs_rows(xp: jnp.ndarray, w: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Σₖ w[:,k]·xp[:,k:k+h,:] — one unrolled shifted-MAC sweep of
+    per-image taps ``w`` [N,T] along rows of a pre-extended block.
+    Tap-ascending accumulation order (bit-stable across call sites: the
+    dense ``gaussian_blur`` n≤16 branch and both spatial halo layers)."""
+    acc = None
+    for k in range(w.shape[1]):
+        t = w[:, k][:, None, None] * xp[:, k:k + h, :]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def shift_macs_cols(xp: jnp.ndarray, w: jnp.ndarray, wd: int) -> jnp.ndarray:
+    """Σₖ w[:,k]·xp[:,:,k:k+wd] — the column-sweep counterpart of
+    :func:`shift_macs_rows`."""
+    acc = None
+    for k in range(w.shape[1]):
+        t = w[:, k][:, None, None] * xp[:, :, k:k + wd]
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Separable Gaussian with *traced* sigma on a fixed support.
 
@@ -194,17 +216,12 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
         jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
     w = _gauss_taps(sigma, x.dtype)
     if n <= 16:
+        # Sequential per-axis padding: the row sweep runs on the
+        # lane-aligned original width (docs/PERF.md dead ends).
         xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="edge")
-        acc = None
-        for k in range(2 * r + 1):
-            t = w[:, k][:, None, None] * xp[:, k:k + h, :]
-            acc = t if acc is None else acc + t
+        acc = shift_macs_rows(xp, w, h)
         acc = jnp.pad(acc, ((0, 0), (0, 0), (r, r)), mode="edge")
-        out = None
-        for k in range(2 * r + 1):
-            t = w[:, k][:, None, None] * acc[:, :, k:k + wd]
-            out = t if out is None else out + t
-        return out
+        return shift_macs_cols(acc, w, wd)
     xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="edge")[None]  # [1,N,H+2r,W+2r]
     kc = w.reshape(n, 1, 2 * r + 1, 1)
     kr = w.reshape(n, 1, 1, 2 * r + 1)

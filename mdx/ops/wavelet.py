@@ -28,6 +28,25 @@ def _filters(wavelet: str, dtype):
     return (jnp.asarray(lo, dtype), jnp.asarray(hi, dtype))
 
 
+def strided_taps_mac(ext: jnp.ndarray, taps, n_out: int,
+                     axis: int) -> jnp.ndarray:
+    """Σᵢ taps[i]·ext[…, i:i+2·n_out:2, …] along ``axis`` (1 or 2) — the
+    strided shift-MAC analysis sweep on a pre-extended [N, H, W] signal
+    (the same lowering as :func:`_analysis_last`, measured 2.2× XLA's
+    strided conv; the n=1 strided conv it replaces in the spatial halo
+    layers cost ~19 ms at 1×2048², docs/PERF.md round 3).  ``taps`` are
+    passed already time-reversed; tap-ascending accumulation order."""
+    acc = None
+    for i in range(len(taps)):
+        if axis == 1:
+            s = ext[:, i:i + 2 * n_out:2, :][:, :n_out]
+        else:
+            s = ext[:, :, i:i + 2 * n_out:2][:, :, :n_out]
+        t = jnp.asarray(taps[i], ext.dtype) * s
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _analysis_last(x: jnp.ndarray, wavelet: str):
     """One analysis step along the last axis of [..., n] → (a, d).
 

@@ -184,19 +184,17 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
     lo_f, hi_f = qmf_pair(wavelet)
     L = len(lo_f)
     n, hs, w = x.shape
+    from mdx.ops.wavelet import strided_taps_mac
+
     hi_r = hi_f[::-1]
 
     # Along W (local): symmetric half-sample extension, stride 2 —
-    # strided shift-MACs, same lowering as the dense analysis
-    # (mdx/ops/wavelet.py _analysis_last; the n=1 strided conv this
-    # replaces cost ~19 ms at 1×2048² k=1, docs/PERF.md round 3).
+    # strided shift-MACs (mdx/ops/wavelet.py strided_taps_mac, the dense
+    # analysis lowering; the n=1 strided conv this replaces cost ~19 ms
+    # at 1×2048² k=1, docs/PERF.md round 3).
     xp = jnp.pad(x, ((0, 0), (0, 0), (L - 1, L - 1)), mode="symmetric")[..., 1:]
     n_out_w = (w + L - 1) // 2
-    d_w = None
-    for i in range(L):
-        s = xp[..., i:i + 2 * n_out_w:2][..., :n_out_w]
-        t = jnp.asarray(hi_r[i], x.dtype) * s
-        d_w = t if d_w is None else d_w + t
+    d_w = strided_taps_mac(xp, hi_r, n_out_w, axis=2)
 
     # Along H (cross-shard): halo of L-1 rows on both sides, then start one
     # row in.  Global output j reads extended rows [2j-(L-2), 2j+2); with
@@ -208,11 +206,7 @@ def _hh_subband_halo(x: jnp.ndarray, wavelet: str = "db2") -> jnp.ndarray:
     ext = _halo_rows(d_w, L - 1, L - 1)
     ext = lax.slice_in_dim(ext, 1, 1 + hs + 2 * (L - 1) - 1, axis=1)
     n_out_h = (ext.shape[1] - L) // 2 + 1
-    d_hw = None
-    for i in range(L):
-        s = ext[:, i:i + 2 * n_out_h:2, :][:, :n_out_h]
-        t = jnp.asarray(hi_r[i], x.dtype) * s
-        d_hw = t if d_hw is None else d_hw + t
+    d_hw = strided_taps_mac(ext, hi_r, n_out_h, axis=1)
     # Global output count is (H+L-1)//2 = H/2+1 rows (db2, even H): each
     # shard owns hs/2 rows plus ONE trailing row that (a) on the last shard
     # is the genuine bottom-boundary output and (b) on interior shards
@@ -351,15 +345,7 @@ def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
     w = _F._gauss_taps(sigma_b, x.dtype)
     xp = _halo_rows(x, r, r, edge_mode="edge")
     xp = jnp.pad(xp, ((0, 0), (0, 0), (r, r)), mode="edge")
-    acc = None
-    for k in range(2 * r + 1):
-        t = w[:, k][:, None, None] * xp[:, k:k + hs, :]
-        acc = t if acc is None else acc + t
-    out = None
-    for k in range(2 * r + 1):
-        t = w[:, k][:, None, None] * acc[:, :, k:k + ws]
-        out = t if out is None else out + t
-    return out
+    return _F.shift_macs_cols(_F.shift_macs_rows(xp, w, hs), w, ws)
 
 
 def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,

@@ -211,18 +211,17 @@ def _hh_subband_2d(x: jnp.ndarray, wavelet: str = "db2"):
     n, hs, ws = x.shape
 
     # Along W (cross-shard over sx): halo, drop one leading col, stride 2.
-    # Strided shift-MACs instead of n=1 strided convs — the conv lowering
-    # has no channel parallelism to tile here (same pathology as the 1-D
-    # layer's blur/HH, docs/PERF.md round 3).
+    # Strided shift-MACs (mdx/ops/wavelet.py strided_taps_mac) instead of
+    # n=1 strided convs — the conv lowering has no channel parallelism to
+    # tile here (same pathology as the 1-D layer's blur/HH, docs/PERF.md
+    # round 3).
+    from mdx.ops.wavelet import strided_taps_mac
+
     hi_r = hi_f[::-1]
     extc = _halo_axis(x, L - 1, L - 1, 2, _AX, "symmetric")
     extc = lax.slice_in_dim(extc, 1, 1 + ws + 2 * (L - 1) - 1, axis=2)
     n_out_w = (extc.shape[2] - L) // 2 + 1
-    d_w = None
-    for i in range(L):
-        s = extc[:, :, i:i + 2 * n_out_w:2][:, :, :n_out_w]
-        t = jnp.asarray(hi_r[i], x.dtype) * s
-        d_w = t if d_w is None else d_w + t              # [N, hs, ws/2+1]
+    d_w = strided_taps_mac(extc, hi_r, n_out_w, axis=2)  # [N, hs, ws/2+1]
 
     # Along H (cross-shard over sy) on the column subband — its duplicate
     # tail column is carried through (columns transform independently) and
@@ -230,11 +229,7 @@ def _hh_subband_2d(x: jnp.ndarray, wavelet: str = "db2"):
     extr = _halo_axis(d_w, L - 1, L - 1, 1, _AY, "symmetric")
     extr = lax.slice_in_dim(extr, 1, 1 + hs + 2 * (L - 1) - 1, axis=1)
     n_out_h = (extr.shape[1] - L) // 2 + 1
-    d_hw = None
-    for i in range(L):
-        s = extr[:, i:i + 2 * n_out_h:2, :][:, :n_out_h]
-        t = jnp.asarray(hi_r[i], x.dtype) * s
-        d_hw = t if d_hw is None else d_hw + t           # [N, hs/2+1, ws/2+1]
+    d_hw = strided_taps_mac(extr, hi_r, n_out_h, axis=1)  # [N, hs/2+1, ws/2+1]
 
     iy, ky = lax.axis_index(_AY), lax.axis_size(_AY)
     ix, kx = lax.axis_index(_AX), lax.axis_size(_AX)
@@ -364,15 +359,7 @@ def _gaussian_blur_halo(x: jnp.ndarray, sigma: jnp.ndarray,
         jnp.asarray(sigma, x.dtype).reshape(-1), (n,))
     w = _F._gauss_taps(sigma_b, x.dtype)
     xp = _halo2(x, r, r, r, r, "edge")
-    acc = None
-    for k in range(2 * r + 1):
-        t = w[:, k][:, None, None] * xp[:, k:k + hs, :]
-        acc = t if acc is None else acc + t
-    out = None
-    for k in range(2 * r + 1):
-        t = w[:, k][:, None, None] * acc[:, :, k:k + ws]
-        out = t if out is None else out + t
-    return out
+    return _F.shift_macs_cols(_F.shift_macs_rows(xp, w, hs), w, ws)
 
 
 def _bilateral_halo(x: jnp.ndarray, d: int, sigma_color: jnp.ndarray,

@@ -15,10 +15,14 @@ Controlled by ``MDX_COMPILE_CACHE``:
 * a path → enabled there
 * ``0`` / ``off`` / ``""`` → disabled (JAX's own defaults apply)
 
-``enable()`` is idempotent, works before or after the first ``import
-jax`` (it uses ``jax.config.update``, not env vars, which JAX only reads
-at import), and never raises — a read-only filesystem degrades to the
-uncached behaviour.
+``enable()`` is idempotent and never raises — a read-only filesystem
+degrades to the uncached behaviour.  It uses ``jax.config.update``, not
+env vars (``JAX_COMPILATION_CACHE_DIR`` is inert in jax 0.9.0 — the
+config stays None however early the env var is set).  NOTE: the backend
+gate below calls ``jax.default_backend()``, which INITIALISES the JAX
+backend — configure the platform first (``jax.config.update(
+"jax_platforms", ...)`` / XLA_FLAGS device-count forcing) or the
+process is locked to the default platform.
 
 TPU-only: ``enable()`` refuses on the CPU backend.  jax/jaxlib 0.9.0's
 XLA:CPU cache-load path (``cpu_aot_loader``) executes SPMD programs with

@@ -119,67 +119,76 @@ def prime_tuning(
     return count
 
 
+SPATIAL_ISSUE_SETS = (
+    ("noise",),
+    ("low_contrast",),
+    ("noise", "low_contrast"),
+    ("blur",),
+    ("noise", "low_contrast", "blur"),
+    ("clipping_low",),
+    ("clipping_high",),
+)
+
+
 def prime_spatial(
     shapes: Sequence[tuple[int, int]] = ((2048, 2048),),
     *,
     mesh=None,
+    issue_sets: Sequence[Sequence[str]] = SPATIAL_ISSUE_SETS,
     log: Callable[[str], None] = logger.info,
 ) -> int:
     """Compile + cache the huge-slice (``--spatial``) programs: the
-    sharded detect stats pass, the issue-driven QA chain with every op
-    gate open + the noise guard, and the spatial autotune sweep (which
-    also compiles the ``qa_plan_spatial`` program it reuses).  Uses the
-    same mesh construction as ``run_pipeline_spatial`` (``choose_layout``
-    over all visible devices when ``mesh`` is None), so the cache keys
-    match the deploy host's real topology."""
+    sharded detect stats pass, the issue-driven QA chain for every gate
+    combination the listed issue sets produce (the runner's jit cache is
+    keyed on those static gates, so each distinct combination is its own
+    compile), and ONE spatial autotune sweep — unlike the dense K-lane
+    sweep, the spatial sweep runs its candidates sequentially through a
+    single compiled program with traced parameters, so the candidate
+    count never changes the HLO.  Uses the runner's own mesh
+    construction / dispatch / issue mapping (``build_spatial_mesh`` /
+    ``spatial_fns`` / ``issue_driven_kwargs``), so the cache keys match
+    the deploy host's real topology and the production HLO."""
     import jax
 
-    from mdx.core.enhance import DETERMINISTIC_DEFAULTS as PD
+    from mdx.core.metrics import ISSUE_ORDER
     from mdx.parallel.plan_sp import autotune_spatial
-    from mdx.pipeline.spatial_runner import choose_layout
+    from mdx.pipeline.spatial_runner import (
+        build_spatial_mesh,
+        issue_driven_kwargs,
+        spatial_fns,
+    )
 
     count = 0
     for h, w in shapes:
         t_shape = time.perf_counter()
-        m = mesh
-        if m is None:
-            sy, sx = choose_layout(h, w, len(jax.devices()))
-            if sx > 1:
-                from mdx.parallel import make_mesh2d
-                m = make_mesh2d(n_data=1, n_sy=sy, n_sx=sx)
-            else:
-                from mdx.parallel import make_mesh
-                m = make_mesh(n_data=1, n_space=sy)
-        if "sx" in m.shape:
-            from mdx.parallel import spatial2d as sp_mod
-            qa_fn = sp_mod.qa_spatial2d
-            stats_fn = sp_mod.image_stats_spatial2d
-            layout = f"sy={m.shape['sy']} sx={m.shape['sx']}"
-        else:
-            from mdx.parallel import spatial as sp_mod
-            qa_fn = sp_mod.qa_spatial
-            stats_fn = sp_mod.image_stats_spatial
-            layout = f"space={m.shape['space']}"
+        m = mesh if mesh is not None else build_spatial_mesh(h, w)
+        qa_fn, stats_fn, layout = spatial_fns(m)
+        ky, kx = ((layout["sy"], layout["sx"]) if "sx" in layout
+                  else (layout["space"], 1))
+        layout_s = " ".join(f"{k}={v}" for k, v in layout.items())
 
         frame = _synthetic_frames(h, w, 1, "float32")[0]
         x = frame[None]
         stats = stats_fn(x, m)
         jax.block_until_ready(stats["sigma"])
-        out = qa_fn(
-            x, m, denoise=True,
-            clahe_clip_limit=float(PD["clahe_clip_limit"]),
-            gamma=float(PD["gamma_darken"]),
-            unsharp_amount=float(PD["unsharp_amount"]),
-            unsharp_radius=float(PD["unsharp_radius"]),
-            post_denoise_strength=float(PD["post_denoise_strength"]),
-            bilateral_d=0, noise_guard=True)
-        jax.block_until_ready(out["enhanced"])
+        count += 1
+        seen_kw = set()
+        for issues in issue_sets:
+            flags = {k: k in issues for k in ISSUE_ORDER}
+            kw, ops = issue_driven_kwargs(flags, h, w, ky, kx)
+            key = tuple(sorted((k, str(v)) for k, v in kw.items()))
+            if key not in seen_kw:
+                seen_kw.add(key)
+                out = qa_fn(x, m, **kw)
+                jax.block_until_ready(out["enhanced"])
+                count += 1
+                log(f"  [{h}x{w}] QA chain ops={'+'.join(ops) or 'none'}"
+                    f" (issues={'+'.join(issues)})")
         autotune_spatial(frame, ["noise", "low_contrast"], m)
-        count += 3
-        log(f"  [{h}x{w}] spatial programs ({layout}: stats, QA chain, "
-            "autotune sweep)")
-        log(f"[{h}x{w}] spatial surface done in "
-            f"{time.perf_counter() - t_shape:.1f} s")
+        count += 1
+        log(f"  [{h}x{w}] spatial autotune sweep (one reused program)")
+        log(f"[{h}x{w}] spatial surface done ({layout_s}; {len(seen_kw)} "
+            f"gate combos) in {time.perf_counter() - t_shape:.1f} s")
     return count
 
 

@@ -59,6 +59,74 @@ def choose_layout(h: int, w: int, n_devices: int,
     return best
 
 
+def build_spatial_mesh(h: int, w: int, n_devices: int | None = None):
+    """Mesh for one H×W slice: ``choose_layout`` over the visible devices
+    (2-D ``(1, sy, sx)`` tiles when the extents allow, else 1-D row
+    blocks).  Shared by the runner and the cache primer so both compile
+    against the same topology."""
+    import jax
+
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    sy, sx = choose_layout(h, w, n_devices)
+    if sx > 1:
+        from mdx.parallel import make_mesh2d
+
+        return make_mesh2d(n_data=1, n_sy=sy, n_sx=sx)
+    from mdx.parallel import make_mesh
+
+    return make_mesh(n_data=1, n_space=sy)
+
+
+def spatial_fns(mesh):
+    """(qa_fn, stats_fn, layout dict) for a 1-D or 2-D spatial mesh."""
+    if "sx" in mesh.shape:
+        from mdx.parallel import spatial2d as sp_mod
+
+        return (sp_mod.qa_spatial2d, sp_mod.image_stats_spatial2d,
+                {"sy": mesh.shape["sy"], "sx": mesh.shape["sx"]})
+    from mdx.parallel import spatial as sp_mod
+
+    return (sp_mod.qa_spatial, sp_mod.image_stats_spatial,
+            {"space": mesh.shape["space"]})
+
+
+def issue_driven_kwargs(
+    flags: dict[str, bool], h: int, w: int, ky: int, kx: int,
+) -> tuple[dict[str, Any], list[str]]:
+    """The reference's deterministic issue→op mapping (ref
+    pipeline/enhancement.py:151-227) lowered to the sharded QA chain's
+    static gates.  Returns (qa_fn kwargs, applied op names).  The kwargs
+    are the jit cache key's static part — the primer must build them
+    through this same function or it compiles a different program."""
+    from mdx.core.enhance import DETERMINISTIC_DEFAULTS as PD
+
+    needs_contrast = (flags["low_contrast"] | flags["clipping_low"]
+                      | flags["clipping_high"])
+    brighten = flags["clipping_low"] and not flags["clipping_high"]
+    darken = flags["clipping_high"] and not flags["clipping_low"]
+    t = int(PD["clahe_tile_size"])
+    clahe_aligned = (h // ky) % t == 0 and (w // kx) % t == 0
+    applied_ops: list[str] = []
+    kw: dict[str, Any] = dict(
+        bilateral_d=0, gamma=1.0, unsharp_amount=0.0,
+        unsharp_radius=PD["unsharp_radius"], noise_guard=True)
+    if flags["noise"]:
+        kw["denoise"] = True
+        applied_ops.append("denoise")
+    if needs_contrast and clahe_aligned:
+        kw["clahe_clip_limit"] = PD["clahe_clip_limit"]
+        applied_ops.append("clahe")
+    if brighten or darken:
+        kw["gamma"] = PD["gamma_brighten"] if brighten else PD["gamma_darken"]
+        applied_ops.append("gamma")
+    if flags["blur"]:
+        kw["unsharp_amount"] = PD["unsharp_amount"]
+        kw["post_denoise_strength"] = PD["post_denoise_strength"]
+        applied_ops += ["unsharp", "post_denoise"]
+    return kw, applied_ops
+
+
 def run_pipeline_spatial(
     input_path: str,
     output_dir: str = "outputs",
@@ -84,8 +152,6 @@ def run_pipeline_spatial(
     or ``(data, space)`` mesh to pin it.  Returns a context dict with the
     stats, validation verdict, markdown report, and the mesh layout used.
     """
-    import jax
-
     from mdx.core.enhance import DETERMINISTIC_DEFAULTS as PD
     from mdx.core.metrics import ISSUE_ORDER, METRIC_KEYS, detect_issues
     from mdx.io import load_dicom, normalize_image
@@ -100,55 +166,19 @@ def run_pipeline_spatial(
     x = frame[None]
 
     if mesh is None:
-        sy, sx = choose_layout(h, w, len(jax.devices()))
-        if sx > 1:
-            from mdx.parallel import make_mesh2d
-            mesh = make_mesh2d(n_data=1, n_sy=sy, n_sx=sx)
-        else:
-            from mdx.parallel import make_mesh
-            mesh = make_mesh(n_data=1, n_space=sy)
-
-    if "sx" in mesh.shape:
-        from mdx.parallel import spatial2d as sp_mod
-        qa_fn = sp_mod.qa_spatial2d
-        stats_fn = sp_mod.image_stats_spatial2d
-        ky, kx = mesh.shape["sy"], mesh.shape["sx"]
-        layout = {"sy": ky, "sx": kx}
-    else:
-        from mdx.parallel import spatial as sp_mod
-        qa_fn = sp_mod.qa_spatial
-        stats_fn = sp_mod.image_stats_spatial
-        ky, kx = mesh.shape["space"], 1
-        layout = {"space": ky}
+        mesh = build_spatial_mesh(h, w)
+    qa_fn, stats_fn, layout = spatial_fns(mesh)
+    ky, kx = ((layout["sy"], layout["sx"]) if "sx" in layout
+              else (layout["space"], 1))
 
     # Phase 1: sharded detect → host-side issue→op mapping (N=1 slice, so
     # the per-image masks of the dense path become static op gates).
     det_stats = stats_fn(x, mesh)
     issue_masks = detect_issues(det_stats)
     flags = {k: bool(np.asarray(issue_masks[k])[0]) for k in ISSUE_ORDER}
-    needs_contrast = (flags["low_contrast"] | flags["clipping_low"]
-                      | flags["clipping_high"])
-    brighten = flags["clipping_low"] and not flags["clipping_high"]
-    darken = flags["clipping_high"] and not flags["clipping_low"]
     t = int(PD["clahe_tile_size"])
     clahe_aligned = (h // ky) % t == 0 and (w // kx) % t == 0
-    applied_ops = []
-    kw: dict[str, Any] = dict(
-        bilateral_d=0, gamma=1.0, unsharp_amount=0.0,
-        unsharp_radius=PD["unsharp_radius"], noise_guard=True)
-    if flags["noise"]:
-        kw["denoise"] = True
-        applied_ops.append("denoise")
-    if needs_contrast and clahe_aligned:
-        kw["clahe_clip_limit"] = PD["clahe_clip_limit"]
-        applied_ops.append("clahe")
-    if brighten or darken:
-        kw["gamma"] = PD["gamma_brighten"] if brighten else PD["gamma_darken"]
-        applied_ops.append("gamma")
-    if flags["blur"]:
-        kw["unsharp_amount"] = PD["unsharp_amount"]
-        kw["post_denoise_strength"] = PD["post_denoise_strength"]
-        applied_ops += ["unsharp", "post_denoise"]
+    kw, applied_ops = issue_driven_kwargs(flags, h, w, ky, kx)
 
     # Phase 2: sharded enhancement + safeguards + validation — either the
     # issue-driven deterministic chain, or (--autotune) the candidate

@@ -40,17 +40,30 @@ class TestPrimeTuning:
         assert any("K=27" in m for m in msgs)
         assert any("GenAI tool programs" in m for m in msgs)
 
+
+class TestPrimeSpatial:
     def test_primes_spatial_surface(self):
-        """Drives the sharded stats pass, the all-gates-open QA chain,
-        and the spatial autotune sweep on an explicit 2-D mesh."""
+        """Drives the sharded stats pass, the issue-driven QA chain per
+        distinct gate combination (built through the runner's own
+        issue_driven_kwargs, deduplicated), and one autotune sweep on an
+        explicit 2-D mesh."""
         from mdx.parallel import make_mesh2d
 
         msgs = []
-        n = prime_spatial([(64, 64)],
-                          mesh=make_mesh2d(n_data=1, n_sy=2, n_sx=2),
-                          log=msgs.append)
-        assert n == 3
-        assert any("spatial programs" in m and "sy=2 sx=2" in m
+        n = prime_spatial(
+            [(64, 64)],
+            mesh=make_mesh2d(n_data=1, n_sy=2, n_sx=2),
+            issue_sets=(("noise",), ("low_contrast",),
+                        # same gates as low_contrast alone → dedups
+                        ("clipping_low", "clipping_high")),
+            log=msgs.append)
+        # stats + 2 distinct gate combos + 1 autotune sweep
+        assert n == 4
+        assert any("ops=denoise " in m or "ops=denoise(" in m
+                   or "ops=denoise" in m for m in msgs)
+        assert any("ops=clahe" in m for m in msgs)
+        assert any("autotune sweep" in m for m in msgs)
+        assert any("2 gate combos" in m and "sy=2 sx=2" in m
                    for m in msgs)
 
 
@@ -58,8 +71,10 @@ class TestPrime:
     def test_primes_product_programs(self, tmp_path, monkeypatch):
         d = str(tmp_path / "cc")
         monkeypatch.setenv("MDX_COMPILE_CACHE", d)
-        # The primed programs are single-device (no SPMD collectives), so
-        # forcing the cache past the CPU-backend gate is safe here.
+        # FORCE past the CPU-backend gate: the primed chunk programs ARE
+        # multi-device (data-sharded over the virtual mesh), but the
+        # rendezvous abort is a cache-LOAD hazard and this per-test
+        # tmp_path dir is only ever written, never reloaded.
         monkeypatch.setenv("MDX_COMPILE_CACHE_FORCE", "1")
         import jax
         from jax.experimental.compilation_cache import (

@@ -19,11 +19,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mdx_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# JAX_COMPILATION_CACHE_DIR env is inert in jax 0.9.0; route through the
+# TPU-gated compile_cache.enable() after imports instead.
+os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mdx.pipeline.compile_cache import enable as _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
 
 import numpy as np
 
