@@ -460,6 +460,149 @@ _WHOLE_IMAGE_LIMIT = 1024 * 1024  # raised-scoped-VMEM bound (see top)
 
 
 # ---------------------------------------------------------------------------
+# CLAHE remap via tpu.dynamic_gather (experimental alternative lowering)
+# ---------------------------------------------------------------------------
+#
+# Mosaic DOES expose a per-lane dynamic gather (jaxlib 0.9.0
+# pallas/mosaic/lowering.py `_gather_lowering_rule` → tpu.dynamic_gather):
+# `jnp.take_along_axis(tab, idx, axis=0)` on SAME-SHAPE 2-D operands
+# gathers tab[idx[i,j], j] — each LANE j carries its own 256-entry table.
+# That breaks the "remap is intrinsically ~256 ops/pixel without a
+# per-lane gather" assumption (docs/PERF.md dead ends, written before the
+# primitive was found): fold the image so every COLUMN is one tile and
+# every ROW one intra-tile pixel position (t·t == nbins == 256 exactly),
+# and the whole 256-bin remap loop collapses to NINE gathers — one per
+# (row, col) tile shift of the bilinear window, same 3-window scheme as
+# the banded kernel — with per-ROW hat weights (in folded layout the
+# bilinear weights depend only on the intra-tile position, i.e. the
+# sublane index, never the lane).
+
+
+def _clahe_gather_kernel(q_ref, tabs_ref, wr_ref, wc_ref, out_ref, *,
+                         nbins: int, m: int):
+    """Grid (N,): folded remap.
+
+    q_ref   [1, nbins, M] i32 — folded quantised image (row p = intra-tile
+            pixel py·t+px, column m = tile ty·gx+tx).
+    tabs_ref[1, 3, 3, nbins, M] — edge-clamped corner-shifted LUT tables:
+            tabs[r, c][b, m] = lut[clip(ty+r−1), clip(tx+c−1)][b].
+    wr_ref / wc_ref [nbins, 3] — hat weights of folded row p onto the
+            row/col tile shifts (``_banded_row_weights`` expanded over
+            p//t and p%t).
+    Association mirrors the matmul kernels: Σ_c wc·(Σ_r wr·gather).
+    """
+    q = q_ref[0]
+    wr = wr_ref[:]
+    wc = wc_ref[:]
+    out = None
+    for c in range(3):
+        inner = None
+        for r in range(3):
+            g = jnp.take_along_axis(tabs_ref[0, r, c], q, axis=0,
+                                    mode="promise_in_bounds")
+            term = wr[:, r][:, None] * g
+            inner = term if inner is None else inner + term
+        term_c = wc[:, c][:, None] * inner
+        out = term_c if out is None else out + term_c
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size", "nbins",
+                                             "interpret"))
+def clahe_gather_tpu(
+    x: jnp.ndarray,
+    clip_limit: jnp.ndarray,
+    tile_size: int = 16,
+    nbins: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """CLAHE with the remap as 9 per-lane dynamic gathers (see above).
+
+    Tile histograms ride the proven XLA nibble einsum on the folded
+    layout (`mdx/ops/hist.py counts_from_indices_grouped`), LUT
+    clip/CDF math is the banded path's XLA formulation verbatim, and the
+    Pallas kernel does ONLY the gather remap.  Requires t·t == nbins.
+    Numerics: same LUT state as the banded path; the bilinear blend
+    differs from the matmul kernels by multiply-association only
+    (≤ a few ulp; same golden tolerances).
+    """
+    from mdx.ops.hist import counts_from_indices_grouped
+
+    n, h, w = x.shape
+    t = int(tile_size)
+    if t * t != nbins:
+        raise ValueError(f"gather CLAHE needs tile_size²==nbins, "
+                         f"got {t}²!= {nbins}")
+    pad_h = (-h) % t
+    pad_w = (-w) % t
+    xp = jnp.clip(x, 0.0, 1.0)
+    if pad_h or pad_w:
+        xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w)), mode="reflect")
+    ph, pw = h + pad_h, w + pad_w
+    gy, gx = ph // t, pw // t
+    m = gy * gx
+
+    clip_arr = jnp.broadcast_to(
+        jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,))
+
+    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)
+    # fold: [n, ph, pw] → [n, t·t, gy·gx]
+    qf = q.reshape(n, gy, t, gx, t).transpose(0, 2, 4, 1, 3)
+    qf = qf.reshape(n, t * t, m)
+
+    # per-tile histograms + LUTs (XLA; identical math to _clahe_banded)
+    hists = counts_from_indices_grouped(
+        qf.transpose(0, 2, 1), nbins)                      # [n, M, nbins]
+    npix = float(t * t)
+    clim = jnp.maximum(clip_arr * npix, 1.0)[:, None, None]
+    excess = jnp.sum(jnp.maximum(hists - clim, 0.0), axis=2, keepdims=True)
+    hists = jnp.minimum(hists, clim) + excess / nbins
+    cdf = jnp.cumsum(hists, axis=2)
+    cdf0 = cdf[:, :, :1]
+    total = cdf[:, :, -1:]
+    lut = (cdf - cdf0) / jnp.maximum(total - cdf0, 1e-12)  # [n, M, nbins]
+
+    # 3×3 edge-clamped tile shifts, folded back to [n, 3, 3, nbins, M]
+    lut_t = lut.transpose(0, 2, 1).reshape(n, nbins, gy, gx)
+    lp = jnp.pad(lut_t, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    tabs = jnp.stack(
+        [jnp.stack([lp[:, :, r:r + gy, c:c + gx].reshape(n, nbins, m)
+                    for c in range(3)], axis=1)
+         for r in range(3)], axis=1)                       # [n,3,3,nbins,M]
+
+    wr_t = _banded_row_weights(t)                          # [t, 3]
+    wr = jnp.asarray(np.repeat(wr_t, t, axis=0))           # p → py = p//t
+    wc = jnp.asarray(np.tile(wr_t, (t, 1)))                # p → px = p%t
+
+    def _const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    outf = pl.pallas_call(
+        functools.partial(_clahe_gather_kernel, nbins=nbins, m=m),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, nbins, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, nbins, m), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(wr.shape),
+            _const_spec(wc.shape),
+        ],
+        out_specs=pl.BlockSpec((1, nbins, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nbins, m), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(qf, tabs, wr, wc)
+
+    out = outf.reshape(n, t, t, gy, gx).transpose(0, 3, 1, 4, 2)
+    out = out.reshape(n, ph, pw)
+    return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
 # Box-filter local-variance statistics — VMEM-resident separable shift-add
 # ---------------------------------------------------------------------------
 

@@ -50,6 +50,43 @@ class TestClahePallas:
                         jnp.asarray([0.02]), 16, interpret=True)
         np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
 
+
+class TestClaheGatherPallas:
+    """Gather-remap formulation (tpu.dynamic_gather; t·t == nbins)."""
+
+    def test_matches_xla_tile16(self, batch):
+        from mdx.ops.pallas_kernels import clahe_gather_tpu
+
+        clip = jnp.asarray([0.02, 0.05], jnp.float32)
+        a = clahe_xla(batch, clip, 16)
+        b = clahe_gather_tpu(batch, clip, 16, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    def test_matches_matmul_kernel(self, batch):
+        from mdx.ops.pallas_kernels import clahe_gather_tpu
+
+        clip = jnp.asarray([0.03, 0.01], jnp.float32)
+        a = clahe_tpu(batch, clip, 16, interpret=True)
+        b = clahe_gather_tpu(batch, clip, 16, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    def test_padding_and_refimpl(self, noisy_image):
+        from mdx.ops.pallas_kernels import clahe_gather_tpu
+        from mdx.refimpl.filters_np import clahe as clahe_np
+
+        x = jnp.asarray(noisy_image, jnp.float32)[None, :60, :52]
+        got = clahe_gather_tpu(x, jnp.asarray([0.02]), 16, interpret=True)
+        assert got.shape == x.shape
+        ref = clahe_np(np.asarray(x[0], np.float64), 0.02, 16)
+        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
+
+    def test_rejects_mismatched_bins(self, batch):
+        from mdx.ops.pallas_kernels import clahe_gather_tpu
+
+        with pytest.raises(ValueError):
+            clahe_gather_tpu(batch, jnp.asarray([0.02, 0.02]), 8,
+                             interpret=True)
+
     def test_range_preserved(self, batch):
         out = clahe_tpu(batch, jnp.asarray([0.08, 0.08]), 16,
                         interpret=True)
