@@ -478,6 +478,98 @@ _WHOLE_IMAGE_LIMIT = 1024 * 1024  # raised-scoped-VMEM bound (see top)
 # sublane index, never the lane).
 
 
+def _clahe_gather_band_kernel(qf_ref, lutwin_ref, wr_ref, wc_ref, out_ref, *,
+                              nbins: int, gx: int):
+    """Grid (N, gy): banded gather remap on the folded band.
+
+    qf_ref  [1, 1, nbins, gx] i32 — band folded to (intra-tile pixel p,
+            tile column tx); at 2048² gx == 128 == the native lane width.
+    lutwin_ref [1, 1, 3, nbins, gx+2] — the 3-tile-row LUT window with
+            one edge-clamped tile COLUMN of padding on each side, so the
+            nine (row, col) shift tables are plain in-kernel lane slices.
+    wr_ref / wc_ref [nbins, 3] — folded-row hat weights as in the
+            whole-image gather kernel.
+    """
+    q = qf_ref[0, 0]
+    wr = wr_ref[:]
+    wc = wc_ref[:]
+    out = None
+    for c in range(3):
+        inner = None
+        for r in range(3):
+            tab = lutwin_ref[0, 0, r, :, c:c + gx]          # [nbins, gx]
+            g = jnp.take_along_axis(tab, q, axis=0,
+                                    mode="promise_in_bounds")
+            term = wr[:, r][:, None] * g
+            inner = term if inner is None else inner + term
+        term_c = wc[:, c][:, None] * inner
+        out = term_c if out is None else out + term_c
+    out_ref[0, 0] = out
+
+
+def _clahe_banded_gather(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
+                         nbins: int, interpret: bool) -> jnp.ndarray:
+    """Banded CLAHE with the gather remap: XLA nibble hists + XLA LUTs
+    (identical to ``_clahe_banded``), then the per-band kernel is nine
+    per-lane dynamic gathers instead of the 256-bin matmul loop.
+    Requires t·t == nbins."""
+    n, ph, pw = xp.shape
+    gy, gx = ph // t, pw // t
+
+    hists = _tile_hist_nibble(xp, t, nbins)                   # [N,gy,nbins,gx]
+    npix = float(t * t)
+    clim = jnp.maximum(clip_arr * npix, 1.0)[:, None, None, None]
+    excess = jnp.sum(jnp.maximum(hists - clim, 0.0), axis=2, keepdims=True)
+    hists = jnp.minimum(hists, clim) + excess / nbins
+    cdf = jnp.cumsum(hists, axis=2)
+    cdf0 = cdf[:, :, :1, :]
+    total = cdf[:, :, -1:, :]
+    lut = (cdf - cdf0) / jnp.maximum(total - cdf0, 1e-12)    # [N,gy,nbins,gx]
+
+    # 3-row window (edge-clamped) + one edge-clamped tile col each side
+    lut_pad = jnp.concatenate(
+        [lut[:, :1], lut, lut[:, -1:]], axis=1)               # [N,gy+2,...]
+    win = jnp.stack([lut_pad[:, i:i + gy] for i in range(3)], axis=2)
+    win = jnp.concatenate(
+        [win[..., :1], win, win[..., -1:]], axis=-1)          # [...,gx+2]
+
+    # fold each band: [N, gy, t, gx, t] → [N, gy, t·t, gx]
+    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)
+    qf = q.reshape(n, gy, t, gx, t).transpose(0, 1, 2, 4, 3)
+    qf = qf.reshape(n, gy, t * t, gx)
+
+    wr_t = _banded_row_weights(t)
+    wr = jnp.asarray(np.repeat(wr_t, t, axis=0))
+    wc = jnp.asarray(np.tile(wr_t, (t, 1)))
+
+    def _const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, g: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    outf = pl.pallas_call(
+        functools.partial(_clahe_gather_band_kernel, nbins=nbins, gx=gx),
+        grid=(n, gy),
+        in_specs=[
+            pl.BlockSpec((1, 1, t * t, gx), lambda i, g: (i, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, nbins, gx + 2),
+                         lambda i, g: (i, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(wr.shape),
+            _const_spec(wc.shape),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t * t, gx), lambda i, g: (i, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, gy, t * t, gx), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(qf, win, wr, wc)
+
+    out = outf.reshape(n, gy, t, t, gx).transpose(0, 1, 2, 4, 3)
+    return out.reshape(n, ph, pw)
+
+
 def _clahe_gather_kernel(q_ref, tabs_ref, wr_ref, wc_ref, out_ref, *,
                          nbins: int, m: int):
     """Grid (N,): folded remap.
@@ -505,6 +597,33 @@ def _clahe_gather_kernel(q_ref, tabs_ref, wr_ref, wc_ref, out_ref, *,
         term_c = wc[:, c][:, None] * inner
         out = term_c if out is None else out + term_c
     out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size", "nbins",
+                                             "interpret"))
+def clahe_banded_gather_tpu(
+    x: jnp.ndarray,
+    clip_limit: jnp.ndarray,
+    tile_size: int = 16,
+    nbins: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded CLAHE with the gather remap (the 2048²-class formulation);
+    same contract as :func:`clahe_tpu`.  Requires t·t == nbins."""
+    n, h, w = x.shape
+    t = int(tile_size)
+    if t * t != nbins:
+        raise ValueError(f"gather CLAHE needs tile_size²==nbins, "
+                         f"got {t}² != {nbins}")
+    pad_h = (-h) % t
+    pad_w = (-w) % t
+    xp = jnp.clip(x, 0.0, 1.0)
+    if pad_h or pad_w:
+        xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w)), mode="reflect")
+    clip_arr = jnp.broadcast_to(
+        jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,))
+    out = _clahe_banded_gather(xp, clip_arr, t, nbins, interpret)
+    return out[:, :h, :w]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_size", "nbins",

@@ -87,6 +87,37 @@ class TestClaheGatherPallas:
             clahe_gather_tpu(batch, jnp.asarray([0.02, 0.02]), 8,
                              interpret=True)
 
+    def test_banded_gather_matches_xla(self, batch):
+        from mdx.ops.pallas_kernels import clahe_banded_gather_tpu
+
+        clip = jnp.asarray([0.02, 0.05], jnp.float32)
+        a = clahe_xla(batch, clip, 16)
+        b = clahe_banded_gather_tpu(batch, clip, 16, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    def test_banded_gather_matches_banded_matmul(self, batch):
+        from mdx.ops.pallas_kernels import (
+            _clahe_banded,
+            clahe_banded_gather_tpu,
+        )
+
+        clip = jnp.asarray([0.03, 0.01], jnp.float32)
+        a = _clahe_banded(jnp.clip(batch, 0.0, 1.0), clip, 16, 256,
+                          interpret=True)
+        b = clahe_banded_gather_tpu(batch, clip, 16, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    def test_banded_gather_padding(self, noisy_image):
+        from mdx.ops.pallas_kernels import clahe_banded_gather_tpu
+        from mdx.refimpl.filters_np import clahe as clahe_np
+
+        x = jnp.asarray(noisy_image, jnp.float32)[None, :60, :52]
+        got = clahe_banded_gather_tpu(x, jnp.asarray([0.02]), 16,
+                                      interpret=True)
+        assert got.shape == x.shape
+        ref = clahe_np(np.asarray(x[0], np.float64), 0.02, 16)
+        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
+
     def test_range_preserved(self, batch):
         out = clahe_tpu(batch, jnp.asarray([0.08, 0.08]), 16,
                         interpret=True)
