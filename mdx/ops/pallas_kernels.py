@@ -476,6 +476,12 @@ _WHOLE_IMAGE_LIMIT = 1024 * 1024  # raised-scoped-VMEM bound (see top)
 # the banded kernel — with per-ROW hat weights (in folded layout the
 # bilinear weights depend only on the intra-tile position, i.e. the
 # sublane index, never the lane).
+#
+# Mosaic-lowering verified client-side via jax.export(platforms=["tpu"])
+# at 32×512² / 4×1024² (whole) and 16×2048² (banded): the gather rule
+# accepts these dimension numbers (a negative-control 1-D gather fails
+# with "Only 2D gather is supported", proving the rule runs at export).
+# Hardware timing pending.
 
 
 def _clahe_gather_band_kernel(qf_ref, lutwin_ref, wr_ref, wc_ref, out_ref, *,
