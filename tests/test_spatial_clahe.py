@@ -133,3 +133,23 @@ class TestPallasRemapParity:
         a = _remap_ext_xla(xp, lut_ext, 16, 256)
         b = _remap_ext_pallas(xp, lut_ext, 16, 256, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_interpret_gather_matches_xla(self):
+        """The gather remap (nine per-lane dynamic gathers on the folded
+        band) against the same halo-extended LUT grid == the XLA
+        virtual-tile remap."""
+        from mdx.parallel.clahe_sp import (
+            _local_luts, _remap_ext_gather, _remap_ext_xla,
+        )
+
+        x = jnp.stack([jnp.asarray(_img(6, 32, 64)),
+                       jnp.asarray(_img(7, 32, 64))])
+        xp = jnp.clip(x, 0, 1)
+        lut = _local_luts(xp, jnp.float32(0.02), 16, 256)
+        lut_ext = jnp.pad(lut, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                          mode="edge")
+        lut_ext = jnp.pad(lut_ext, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                          mode="edge")
+        a = _remap_ext_xla(xp, lut_ext, 16, 256)
+        b = _remap_ext_gather(xp, lut_ext, 16, 256, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
