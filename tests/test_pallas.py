@@ -107,6 +107,25 @@ class TestClaheGatherPallas:
         b = clahe_banded_gather_tpu(batch, clip, 16, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
+    def test_tpu_lowering_stays_supported(self, batch):
+        """jax.export(platforms=['tpu']) runs the Pallas→Mosaic lowering
+        CLIENT-side: this catches a jax upgrade dropping or narrowing the
+        dynamic-gather rule (lowering.py `_gather_lowering_rule`) without
+        TPU hardware.  Backend compile/perf is validated separately on
+        the chip."""
+        import jax
+
+        from mdx.ops.pallas_kernels import (
+            clahe_banded_gather_tpu,
+            clahe_gather_tpu,
+        )
+
+        clip = jnp.asarray([0.02, 0.05], jnp.float32)
+        for fn in (clahe_gather_tpu, clahe_banded_gather_tpu):
+            jax.export.export(
+                jax.jit(lambda v, c, _fn=fn: _fn(v, c, 16)),
+                platforms=["tpu"])(batch, clip)
+
     def test_banded_gather_padding(self, noisy_image):
         from mdx.ops.pallas_kernels import clahe_banded_gather_tpu
         from mdx.refimpl.filters_np import clahe as clahe_np
