@@ -1,0 +1,159 @@
+"""Hardware A/B of the CLAHE formulations — matmul vs gather remap.
+
+Times every applicable TPU CLAHE lowering at the product shapes and
+checks hardware parity (device-side max-abs-diff vs ``clahe_xla``,
+scalar fetch) so a Mosaic miscompile cannot hide behind interpret-mode
+tests.  Feeds the dispatch decision for ``clahe_tpu`` and docs/PERF.md.
+
+Formulations (mdx/ops/pallas_kernels.py):
+
+  matmul-whole   _clahe_kernel        — the shipped whole-image kernel
+  matmul-banded  _clahe_banded        — the shipped >limit banded kernel
+  gather-whole   clahe_gather_tpu     — 9 per-lane dynamic gathers, folded
+  gather-banded  clahe_banded_gather_tpu — per-band gather remap
+
+Usage::
+
+    python tools/bench_clahe.py [--reps 10] [--shapes 32x512,4x1024,16x2048]
+
+Tunnel-safe timing: reps chained inside one jitted fori_loop with a data
+dependency, scalar-only fetch, per-call RTT subtracted (bench.py method).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_batch(n: int, hw: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    base = 0.35 + 0.3 * np.sin(xx / 37.0) * np.cos(yy / 53.0)
+    imgs = base[None] + rng.normal(0, 0.06, (n, hw, hw))
+    return np.clip(imgs, 0.0, 1.0).astype(np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--shapes", type=str, default="32x512,4x1024,16x2048")
+    ap.add_argument("--clip", type=float, default=0.02)
+    ap.add_argument("--skip-parity", action="store_true",
+                    help="skip the clahe_xla hardware parity pass "
+                         "(it is slow on TPU at 2048²)")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run the Pallas kernels in interpret mode on the "
+                         "CPU backend (tool validation only; timings are "
+                         "meaningless)")
+    args = ap.parse_args()
+
+    if args.interpret:
+        # must precede any jax backend initialisation
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+    # backend-gated: initialises jax, so it must come after argparse
+    from mdx.pipeline.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdx.ops import pallas_kernels as PK
+    from mdx.ops.clahe import clahe_xla
+
+    results = []
+
+    for spec in args.shapes.split(","):
+        n_s, hw_s = spec.strip().split("x")
+        n, hw = int(n_s), int(hw_s)
+        x = jax.device_put(jnp.asarray(make_batch(n, hw)))
+        clip = jnp.float32(args.clip)
+
+        tiny = jax.jit(lambda v: jnp.sum(v))
+        float(tiny(x))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(tiny(x))
+        rtt = (time.perf_counter() - t0) / 5
+
+        whole_fits = (hw * hw) <= PK._WHOLE_IMAGE_LIMIT
+
+        interp = bool(args.interpret)
+
+        def banded_matmul(v, c):
+            ca = jnp.broadcast_to(jnp.asarray(c, jnp.float32).reshape(-1),
+                                  (v.shape[0],))
+            return PK._clahe_banded(jnp.clip(v, 0.0, 1.0), ca, 16, 256,
+                                    interp)
+
+        def whole_matmul(v, c):
+            # clahe_tpu below the size limit == the whole-image kernel
+            return PK.clahe_tpu(v, c, 16, 256, interpret=interp)
+
+        cands = {}
+        if whole_fits:
+            cands["matmul-whole"] = whole_matmul
+            cands["gather-whole"] = lambda v, c: PK.clahe_gather_tpu(
+                v, c, 16, 256, interpret=interp)
+        cands["matmul-banded"] = banded_matmul
+        cands["gather-banded"] = lambda v, c: PK.clahe_banded_gather_tpu(
+            v, c, 16, 256, interpret=interp)
+
+        row = {"shape": spec.strip(), "rtt_ms": rtt * 1e3}
+
+        # hardware parity: device-side max |candidate - clahe_xla|
+        if not args.skip_parity:
+            @jax.jit
+            def _golden(v, c):
+                return clahe_xla(v, c, 16, 256)
+
+            g = _golden(x, clip)
+            for name, fn in cands.items():
+                row[f"parity_{name}"] = float(
+                    jnp.max(jnp.abs(fn(x, clip) - g)))
+            del g
+
+        # timing: chained reps, scalar fetch
+        for name, fn in cands.items():
+            @jax.jit
+            def loop(v, c, fn=fn):
+                def body(i, carry):
+                    out = fn(carry, c)
+                    return carry * (1.0 + 1e-12 * jnp.mean(out))
+                return jnp.sum(jax.lax.fori_loop(0, args.reps, body, v))
+
+            float(loop(x, clip))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop(x, clip))
+                best = min(best, time.perf_counter() - t0 - rtt)
+            ms = best / args.reps * 1e3
+            row[f"ms_{name}"] = ms
+            if not args.json:
+                par = row.get(f"parity_{name}")
+                par_s = f"  maxdiff {par:.2e}" if par is not None else ""
+                print(f"{spec.strip():>10s}  {name:14s} {ms:8.2f} ms/batch"
+                      f"{par_s}")
+        results.append(row)
+
+    if args.json:
+        print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
