@@ -23,6 +23,7 @@ sweeps are the (q == b) compares.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,34 @@ from jax.experimental.pallas import tpu as pltpu
 # 2048²-class state (≥70 MB) fails to compile — that is the physical
 # ceiling; the banded/XLA fallbacks remain for larger slices.
 _SCOPED_VMEM_BYTES = 100 * 1024 * 1024
+
+# ---------------------------------------------------------------------------
+# CLAHE remap lowering selection
+# ---------------------------------------------------------------------------
+# "auto" is the measured per-size-class policy: which remap lowering wins
+# on hardware (tools/bench_clahe.py A/B).  Until that A/B runs on a real
+# chip (TPU tunnel outage at round-3 close), auto keeps the shipped
+# matmul kernels.  MDX_CLAHE_IMPL=matmul|gather forces one lowering for
+# every class (gather silently falls back to matmul when t² != nbins —
+# the folded layout needs tile_size² == nbins).
+#
+# The env var is read at TRACE time: set it before the process first
+# compiles; already-compiled programs keep their lowering (the knob is
+# not part of the jit cache key).
+_AUTO_GATHER = {"whole": False, "banded": False, "sharded": False}
+
+
+def clahe_use_gather(kind: str, t: int, nbins: int) -> bool:
+    """True when the ``kind`` remap ('whole'|'banded'|'sharded') should
+    lower as per-lane dynamic gathers instead of the bin-loop matmuls."""
+    if t * t != nbins:
+        return False
+    mode = os.environ.get("MDX_CLAHE_IMPL", "auto").strip().lower()
+    if mode == "gather":
+        return True
+    if mode == "matmul":
+        return False
+    return _AUTO_GATHER[kind]
 
 
 def _tile_membership(n_pix: int, t: int) -> np.ndarray:
@@ -191,8 +220,14 @@ def clahe_tpu(
     if ph * pw > _WHOLE_IMAGE_LIMIT:
         # image + LUT state would overflow VMEM — use the banded 2-phase
         # kernels (per-tile-row grid) instead.
-        out = _clahe_banded(xp, clip_arr, t, nbins, interpret)
+        if clahe_use_gather("banded", t, nbins):
+            out = _clahe_banded_gather(xp, clip_arr, t, nbins, interpret)
+        else:
+            out = _clahe_banded(xp, clip_arr, t, nbins, interpret)
         return out[:, :h, :w]
+
+    if clahe_use_gather("whole", t, nbins):
+        return clahe_gather_tpu(x, clip_arr, t, nbins, interpret)
 
     row_sel = jnp.asarray(_tile_membership(ph, t).T)         # [gy, ph]
     col_sel = jnp.asarray(_tile_membership(pw, t))           # [pw, gx]

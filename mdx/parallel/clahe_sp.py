@@ -252,5 +252,9 @@ def clahe_sharded(
     else:
         use_pallas = force_pallas
     if use_pallas:
+        from mdx.ops.pallas_kernels import clahe_use_gather
+
+        if clahe_use_gather("sharded", t, nbins):
+            return _remap_ext_gather(xp, lut_ext, t, nbins, interpret)
         return _remap_ext_pallas(xp, lut_ext, t, nbins, interpret)
     return _remap_ext_xla(xp, lut_ext, t, nbins)

@@ -126,6 +126,62 @@ class TestClaheGatherPallas:
                 jax.jit(lambda v, c, _fn=fn: _fn(v, c, 16)),
                 platforms=["tpu"])(batch, clip)
 
+    def test_impl_knob(self, monkeypatch):
+        """MDX_CLAHE_IMPL selects the remap lowering; auto currently
+        means matmul (pending the hardware A/B, tools/bench_clahe.py);
+        gather falls back to matmul when t² != nbins."""
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.delenv("MDX_CLAHE_IMPL", raising=False)
+        for kind in ("whole", "banded", "sharded"):
+            assert not PK.clahe_use_gather(kind, 16, 256)
+        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
+        for kind in ("whole", "banded", "sharded"):
+            assert PK.clahe_use_gather(kind, 16, 256)
+        assert not PK.clahe_use_gather("whole", 8, 256)  # t² != nbins
+        monkeypatch.setenv("MDX_CLAHE_IMPL", "matmul")
+        assert not PK.clahe_use_gather("whole", 16, 256)
+
+    def test_impl_knob_routes_clahe_tpu(self, batch, monkeypatch):
+        """MDX_CLAHE_IMPL=gather routes clahe_tpu through the gather
+        kernels on BOTH size classes, with unchanged XLA parity."""
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
+        # other tests compile clahe_tpu at these avals with the default
+        # (matmul) knob — drop those traces so the knob re-traces
+        PK.clahe_tpu.clear_cache()
+        clip = jnp.asarray([0.02, 0.05], jnp.float32)
+        want = clahe_xla(batch, clip, 16)
+
+        whole_calls = []
+        real_whole = PK.clahe_gather_tpu
+        monkeypatch.setattr(
+            PK, "clahe_gather_tpu",
+            lambda *a, **k: (whole_calls.append(1), real_whole(*a, **k))[1])
+        out = PK.clahe_tpu(batch, clip, 16, interpret=True)
+        assert whole_calls
+        np.testing.assert_allclose(np.asarray(want), np.asarray(out),
+                                   atol=5e-6)
+
+        banded_calls = []
+        real_banded = PK._clahe_banded_gather
+        monkeypatch.setattr(
+            PK, "_clahe_banded_gather",
+            lambda *a, **k: (banded_calls.append(1),
+                             real_banded(*a, **k))[1])
+        monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)  # force banded
+        # clahe_tpu is jitted (static tile/nbins/interpret): the knob and
+        # the limit are trace-time, so the banded part needs a fresh aval
+        # or the first call's compiled trace is silently reused.
+        xb = batch[:1, :48, :]
+        out_b = PK.clahe_tpu(xb, clip[:1], 16, interpret=True)
+        assert banded_calls
+        np.testing.assert_allclose(np.asarray(clahe_xla(xb, clip[:1], 16)),
+                                   np.asarray(out_b), atol=5e-6)
+        # don't leak gather-lowered traces into later tests
+        PK.clahe_tpu.clear_cache()
+
     def test_banded_gather_padding(self, noisy_image):
         from mdx.ops.pallas_kernels import clahe_banded_gather_tpu
         from mdx.refimpl.filters_np import clahe as clahe_np
