@@ -143,9 +143,34 @@ def _measure_baseline(img: np.ndarray) -> float:
 
 
 def main() -> None:
+    import sys
+    import threading
+
+    # Backend-init watchdog: with the remote-TPU tunnel down or wedged,
+    # jax backend init blocks FOREVER (even jax.devices() hangs — seen
+    # during the round-3 outage).  A healthy init is seconds; compiles
+    # (minutes) happen after init and are not bounded by this.  On
+    # timeout: message to stderr, exit 2, stdout stays empty (the ONE
+    # JSON line contract never emits a bogus measurement).
+    init_done = threading.Event()
+    timeout_s = float(os.environ.get("MDX_BENCH_INIT_TIMEOUT", "600"))
+
+    def _watchdog():
+        if not init_done.wait(timeout_s):
+            print(f"bench.py: jax backend init did not complete within "
+                  f"{timeout_s:.0f}s — TPU tunnel down or wedged; "
+                  f"no measurement taken", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     from mdx.pipeline.compile_cache import enable as _enable_compile_cache
 
     _enable_compile_cache()  # TPU-gated; no-op on the CPU backend
+    import jax
+
+    jax.devices()
+    init_done.set()
     batch_n = int(os.environ.get("MDX_BENCH_BATCH", "32"))
     reps = int(os.environ.get("MDX_BENCH_REPS", "10"))
 
