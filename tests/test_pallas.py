@@ -126,6 +126,26 @@ class TestClaheGatherPallas:
                 jax.jit(lambda v, c, _fn=fn: _fn(v, c, 16)),
                 platforms=["tpu"])(batch, clip)
 
+    @pytest.mark.parametrize("h,w", [(16, 16), (48, 80), (100, 36),
+                                     (33, 129)])
+    def test_gather_shape_fuzz(self, h, w):
+        """Both gather formulations match the XLA golden across odd
+        shapes: single-tile (gy=gx=1), single-band, non-multiples padded
+        on both axes — the shape classes the dispatch flip must survive."""
+        from mdx.ops.pallas_kernels import (
+            clahe_banded_gather_tpu,
+            clahe_gather_tpu,
+        )
+
+        r = np.random.default_rng(h * 1000 + w)
+        x = jnp.asarray(r.random((2, h, w), np.float32))
+        clip = jnp.asarray([0.02, 0.04], jnp.float32)
+        want = np.asarray(clahe_xla(x, clip, 16))
+        for fn in (clahe_gather_tpu, clahe_banded_gather_tpu):
+            got = np.asarray(fn(x, clip, 16, interpret=True))
+            np.testing.assert_allclose(got, want, atol=5e-6,
+                                       err_msg=f"{fn.__name__} {h}x{w}")
+
     def test_impl_knob(self, monkeypatch):
         """MDX_CLAHE_IMPL selects the remap lowering; auto currently
         means matmul (pending the hardware A/B, tools/bench_clahe.py);
