@@ -51,6 +51,11 @@ def main() -> None:
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the clahe_xla hardware parity pass "
                          "(it is slow on TPU at 2048²)")
+    ap.add_argument("--sharded-remap", action="store_true",
+                    help="also time the sharded-CLAHE remap kernels "
+                         "(matmul vs gather) on one shard-sized block "
+                         "per shape (H/8 rows — the 8-way 1-D layout), "
+                         "with a synthetic halo-extended LUT grid")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--interpret", action="store_true",
                     help="run the Pallas kernels in interpret mode on the "
@@ -149,6 +154,49 @@ def main() -> None:
                 par_s = f"  maxdiff {par:.2e}" if par is not None else ""
                 print(f"{spec.strip():>10s}  {name:14s} {ms:8.2f} ms/batch"
                       f"{par_s}")
+        if args.sharded_remap and hw % (8 * 16) == 0:
+            # one shard of the 8-way 1-D row layout; LUT grid built by
+            # the real sharded-path helper, halo rows synthesised by
+            # edge-padding (timing-equivalent to ppermuted neighbours)
+            from mdx.parallel.clahe_sp import (
+                _local_luts, _remap_ext_gather, _remap_ext_pallas,
+            )
+
+            hs = hw // 8
+            xs = jax.device_put(jnp.asarray(make_batch(n, hw)[:, :hs, :]))
+            xp0 = jnp.clip(xs, 0.0, 1.0)
+            lut = _local_luts(xp0, clip, 16, 256)
+            lut_ext = jnp.pad(lut, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                              mode="edge")
+            lut_ext = jnp.pad(lut_ext, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                              mode="edge")
+
+            remaps = {
+                "remap-matmul": lambda v: _remap_ext_pallas(
+                    v, lut_ext, 16, 256, interp),
+                "remap-gather": lambda v: _remap_ext_gather(
+                    v, lut_ext, 16, 256, interp),
+            }
+            for name, fn in remaps.items():
+                @jax.jit
+                def rloop(v, fn=fn):
+                    def body(i, carry):
+                        out = fn(carry)
+                        return carry * (1.0 + 1e-12 * jnp.mean(out))
+                    return jnp.sum(jax.lax.fori_loop(0, args.reps, body, v))
+
+                float(rloop(xp0))
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    float(rloop(xp0))
+                    best = min(best, time.perf_counter() - t0 - rtt)
+                ms = best / args.reps * 1e3
+                row[f"ms_{name}"] = ms
+                if not args.json:
+                    print(f"{spec.strip():>10s}  {name:14s} {ms:8.2f} "
+                          f"ms/shard-block({n}x{hs}x{hw})")
+
         results.append(row)
 
     if args.json:
