@@ -46,6 +46,36 @@ _PLAN_PARAMS = dict(
     bilateral_sigma_space=0.05, tv_denoise_weight=0.05)
 
 
+def _init_watchdog(name: str = "bench.py"):
+    """Backend-init watchdog: with the remote-TPU tunnel down or wedged,
+    jax backend init blocks FOREVER (even jax.devices() hangs — seen
+    during the round-3 outage).  A healthy init is seconds; compiles
+    (minutes) happen after init and are not bounded by this.  On timeout:
+    message to stderr, exit 2, stdout stays empty (the ONE JSON line
+    contract never emits a bogus measurement).
+
+    Returns an Event the caller must .set() once the backend is up.
+    MDX_BENCH_INIT_TIMEOUT <= 0 disables the watchdog entirely.
+    """
+    import sys
+    import threading
+
+    init_done = threading.Event()
+    timeout_s = float(os.environ.get("MDX_BENCH_INIT_TIMEOUT", "600"))
+    if timeout_s <= 0:
+        return init_done
+
+    def _watchdog():
+        if not init_done.wait(timeout_s):
+            print(f"{name}: jax backend init did not complete within "
+                  f"{timeout_s:.0f}s — TPU tunnel down or wedged; "
+                  f"no measurement taken", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    return init_done
+
+
 def _make_batch(n: int, hw: int = 512) -> np.ndarray:
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:hw, 0:hw]
@@ -143,26 +173,7 @@ def _measure_baseline(img: np.ndarray) -> float:
 
 
 def main() -> None:
-    import sys
-    import threading
-
-    # Backend-init watchdog: with the remote-TPU tunnel down or wedged,
-    # jax backend init blocks FOREVER (even jax.devices() hangs — seen
-    # during the round-3 outage).  A healthy init is seconds; compiles
-    # (minutes) happen after init and are not bounded by this.  On
-    # timeout: message to stderr, exit 2, stdout stays empty (the ONE
-    # JSON line contract never emits a bogus measurement).
-    init_done = threading.Event()
-    timeout_s = float(os.environ.get("MDX_BENCH_INIT_TIMEOUT", "600"))
-
-    def _watchdog():
-        if not init_done.wait(timeout_s):
-            print(f"bench.py: jax backend init did not complete within "
-                  f"{timeout_s:.0f}s — TPU tunnel down or wedged; "
-                  f"no measurement taken", file=sys.stderr, flush=True)
-            os._exit(2)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    init_done = _init_watchdog("bench.py")
 
     from mdx.pipeline.compile_cache import enable as _enable_compile_cache
 

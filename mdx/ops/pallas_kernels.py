@@ -56,16 +56,28 @@ _SCOPED_VMEM_BYTES = 100 * 1024 * 1024
 _AUTO_GATHER = {"whole": False, "banded": False, "sharded": False}
 
 
-def clahe_use_gather(kind: str, t: int, nbins: int) -> bool:
+def clahe_use_gather(kind: str, t: int, nbins: int,
+                     impl: str | None = None) -> bool:
     """True when the ``kind`` remap ('whole'|'banded'|'sharded') should
-    lower as per-lane dynamic gathers instead of the bin-loop matmuls."""
+    lower as per-lane dynamic gathers instead of the bin-loop matmuls.
+
+    ``impl`` overrides the env knob (used by callers that must pin one
+    lowering regardless of the environment, e.g. the A/B tool's matmul
+    candidates).  Unrecognised values raise — the knob is trace-time-only
+    with no logging, so a typo silently keeping the default would be
+    invisible.
+    """
     if t * t != nbins:
         return False
-    mode = os.environ.get("MDX_CLAHE_IMPL", "auto").strip().lower()
+    mode = (impl if impl is not None
+            else os.environ.get("MDX_CLAHE_IMPL", "auto")).strip().lower()
     if mode == "gather":
         return True
     if mode == "matmul":
         return False
+    if mode != "auto":
+        raise ValueError(
+            f"MDX_CLAHE_IMPL={mode!r}: expected auto, gather or matmul")
     return _AUTO_GATHER[kind]
 
 
@@ -193,17 +205,21 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_size", "nbins",
-                                             "interpret"))
+                                             "interpret", "impl"))
 def clahe_tpu(
     x: jnp.ndarray,
     clip_limit: jnp.ndarray,
     tile_size: int = 16,
     nbins: int = 256,
     interpret: bool = False,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Pallas CLAHE on [N,H,W] float32 in [0,1]; per-image traced
     ``clip_limit`` ([N] or scalar).  H and W are padded to tile multiples
-    (reflect, matching mdx.ops.clahe) and cropped on the way out."""
+    (reflect, matching mdx.ops.clahe) and cropped on the way out.
+
+    ``impl`` pins the remap lowering ('matmul'|'gather'), overriding the
+    MDX_CLAHE_IMPL env knob; None defers to the knob / measured policy."""
     n, h, w = x.shape
     t = int(tile_size)
     pad_h = (-h) % t
@@ -220,13 +236,13 @@ def clahe_tpu(
     if ph * pw > _WHOLE_IMAGE_LIMIT:
         # image + LUT state would overflow VMEM — use the banded 2-phase
         # kernels (per-tile-row grid) instead.
-        if clahe_use_gather("banded", t, nbins):
+        if clahe_use_gather("banded", t, nbins, impl):
             out = _clahe_banded_gather(xp, clip_arr, t, nbins, interpret)
         else:
             out = _clahe_banded(xp, clip_arr, t, nbins, interpret)
         return out[:, :h, :w]
 
-    if clahe_use_gather("whole", t, nbins):
+    if clahe_use_gather("whole", t, nbins, impl):
         return clahe_gather_tpu(x, clip_arr, t, nbins, interpret)
 
     row_sel = jnp.asarray(_tile_membership(ph, t).T)         # [gy, ph]

@@ -161,6 +161,14 @@ class TestClaheGatherPallas:
         assert not PK.clahe_use_gather("whole", 8, 256)  # t² != nbins
         monkeypatch.setenv("MDX_CLAHE_IMPL", "matmul")
         assert not PK.clahe_use_gather("whole", 16, 256)
+        # explicit impl= pins the lowering over the env knob
+        assert PK.clahe_use_gather("whole", 16, 256, impl="gather")
+        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
+        assert not PK.clahe_use_gather("whole", 16, 256, impl="matmul")
+        # a typo'd knob must raise, not silently fall back to auto
+        monkeypatch.setenv("MDX_CLAHE_IMPL", "gahter")
+        with pytest.raises(ValueError, match="MDX_CLAHE_IMPL"):
+            PK.clahe_use_gather("whole", 16, 256)
 
     def test_impl_knob_routes_clahe_tpu(self, batch, monkeypatch):
         """MDX_CLAHE_IMPL=gather routes clahe_tpu through the gather
@@ -171,36 +179,43 @@ class TestClaheGatherPallas:
         # other tests compile clahe_tpu at these avals with the default
         # (matmul) knob — drop those traces so the knob re-traces
         PK.clahe_tpu.clear_cache()
-        clip = jnp.asarray([0.02, 0.05], jnp.float32)
-        want = clahe_xla(batch, clip, 16)
+        try:
+            clip = jnp.asarray([0.02, 0.05], jnp.float32)
+            want = clahe_xla(batch, clip, 16)
 
-        whole_calls = []
-        real_whole = PK.clahe_gather_tpu
-        monkeypatch.setattr(
-            PK, "clahe_gather_tpu",
-            lambda *a, **k: (whole_calls.append(1), real_whole(*a, **k))[1])
-        out = PK.clahe_tpu(batch, clip, 16, interpret=True)
-        assert whole_calls
-        np.testing.assert_allclose(np.asarray(want), np.asarray(out),
-                                   atol=5e-6)
+            whole_calls = []
+            real_whole = PK.clahe_gather_tpu
+            monkeypatch.setattr(
+                PK, "clahe_gather_tpu",
+                lambda *a, **k: (whole_calls.append(1),
+                                 real_whole(*a, **k))[1])
+            out = PK.clahe_tpu(batch, clip, 16, interpret=True)
+            assert whole_calls
+            np.testing.assert_allclose(np.asarray(want), np.asarray(out),
+                                       atol=5e-6)
 
-        banded_calls = []
-        real_banded = PK._clahe_banded_gather
-        monkeypatch.setattr(
-            PK, "_clahe_banded_gather",
-            lambda *a, **k: (banded_calls.append(1),
-                             real_banded(*a, **k))[1])
-        monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)  # force banded
-        # clahe_tpu is jitted (static tile/nbins/interpret): the knob and
-        # the limit are trace-time, so the banded part needs a fresh aval
-        # or the first call's compiled trace is silently reused.
-        xb = batch[:1, :48, :]
-        out_b = PK.clahe_tpu(xb, clip[:1], 16, interpret=True)
-        assert banded_calls
-        np.testing.assert_allclose(np.asarray(clahe_xla(xb, clip[:1], 16)),
-                                   np.asarray(out_b), atol=5e-6)
-        # don't leak gather-lowered traces into later tests
-        PK.clahe_tpu.clear_cache()
+            banded_calls = []
+            real_banded = PK._clahe_banded_gather
+            monkeypatch.setattr(
+                PK, "_clahe_banded_gather",
+                lambda *a, **k: (banded_calls.append(1),
+                                 real_banded(*a, **k))[1])
+            monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)  # force banded
+            # clahe_tpu is jitted (static tile/nbins/interpret): the knob
+            # and the limit are trace-time, so the banded part needs a
+            # fresh aval or the first call's compiled trace is silently
+            # reused.
+            xb = batch[:1, :48, :]
+            out_b = PK.clahe_tpu(xb, clip[:1], 16, interpret=True)
+            assert banded_calls
+            np.testing.assert_allclose(
+                np.asarray(clahe_xla(xb, clip[:1], 16)),
+                np.asarray(out_b), atol=5e-6)
+        finally:
+            # don't leak gather-lowered traces into later tests — even
+            # when an assert above fails (monkeypatch restores the env,
+            # but the jit cache would keep the gather lowering)
+            PK.clahe_tpu.clear_cache()
 
     def test_banded_gather_padding(self, noisy_image):
         from mdx.ops.pallas_kernels import clahe_banded_gather_tpu

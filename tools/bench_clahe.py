@@ -32,15 +32,9 @@ os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
-def make_batch(n: int, hw: int) -> np.ndarray:
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:hw, 0:hw]
-    base = 0.35 + 0.3 * np.sin(xx / 37.0) * np.cos(yy / 53.0)
-    imgs = base[None] + rng.normal(0, 0.06, (n, hw, hw))
-    return np.clip(imgs, 0.0, 1.0).astype(np.float32)
+# one synthetic-CXR generator + one init watchdog, shared with the
+# headline bench so the two can't drift
+from bench import _init_watchdog, _make_batch as make_batch  # noqa: E402
 
 
 def main() -> None:
@@ -69,10 +63,20 @@ def main() -> None:
 
         _jax.config.update("jax_platforms", "cpu")
 
+    # this tool is meant to run in the first tunnel window after an
+    # outage, when a relapse is most likely — bound backend init exactly
+    # as bench.py does (MDX_BENCH_INIT_TIMEOUT, <=0 disables)
+    init_done = _init_watchdog("bench_clahe.py")
+
     # backend-gated: initialises jax, so it must come after argparse
     from mdx.pipeline.compile_cache import enable as _enable_compile_cache
 
     _enable_compile_cache()
+
+    import jax as _jax_init
+
+    _jax_init.devices()
+    init_done.set()
 
     import jax
     import jax.numpy as jnp
@@ -85,7 +89,8 @@ def main() -> None:
     for spec in args.shapes.split(","):
         n_s, hw_s = spec.strip().split("x")
         n, hw = int(n_s), int(hw_s)
-        x = jax.device_put(jnp.asarray(make_batch(n, hw)))
+        host = make_batch(n, hw)
+        x = jax.device_put(jnp.asarray(host))
         clip = jnp.float32(args.clip)
 
         tiny = jax.jit(lambda v: jnp.sum(v))
@@ -106,8 +111,11 @@ def main() -> None:
                                     interp)
 
         def whole_matmul(v, c):
-            # clahe_tpu below the size limit == the whole-image kernel
-            return PK.clahe_tpu(v, c, 16, 256, interpret=interp)
+            # clahe_tpu below the size limit == the whole-image kernel;
+            # impl="matmul" pins the lowering so an MDX_CLAHE_IMPL in the
+            # environment cannot turn this row into a gather-vs-gather A/B
+            return PK.clahe_tpu(v, c, 16, 256, interpret=interp,
+                                impl="matmul")
 
         cands = {}
         if whole_fits:
@@ -163,7 +171,7 @@ def main() -> None:
             )
 
             hs = hw // 8
-            xs = jax.device_put(jnp.asarray(make_batch(n, hw)[:, :hs, :]))
+            xs = jax.device_put(jnp.asarray(host[:, :hs, :]))
             xp0 = jnp.clip(xs, 0.0, 1.0)
             lut = _local_luts(xp0, clip, 16, 256)
             lut_ext = jnp.pad(lut, ((0, 0), (1, 1), (0, 0), (0, 0)),
