@@ -31,6 +31,16 @@ def main() -> None:
     d = tempfile.mkdtemp(prefix="mdx_cfg3_")
     out = tempfile.mkdtemp(prefix="mdx_cfg3_out_")
     try:
+        # bound backend init (wedged-tunnel guard; compiles stay
+        # unbounded).  MDX_BENCH_INIT_TIMEOUT, <=0 disables.
+        from bench import _init_watchdog
+
+        _init_done = _init_watchdog("bench_config3.py")
+        import jax
+
+        jax.devices()
+        _init_done.set()
+
         path = os.path.join(d, "series.dcm")
         write_synthetic_dicom(path, kind="phantom", size=args.size,
                               frames=args.frames)

@@ -79,6 +79,16 @@ def main() -> None:
     d = args.dir or tempfile.mkdtemp(prefix="mdx_cfg5_")
     out = tempfile.mkdtemp(prefix="mdx_cfg5_out_")
     try:
+        # bound backend init (wedged-tunnel guard; compiles stay
+        # unbounded).  MDX_BENCH_INIT_TIMEOUT, <=0 disables.
+        from bench import _init_watchdog
+
+        _init_done = _init_watchdog("bench_config5.py")
+        import jax
+
+        jax.devices()
+        _init_done.set()
+
         n = make_stream(d)
         from mdx.pipeline.batch_runner import run_pipeline_batch
 

@@ -31,9 +31,16 @@ os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# bound backend init: a wedged TPU tunnel otherwise hangs the tool
+# forever before main() (MDX_BENCH_INIT_TIMEOUT, <=0 disables)
+from bench import _init_watchdog  # noqa: E402
+
+_init_done = _init_watchdog("bench_spatial.py")
+
 from mdx.pipeline.compile_cache import enable as _enable_compile_cache  # noqa: E402
 
 _enable_compile_cache()
+_init_done.set()
 
 import numpy as np
 

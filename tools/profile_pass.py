@@ -25,19 +25,23 @@ os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# bound backend init: a wedged TPU tunnel otherwise hangs the tool
+# forever before main() (MDX_BENCH_INIT_TIMEOUT, <=0 disables)
+from bench import _init_watchdog  # noqa: E402
+
+_init_done = _init_watchdog("profile_pass.py")
+
 from mdx.pipeline.compile_cache import enable as _enable_compile_cache  # noqa: E402
 
 _enable_compile_cache()
+_init_done.set()
 
 import numpy as np
 
 
-def make_batch(n: int, hw: int) -> np.ndarray:
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:hw, 0:hw]
-    base = 0.35 + 0.3 * np.sin(xx / 37.0) * np.cos(yy / 53.0)
-    imgs = base[None] + rng.normal(0, 0.06, (n, hw, hw))
-    return np.clip(imgs, 0.0, 1.0).astype(np.float32)
+# shared synthetic-CXR generator (bench.py) so profiles and the headline
+# bench measure identical inputs
+from bench import _make_batch as make_batch  # noqa: E402
 
 
 def main() -> None:
