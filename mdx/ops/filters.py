@@ -237,7 +237,28 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
 def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray) -> jnp.ndarray:
     """clip(x + (x − gaussian(x, radius))·amount, 0, 1)
     (ref pipeline/enhancement.py:202; skimage clips to the [0,1] value
-    range when preserve_range=False)."""
+    range when preserve_range=False).
+
+    On TPU at ≤1024² the whole op can run as one fused VMEM-resident
+    Pallas kernel (mdx/ops/pallas_kernels.py unsharp_tpu — identical
+    formula and accumulation order); MDX_UNSHARP_IMPL gates it, with
+    auto = the measured policy (conv until the hardware A/B runs)."""
+    import jax
+
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from mdx.ops.pallas_kernels import (
+            _WHOLE_IMAGE_LIMIT,
+            unsharp_tpu,
+            unsharp_use_pallas,
+        )
+
+        h, w = x.shape[-2:]
+        if h * w <= _WHOLE_IMAGE_LIMIT and unsharp_use_pallas():
+            return unsharp_tpu(x, radius, amount)
     amount = jnp.asarray(amount, x.dtype)
     if amount.ndim == 1:  # per-image
         amount = amount[:, None, None]

@@ -1086,3 +1086,113 @@ def tv_band_for(h: int) -> int:
         if h % band == 0:
             return band
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Fused unsharp mask — VMEM-resident separable Gaussian + combine
+# ---------------------------------------------------------------------------
+# The dense unsharp (ref pipeline/enhancement.py:202-205, skimage
+# unsharp_mask semantics) lowers at batch >16 as two batch-as-channels
+# grouped convs; the profile shows it at 15% of VPU roofline ("XLA conv
+# schedule", docs/PERF.md) with the blurred intermediate round-tripping
+# HBM.  This kernel runs the ENTIRE op per image in VMEM — edge padding,
+# the 25-tap row and column shift-MAC sweeps (tap-ascending accumulation,
+# identical order to mdx/ops/filters.py shift_macs_rows/cols, so it is
+# bit-compatible with the dense n≤16 branch), and the
+# clip(x + (x−blur)·amount) combine — with the image read from and
+# written to HBM exactly once.  Per-image taps (traced sigma on the
+# fixed ±12 support) and amounts arrive in SMEM, so parameter sweeps
+# never recompile.
+
+_AUTO_UNSHARP_PALLAS = False  # pending the hardware A/B (profile_pass --only unsharp, MDX_UNSHARP_IMPL=pallas vs xla)
+
+
+def unsharp_use_pallas() -> bool:
+    """True when the dense TPU unsharp should run as the fused Pallas
+    kernel instead of the grouped-conv XLA lowering.
+
+    MDX_UNSHARP_IMPL: auto (measured policy — conv until the hardware
+    A/B runs), pallas | xla force one.  Trace-time only, like
+    MDX_CLAHE_IMPL; unrecognised values raise."""
+    mode = os.environ.get("MDX_UNSHARP_IMPL", "auto").strip().lower()
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"MDX_UNSHARP_IMPL={mode!r}: expected auto, pallas or xla")
+    return _AUTO_UNSHARP_PALLAS
+
+
+def _unsharp_kernel(taps_ref, amount_ref, x_ref, out_ref, *,
+                    h: int, w: int, r: int):
+    """One image per grid step; blur + combine never leave VMEM.
+
+    taps_ref: SMEM [N, 2r+1] per-image Gaussian taps (zero beyond the
+    per-image effective radius — masking keeps the program static).
+    amount_ref: SMEM [N].  Edge padding is materialised in VMEM as
+    sublane/lane broadcasts of the boundary row/column (identical values
+    to the XLA ``mode="edge"`` pads).
+    """
+    i = pl.program_id(0)
+    x = x_ref[0]
+
+    # row sweep on the lane-aligned original width (the dense op's
+    # sequential per-axis padding — docs/PERF.md dead ends)
+    top = jnp.broadcast_to(x[0:1, :], (r, w))
+    bot = jnp.broadcast_to(x[h - 1:h, :], (r, w))
+    xp = jnp.concatenate([top, x, bot], axis=0)            # [h+2r, w]
+    acc = None
+    for k in range(2 * r + 1):
+        t = taps_ref[i, k] * xp[k:k + h, :]
+        acc = t if acc is None else acc + t
+
+    left = jnp.broadcast_to(acc[:, 0:1], (h, r))
+    right = jnp.broadcast_to(acc[:, w - 1:w], (h, r))
+    ap = jnp.concatenate([left, acc, right], axis=1)       # [h, w+2r]
+    blur = None
+    for k in range(2 * r + 1):
+        t = taps_ref[i, k] * ap[:, k:k + w]
+        blur = t if blur is None else blur + t
+
+    out_ref[0] = jnp.clip(x + (x - blur) * amount_ref[i], 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def unsharp_tpu(
+    x: jnp.ndarray,
+    radius: jnp.ndarray,
+    amount: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas unsharp of [N,H,W]; traced per-image ``radius`` and
+    ``amount`` ([N] or scalar).  Numerics: identical formula and
+    accumulation order as the XLA ops (mdx/ops/filters.py unsharp_mask
+    with the shift-MAC blur branch)."""
+    from mdx.ops.filters import _GAUSS_MAX_RADIUS, _gauss_taps
+
+    n, h, w = x.shape
+    r = _GAUSS_MAX_RADIUS
+    sigma = jnp.broadcast_to(
+        jnp.asarray(radius, jnp.float32).reshape(-1), (n,))
+    taps = _gauss_taps(sigma, jnp.float32)                  # [n, 2r+1]
+    amount_arr = jnp.broadcast_to(
+        jnp.asarray(amount, jnp.float32).reshape(-1), (n,))
+    kernel = functools.partial(_unsharp_kernel, h=h, w=w, r=r)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(taps, amount_arr, x)

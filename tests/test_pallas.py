@@ -397,3 +397,102 @@ class TestBoxStatsKernel:
             np.testing.assert_allclose(np.asarray(s16),
                                        np.asarray(jnp.std(lv16, -1)),
                                        rtol=1e-5, atol=1e-7)
+
+
+class TestUnsharpPallas:
+    """Fused VMEM-resident unsharp kernel (pallas_kernels.unsharp_tpu)."""
+
+    def test_matches_shift_mac_branch(self, batch):
+        from mdx.ops.filters import unsharp_mask
+        from mdx.ops.pallas_kernels import unsharp_tpu
+
+        rad = jnp.asarray([1.0, 2.5], jnp.float32)
+        amt = jnp.asarray([0.6, 1.2], jnp.float32)
+        want = unsharp_mask(batch, rad, amt)   # n<=16 → shift-MAC branch
+        got = unsharp_tpu(batch, rad, amt, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("h,w", [(96, 80), (33, 129), (100, 36)])
+    def test_shape_fuzz(self, h, w):
+        from mdx.ops.filters import unsharp_mask
+        from mdx.ops.pallas_kernels import unsharp_tpu
+
+        r = np.random.default_rng(h * 7 + w)
+        x = jnp.asarray(r.random((3, h, w), np.float32))
+        rad = jnp.asarray([0.6, 1.7, 3.0], jnp.float32)
+        amt = jnp.asarray([0.3, 0.9, 1.5], jnp.float32)
+        want = unsharp_mask(x, rad, amt)
+        got = unsharp_tpu(x, rad, amt, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6, err_msg=f"{h}x{w}")
+
+    def test_matches_refimpl(self, noisy_image):
+        from mdx.ops.pallas_kernels import unsharp_tpu
+        from mdx.refimpl.filters_np import unsharp_mask as unsharp_np
+
+        x = jnp.asarray(noisy_image, jnp.float32)[None]
+        got = unsharp_tpu(x, jnp.asarray([1.0]), jnp.asarray([0.6]),
+                          interpret=True)
+        ref = unsharp_np(np.asarray(noisy_image, np.float64), 1.0, 0.6)
+        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-6)
+
+    def test_scalar_params_and_range(self, batch):
+        from mdx.ops.pallas_kernels import unsharp_tpu
+
+        out = np.asarray(unsharp_tpu(batch, 2.0, 1.5, interpret=True))
+        assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+
+    def test_tpu_lowering_stays_supported(self, batch):
+        """Client-side Pallas→Mosaic lowering at the aligned product
+        shape and a non-aligned one (same method as the gather CLAHE
+        lowering test)."""
+        import jax
+
+        from mdx.ops.pallas_kernels import unsharp_tpu
+
+        rad = jnp.asarray([1.0, 2.0], jnp.float32)
+        amt = jnp.asarray([0.5, 0.8], jnp.float32)
+        for shape in ((2, 512, 512), (2, 96, 80)):
+            x = jnp.zeros(shape, jnp.float32)
+            jax.export.export(
+                jax.jit(lambda v, r, a: unsharp_tpu(v, r, a)),
+                platforms=["tpu"])(x, rad, amt)
+
+    def test_impl_knob(self, monkeypatch):
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.delenv("MDX_UNSHARP_IMPL", raising=False)
+        assert PK.unsharp_use_pallas() is PK._AUTO_UNSHARP_PALLAS
+        monkeypatch.setenv("MDX_UNSHARP_IMPL", "pallas")
+        assert PK.unsharp_use_pallas()
+        monkeypatch.setenv("MDX_UNSHARP_IMPL", "xla")
+        assert not PK.unsharp_use_pallas()
+        monkeypatch.setenv("MDX_UNSHARP_IMPL", "palas")
+        with pytest.raises(ValueError, match="MDX_UNSHARP_IMPL"):
+            PK.unsharp_use_pallas()
+
+    def test_knob_routes_unsharp_mask(self, batch, monkeypatch):
+        """On a (faked) TPU backend with MDX_UNSHARP_IMPL=pallas, the
+        dense op routes through unsharp_tpu; parity unchanged."""
+        import jax
+
+        from mdx.ops import filters as F
+        from mdx.ops import pallas_kernels as PK
+
+        rad = jnp.asarray([1.0, 2.0], jnp.float32)
+        amt = jnp.asarray([0.6, 0.9], jnp.float32)
+        want = F.unsharp_mask(batch, rad, amt)  # real CPU path first
+
+        monkeypatch.setenv("MDX_UNSHARP_IMPL", "pallas")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        calls = []
+        real = PK.unsharp_tpu
+        monkeypatch.setattr(
+            PK, "unsharp_tpu",
+            lambda v, r, a: (calls.append(1),
+                             real(v, r, a, interpret=True))[1])
+        got = F.unsharp_mask(batch, rad, amt)
+        assert calls
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6)
