@@ -3,8 +3,10 @@
 The reference's single biggest hot spot: a Python double loop over d² window
 offsets.  Here the d² shifted multiply-accumulates are unrolled at trace
 time into one fused XLA elementwise program (the diameter is static; the
-sigmas are traced, optionally per-image).  A Pallas kernel variant lives in
-``mdx.ops.pallas_kernels`` for the HBM-bound large-batch case.
+sigmas are traced, optionally per-image).  A fused VMEM-resident Pallas
+variant (``mdx.ops.pallas_kernels.bilateral_tpu``) is dispatched on TPU at
+≤1024² behind ``MDX_BILATERAL_IMPL`` (auto = XLA until the hardware A/B
+runs).
 """
 
 from __future__ import annotations
@@ -33,6 +35,21 @@ def bilateral(
     d = _norm_d(d)
     r = d // 2
     n, h, w = x.shape
+    import jax
+
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from mdx.ops.pallas_kernels import (
+            _WHOLE_IMAGE_LIMIT,
+            bilateral_tpu,
+            bilateral_use_pallas,
+        )
+
+        if h * w <= _WHOLE_IMAGE_LIMIT and bilateral_use_pallas():
+            return bilateral_tpu(x, d, sigma_color, sigma_space)
     sc = jnp.asarray(sigma_color, x.dtype)
     ss = jnp.asarray(sigma_space, x.dtype)
     if sc.ndim == 1:

@@ -1196,3 +1196,99 @@ def unsharp_tpu(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(taps, amount_arr, x)
+
+
+# ---------------------------------------------------------------------------
+# Bilateral filter — VMEM-resident unrolled window
+# ---------------------------------------------------------------------------
+
+_AUTO_BILATERAL_PALLAS = False  # pending the hardware A/B (profile_pass --only bilateral, MDX_BILATERAL_IMPL=pallas vs xla)
+
+
+def bilateral_use_pallas() -> bool:
+    """True when the dense TPU bilateral should run as the fused Pallas
+    kernel instead of the unrolled XLA elementwise program.
+
+    MDX_BILATERAL_IMPL: auto (measured policy — XLA until the hardware
+    A/B runs), pallas | xla force one.  Trace-time only; unrecognised
+    values raise."""
+    mode = os.environ.get("MDX_BILATERAL_IMPL", "auto").strip().lower()
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"MDX_BILATERAL_IMPL={mode!r}: expected auto, pallas or xla")
+    return _AUTO_BILATERAL_PALLAS
+
+
+def _bilateral_kernel(sc_ref, ss_ref, xp_ref, out_ref, *,
+                      h: int, w: int, r: int, d: int):
+    """One image per grid step; the d² shifted MACs never leave VMEM.
+
+    The XLA lowering (mdx/ops/bilateral.py, ref
+    pipeline/enhancement.py:102-143) streams the num/den accumulators
+    through HBM between the 25 shifted exp-weight MACs (23% of VPU
+    roofline); here the reflect-padded image is read once and the window
+    runs VMEM-resident.  Accumulation order and formula are identical
+    (window-ascending dy, dx), so values agree to fp noise.
+    sc_ref/ss_ref: SMEM [N] per-image sigmas (traced — sweeps never
+    recompile).  xp: [h+2r, w+2r] reflect-padded image (padded in XLA —
+    reflect needs reversed slices, which Mosaic does not lower)."""
+    i = pl.program_id(0)
+    xp = xp_ref[0]
+    x = xp[r:r + h, r:r + w]
+    sc = sc_ref[i]
+    ss = ss_ref[i]
+    inv_2sc2 = 1.0 / (2.0 * sc * sc)
+    inv_2ss2d2 = 1.0 / (2.0 * ss * ss * float(d * d))
+    num = None
+    den = None
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = xp[r + dy:r + dy + h, r + dx:r + dx + w]
+            sw = jnp.exp(-float(dx * dx + dy * dy) * inv_2ss2d2)
+            iw = jnp.exp(-jnp.square(x - shifted) * inv_2sc2)
+            wgt = sw * iw
+            t_num = wgt * shifted
+            num = t_num if num is None else num + t_num
+            den = wgt if den is None else den + wgt
+    out_ref[0] = num / (den + 1e-10)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+def bilateral_tpu(
+    x: jnp.ndarray,
+    d: int = 5,
+    sigma_color: jnp.ndarray = 0.05,
+    sigma_space: jnp.ndarray = 0.05,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas bilateral of [N,H,W]; static (pre-normalised) odd
+    ``d``, traced per-image sigmas.  Numerics: identical formula and
+    accumulation order as mdx/ops/bilateral.py."""
+    n, h, w = x.shape
+    r = d // 2
+    sc = jnp.broadcast_to(
+        jnp.asarray(sigma_color, jnp.float32).reshape(-1), (n,))
+    ss = jnp.broadcast_to(
+        jnp.asarray(sigma_space, jnp.float32).reshape(-1), (n,))
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="reflect")
+    kernel = functools.partial(_bilateral_kernel, h=h, w=w, r=r, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h + 2 * r, w + 2 * r), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(sc, ss, xp)

@@ -496,3 +496,91 @@ class TestUnsharpPallas:
         assert calls
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    atol=1e-6)
+
+
+class TestBilateralPallas:
+    """Fused VMEM-resident bilateral kernel (pallas_kernels.bilateral_tpu)."""
+
+    def test_matches_xla(self, batch):
+        from mdx.ops.bilateral import bilateral
+        from mdx.ops.pallas_kernels import bilateral_tpu
+
+        sc = jnp.asarray([0.05, 0.12], jnp.float32)
+        ss = jnp.asarray([0.05, 0.08], jnp.float32)
+        want = bilateral(batch, 5, sc, ss)
+        got = bilateral_tpu(batch, 5, sc, ss, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("d,h,w", [(5, 96, 80), (9, 33, 129),
+                                       (7, 100, 36)])
+    def test_shape_fuzz(self, d, h, w):
+        from mdx.ops.bilateral import _norm_d, bilateral
+        from mdx.ops.pallas_kernels import bilateral_tpu
+
+        r = np.random.default_rng(d * 10000 + h * 10 + w)
+        x = jnp.asarray(r.random((2, h, w), np.float32))
+        want = bilateral(x, d, 0.08, 0.06)
+        got = bilateral_tpu(x, _norm_d(d), 0.08, 0.06, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6, err_msg=f"d{d} {h}x{w}")
+
+    def test_matches_refimpl(self, noisy_image):
+        from mdx.ops.pallas_kernels import bilateral_tpu
+        from mdx.refimpl.filters_np import bilateral as bilateral_np
+
+        x = jnp.asarray(noisy_image, jnp.float32)[None]
+        got = bilateral_tpu(x, 5, 0.05, 0.05, interpret=True)
+        ref = bilateral_np(np.asarray(noisy_image, np.float64), 5,
+                           0.05, 0.05)
+        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-6)
+
+    def test_tpu_lowering_stays_supported(self, batch):
+        import jax
+
+        from mdx.ops.pallas_kernels import bilateral_tpu
+
+        sc = jnp.asarray([0.05, 0.12], jnp.float32)
+        for shape in ((2, 512, 512), (2, 96, 80)):
+            x = jnp.zeros(shape, jnp.float32)
+            jax.export.export(
+                jax.jit(lambda v, c: bilateral_tpu(v, 5, c, c)),
+                platforms=["tpu"])(x, sc)
+
+    def test_impl_knob(self, monkeypatch):
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.delenv("MDX_BILATERAL_IMPL", raising=False)
+        assert PK.bilateral_use_pallas() is PK._AUTO_BILATERAL_PALLAS
+        monkeypatch.setenv("MDX_BILATERAL_IMPL", "pallas")
+        assert PK.bilateral_use_pallas()
+        monkeypatch.setenv("MDX_BILATERAL_IMPL", "xla")
+        assert not PK.bilateral_use_pallas()
+        monkeypatch.setenv("MDX_BILATERAL_IMPL", "bogus")
+        with pytest.raises(ValueError, match="MDX_BILATERAL_IMPL"):
+            PK.bilateral_use_pallas()
+
+    def test_knob_routes_bilateral(self, batch, monkeypatch):
+        import importlib
+
+        import jax
+
+        # the module, not the function the package re-export shadows
+        B = importlib.import_module("mdx.ops.bilateral")
+        from mdx.ops import pallas_kernels as PK
+
+        sc = jnp.asarray([0.05, 0.12], jnp.float32)
+        want = B.bilateral(batch, 5, sc, sc)  # real CPU path first
+
+        monkeypatch.setenv("MDX_BILATERAL_IMPL", "pallas")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        calls = []
+        real = PK.bilateral_tpu
+        monkeypatch.setattr(
+            PK, "bilateral_tpu",
+            lambda v, d, c, s: (calls.append(1),
+                                real(v, d, c, s, interpret=True))[1])
+        got = B.bilateral(batch, 5, sc, sc)
+        assert calls
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6)
