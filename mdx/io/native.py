@@ -73,6 +73,13 @@ def _load() -> ctypes.CDLL:
         lib.mdxio_normalize_f32.argtypes = [f32p, ctypes.c_int64,
                                             ctypes.c_float, ctypes.c_float]
         lib.mdxio_normalize_f32.restype = None
+        lib.mdxio_packbits_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.mdxio_packbits_decode.restype = ctypes.c_int64
+        lib.mdxio_packbits_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.mdxio_packbits_encode.restype = ctypes.c_int64
         _lib = lib
         return lib
 
@@ -131,3 +138,28 @@ def normalize01(img: np.ndarray) -> np.ndarray:
                          ctypes.byref(hi))
     lib.mdxio_normalize_f32(_f32p(out), out.size, lo, hi)
     return out
+
+
+def packbits_decode(data: bytes, expected: int) -> tuple[int, bytes]:
+    """Native PackBits decode.  Returns ``(rc, out)``: rc == expected on
+    success, rc < expected for a short stream, -1/-2 for a truncated
+    literal/replicate run — the caller (mdx/io/rle.py) maps rc to the
+    same RleError taxonomy as the Python loop."""
+    lib = _load()
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(max(expected, 1), np.uint8)
+    rc = lib.mdxio_packbits_decode(
+        src.ctypes.data_as(ctypes.c_void_p), src.size,
+        out.ctypes.data_as(ctypes.c_void_p), expected)
+    return int(rc), out[:expected].tobytes()
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Native PackBits encode — bit-identical to the Python encoder."""
+    lib = _load()
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(src.size + src.size // 128 + 2, np.uint8)
+    rc = lib.mdxio_packbits_encode(
+        src.ctypes.data_as(ctypes.c_void_p), src.size,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out[:int(rc)].tobytes()

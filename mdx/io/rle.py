@@ -23,6 +23,8 @@ import struct
 
 import numpy as np
 
+from mdx.io.native import NativeUnavailable as _NativeUnavailable
+
 _HEADER_LEN = 64
 _MAX_SEGMENTS = 15
 
@@ -42,7 +44,32 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     Control byte n: 0..127 → copy the next n+1 literal bytes; 129..255 →
     repeat the next byte 257-n times; 128 → no-op.  Trailing pad bytes
     beyond ``expected`` are ignored (segments are even-padded).
+
+    Hot path: one Python iteration per control byte is the dominant cost
+    of decoding an RLE series, so the loop runs in C when the native
+    kernels are available (native/mdxio.cpp, bit-identical, same error
+    taxonomy); this pure-Python body is the fallback and the parity
+    oracle (tests/test_native.py).
     """
+    try:
+        from mdx.io import native as _native
+
+        rc, out_b = _native.packbits_decode(data, expected)
+    except _NativeUnavailable:
+        pass
+    else:
+        if rc == -1:
+            raise RleError("Truncated PackBits literal run.")
+        if rc == -2:
+            raise RleError("Truncated PackBits replicate run.")
+        if rc < expected:
+            raise RleError(
+                f"PackBits stream too short: {rc} < {expected} bytes.")
+        return out_b
+    return _packbits_decode_py(data, expected)
+
+
+def _packbits_decode_py(data: bytes, expected: int) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n and len(out) < expected:
@@ -67,7 +94,19 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def packbits_encode(data: bytes) -> bytes:
-    """Encode ``data`` with PackBits (replicate runs ≥3, literals ≤128)."""
+    """Encode ``data`` with PackBits (replicate runs ≥3, literals ≤128).
+
+    Runs in C when available (bit-identical boundaries); Python fallback
+    below is the parity oracle."""
+    try:
+        from mdx.io import native as _native
+
+        return _native.packbits_encode(data)
+    except _NativeUnavailable:
+        return _packbits_encode_py(data)
+
+
+def _packbits_encode_py(data: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:

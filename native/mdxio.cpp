@@ -104,4 +104,73 @@ RESCALE_NORM_IMPL(s16, int16_t)
 RESCALE_NORM_IMPL(u32, uint32_t)
 RESCALE_NORM_IMPL(s32, int32_t)
 
+// ---------------------------------------------------------------------------
+// PackBits (DICOM RLE Lossless, PS3.5 Annex G) — byte-serial codecs.
+//
+// The Python loops in mdx/io/rle.py run one interpreter iteration per
+// control byte (~hundreds of thousands per 16-bit 512² segment); these are
+// the same algorithms with identical control flow, so outputs are
+// bit-identical (asserted in tests/test_native.py).  Serial by design:
+// PackBits streams have sequential data dependence; frame-level
+// parallelism belongs to the caller (one frame per worker).
+// ---------------------------------------------------------------------------
+
+// Decode up to `expected` output bytes.  Returns the number of bytes
+// produced (== expected on success; < expected means the stream was too
+// short), or -1 for a literal run truncated by the input end, -2 for a
+// replicate run with no byte to repeat — the exact error taxonomy of the
+// Python reference implementation.
+int64_t mdxio_packbits_decode(const uint8_t *src, int64_t n, uint8_t *out,
+                              int64_t expected) {
+  int64_t i = 0, o = 0;
+  while (i < n && o < expected) {
+    const uint8_t ctrl = src[i++];
+    if (ctrl < 128) {
+      const int64_t cnt = static_cast<int64_t>(ctrl) + 1;
+      if (i + cnt > n) return -1;
+      const int64_t c = std::min(cnt, expected - o);
+      for (int64_t k = 0; k < c; ++k) out[o + k] = src[i + k];
+      o += c;
+      i += cnt;
+    } else if (ctrl > 128) {
+      if (i >= n) return -2;
+      const int64_t cnt = 257 - static_cast<int64_t>(ctrl);
+      const int64_t c = std::min(cnt, expected - o);
+      const uint8_t v = src[i++];
+      for (int64_t k = 0; k < c; ++k) out[o + k] = v;
+      o += c;
+    }
+    // ctrl == 128: no-op
+  }
+  return o;
+}
+
+// Encode `n` bytes; `out` needs capacity >= n + n/128 + 2 (worst case:
+// all literal blocks).  Returns bytes written.  Identical run/literal
+// boundaries to the Python encoder (replicate runs >=3, literals <=128,
+// literal scan stops before the next >=3 replicate run).
+int64_t mdxio_packbits_encode(const uint8_t *src, int64_t n, uint8_t *out) {
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    int64_t run = 1;
+    while (i + run < n && run < 128 && src[i + run] == src[i]) ++run;
+    if (run >= 3) {
+      out[o++] = static_cast<uint8_t>(257 - run);
+      out[o++] = src[i];
+      i += run;
+      continue;
+    }
+    int64_t j = i + 1;
+    while (j < n && (j - i) < 128) {
+      if (j + 2 < n && src[j] == src[j + 1] && src[j + 1] == src[j + 2])
+        break;
+      ++j;
+    }
+    out[o++] = static_cast<uint8_t>(j - i - 1);
+    for (int64_t k = i; k < j; ++k) out[o++] = src[k];
+    i = j;
+  }
+  return o;
+}
+
 }  // extern "C"

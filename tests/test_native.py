@@ -60,3 +60,84 @@ class TestNormalize:
         got = native.normalize01(x)
         want = (x - x.min()) / (x.max() - x.min())
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestPackBits:
+    """Native PackBits codecs must be bit-identical to the pure-Python
+    reference loops in mdx/io/rle.py (which remain the fallback)."""
+
+    def _cases(self):
+        rng = np.random.default_rng(42)
+        cases = [b"", b"\x00", b"ab", b"aaa", b"a" * 1000,
+                 bytes(range(256)) * 3]
+        for trial in range(60):
+            kind = trial % 4
+            n = int(rng.integers(0, 2500))
+            if kind == 0:
+                cases.append(rng.integers(0, 256, n,
+                                          dtype=np.uint8).tobytes())
+            elif kind == 1:  # long runs
+                cases.append(b"".join(
+                    bytes([v]) * int(rng.integers(1, 300))
+                    for v in rng.integers(0, 4, max(1, n // 50),
+                                          dtype=np.uint8)))
+            elif kind == 2:  # short runs (Python's worst case)
+                cases.append(rng.integers(0, 2, n,
+                                          dtype=np.uint8).tobytes())
+            else:
+                cases.append((bytes(range(256)) * (n // 256 + 1))[:n])
+        return cases
+
+    def test_encode_bit_identical(self):
+        from mdx.io import rle
+
+        for b in self._cases():
+            assert native.packbits_encode(b) == rle._packbits_encode_py(b)
+
+    def test_decode_roundtrip_bit_identical(self):
+        from mdx.io import rle
+
+        for b in self._cases():
+            enc = rle._packbits_encode_py(b)
+            rc, got = native.packbits_decode(enc, len(b))
+            assert rc == len(b)
+            assert got == b
+            assert got == rle._packbits_decode_py(enc, len(b))
+
+    def test_error_taxonomy_matches_python(self):
+        """The dispatching rle.packbits_decode raises the same RleError
+        messages whether the native or the Python loop hit the fault."""
+        from mdx.io import rle
+
+        for bad, exp in [(b"\x05ab", 10),    # truncated literal
+                         (b"\xfe", 10),      # truncated replicate
+                         (b"\x00a", 10)]:    # short stream
+            with pytest.raises(rle.RleError) as nat_err:
+                rle.packbits_decode(bad, exp)
+            with pytest.raises(rle.RleError) as py_err:
+                rle._packbits_decode_py(bad, exp)
+            assert str(nat_err.value) == str(py_err.value)
+
+    def test_noop_control_and_padding(self):
+        from mdx.io import rle
+
+        # 128 no-op control bytes interleaved; trailing pad ignored
+        enc = b"\x80" + rle._packbits_encode_py(b"xyz") + b"\x80\x00"
+        rc, got = native.packbits_decode(enc, 3)
+        assert rc == 3 and got == b"xyz"
+
+    def test_frame_roundtrip_uses_native(self, monkeypatch):
+        """decode_frame/encode_frame round-trip through the native path
+        and match a forced-Python round-trip byte for byte."""
+        from mdx.io import rle
+
+        rng = np.random.default_rng(7)
+        img = (rng.random((96, 80)) * 65535).astype(np.uint16)
+        frag_native = rle.encode_frame(img)
+        monkeypatch.setattr(native, "packbits_encode",
+                            lambda *_: (_ for _ in ()).throw(
+                                native.NativeUnavailable("off")))
+        frag_py = rle.encode_frame(img)
+        assert frag_native == frag_py
+        out = rle.decode_frame(frag_native, 96, 80, 1, 2)
+        np.testing.assert_array_equal(out.reshape(96, 80), img)
