@@ -28,8 +28,12 @@ def bilateral(
     d: int = 5,
     sigma_color: jnp.ndarray = 0.05,
     sigma_space: jnp.ndarray = 0.05,
+    impl: str | None = None,
 ) -> jnp.ndarray:
-    """Edge-preserving smoothing of [N,H,W]: spatial × intensity Gaussian."""
+    """Edge-preserving smoothing of [N,H,W]: spatial × intensity Gaussian.
+
+    ``impl`` pins the TPU lowering ('xla'|'pallas') over the
+    MDX_BILATERAL_IMPL env knob (A/B tooling)."""
     if d <= 0:
         return x
     d = _norm_d(d)
@@ -48,7 +52,7 @@ def bilateral(
             bilateral_use_pallas,
         )
 
-        if h * w <= _WHOLE_IMAGE_LIMIT and bilateral_use_pallas():
+        if h * w <= _WHOLE_IMAGE_LIMIT and bilateral_use_pallas(impl):
             return bilateral_tpu(x, d, sigma_color, sigma_space)
     sc = jnp.asarray(sigma_color, x.dtype)
     ss = jnp.asarray(sigma_space, x.dtype)

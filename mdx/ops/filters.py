@@ -234,7 +234,8 @@ def gaussian_blur(x: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     return out[0]
 
 
-def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray) -> jnp.ndarray:
+def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray,
+                 impl: str | None = None) -> jnp.ndarray:
     """clip(x + (x − gaussian(x, radius))·amount, 0, 1)
     (ref pipeline/enhancement.py:202; skimage clips to the [0,1] value
     range when preserve_range=False).
@@ -242,7 +243,8 @@ def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray) -> jn
     On TPU at ≤1024² the whole op can run as one fused VMEM-resident
     Pallas kernel (mdx/ops/pallas_kernels.py unsharp_tpu — identical
     formula and accumulation order); MDX_UNSHARP_IMPL gates it, with
-    auto = the measured policy (conv until the hardware A/B runs)."""
+    auto = the measured policy (conv until the hardware A/B runs).
+    ``impl`` pins one lowering over the env knob (A/B tooling)."""
     import jax
 
     try:
@@ -257,7 +259,7 @@ def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray) -> jn
         )
 
         h, w = x.shape[-2:]
-        if h * w <= _WHOLE_IMAGE_LIMIT and unsharp_use_pallas():
+        if h * w <= _WHOLE_IMAGE_LIMIT and unsharp_use_pallas(impl):
             return unsharp_tpu(x, radius, amount)
     amount = jnp.asarray(amount, x.dtype)
     if amount.ndim == 1:  # per-image

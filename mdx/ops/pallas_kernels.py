@@ -1107,14 +1107,16 @@ def tv_band_for(h: int) -> int:
 _AUTO_UNSHARP_PALLAS = False  # pending the hardware A/B (profile_pass --only unsharp, MDX_UNSHARP_IMPL=pallas vs xla)
 
 
-def unsharp_use_pallas() -> bool:
+def unsharp_use_pallas(impl: str | None = None) -> bool:
     """True when the dense TPU unsharp should run as the fused Pallas
     kernel instead of the grouped-conv XLA lowering.
 
     MDX_UNSHARP_IMPL: auto (measured policy — conv until the hardware
-    A/B runs), pallas | xla force one.  Trace-time only, like
-    MDX_CLAHE_IMPL; unrecognised values raise."""
-    mode = os.environ.get("MDX_UNSHARP_IMPL", "auto").strip().lower()
+    A/B runs), pallas | xla force one.  ``impl`` overrides the env knob
+    (A/B tooling pins one lowering per candidate).  Trace-time only,
+    like MDX_CLAHE_IMPL; unrecognised values raise."""
+    mode = (impl if impl is not None
+            else os.environ.get("MDX_UNSHARP_IMPL", "auto")).strip().lower()
     if mode == "pallas":
         return True
     if mode == "xla":
@@ -1205,14 +1207,16 @@ def unsharp_tpu(
 _AUTO_BILATERAL_PALLAS = False  # pending the hardware A/B (profile_pass --only bilateral, MDX_BILATERAL_IMPL=pallas vs xla)
 
 
-def bilateral_use_pallas() -> bool:
+def bilateral_use_pallas(impl: str | None = None) -> bool:
     """True when the dense TPU bilateral should run as the fused Pallas
     kernel instead of the unrolled XLA elementwise program.
 
     MDX_BILATERAL_IMPL: auto (measured policy — XLA until the hardware
-    A/B runs), pallas | xla force one.  Trace-time only; unrecognised
-    values raise."""
-    mode = os.environ.get("MDX_BILATERAL_IMPL", "auto").strip().lower()
+    A/B runs), pallas | xla force one.  ``impl`` overrides the env knob
+    (A/B tooling pins one lowering per candidate).  Trace-time only;
+    unrecognised values raise."""
+    mode = (impl if impl is not None
+            else os.environ.get("MDX_BILATERAL_IMPL", "auto")).strip().lower()
     if mode == "pallas":
         return True
     if mode == "xla":

@@ -468,6 +468,10 @@ class TestUnsharpPallas:
         assert PK.unsharp_use_pallas()
         monkeypatch.setenv("MDX_UNSHARP_IMPL", "xla")
         assert not PK.unsharp_use_pallas()
+        # explicit impl= pins the lowering over the env knob (A/B tooling)
+        assert PK.unsharp_use_pallas(impl="pallas")
+        monkeypatch.setenv("MDX_UNSHARP_IMPL", "pallas")
+        assert not PK.unsharp_use_pallas(impl="xla")
         monkeypatch.setenv("MDX_UNSHARP_IMPL", "palas")
         with pytest.raises(ValueError, match="MDX_UNSHARP_IMPL"):
             PK.unsharp_use_pallas()
@@ -556,6 +560,10 @@ class TestBilateralPallas:
         assert PK.bilateral_use_pallas()
         monkeypatch.setenv("MDX_BILATERAL_IMPL", "xla")
         assert not PK.bilateral_use_pallas()
+        # explicit impl= pins the lowering over the env knob (A/B tooling)
+        assert PK.bilateral_use_pallas(impl="pallas")
+        monkeypatch.setenv("MDX_BILATERAL_IMPL", "pallas")
+        assert not PK.bilateral_use_pallas(impl="xla")
         monkeypatch.setenv("MDX_BILATERAL_IMPL", "bogus")
         with pytest.raises(ValueError, match="MDX_BILATERAL_IMPL"):
             PK.bilateral_use_pallas()

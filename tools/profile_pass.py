@@ -51,6 +51,14 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated block-name substrings to run")
+    ap.add_argument("--ab", type=str, default="",
+                    help="comma-separated ops to A/B (unsharp,bilateral): "
+                         "times the xla vs pallas lowering with a "
+                         "device-side max-abs-diff parity scalar; each "
+                         "candidate PINS its lowering (immune to the "
+                         "MDX_*_IMPL env).  On a CPU backend the pallas "
+                         "candidate runs in interpret mode (tool "
+                         "validation only; timings meaningless)")
     args = ap.parse_args()
 
     import jax
@@ -140,6 +148,38 @@ def main() -> None:
     timeit("FULL pass (stats + plan)",
            lambda v: E.apply_plan(v, static, dyn)[0]
            * (1.0 + 1e-12 * _all_stats(v)))
+
+    # ---- lowering A/Bs (hardware decision for the MDX_*_IMPL autos) ----
+    if args.ab:
+        from mdx.ops import pallas_kernels as PK
+
+        on_tpu = jax.default_backend() == "tpu"
+        rad, amt = jnp.float32(1.0), jnp.float32(0.6)
+        sc = jnp.float32(0.05)
+        ab_pairs = {}
+        if "unsharp" in args.ab:
+            ab_pairs["unsharp"] = {
+                "xla": lambda v: F.unsharp_mask(v, rad, amt, impl="xla"),
+                "pallas": (lambda v: F.unsharp_mask(v, rad, amt,
+                                                    impl="pallas"))
+                if on_tpu else
+                (lambda v: PK.unsharp_tpu(v, rad, amt, interpret=True)),
+            }
+        if "bilateral" in args.ab:
+            ab_pairs["bilateral"] = {
+                "xla": lambda v: bilateral_fn(v, 5, sc, sc, impl="xla"),
+                "pallas": (lambda v: bilateral_fn(v, 5, sc, sc,
+                                                  impl="pallas"))
+                if on_tpu else
+                (lambda v: PK.bilateral_tpu(v, 5, sc, sc, interpret=True)),
+            }
+        for op, pair in ab_pairs.items():
+            pj = jax.jit(lambda v, _a=pair["xla"], _b=pair["pallas"]:
+                         jnp.max(jnp.abs(_a(v) - _b(v))))
+            print(f"{op + ' parity max|xla-pallas|':34s} "
+                  f"{float(pj(x)):8.2e}")
+            for variant, fn in pair.items():
+                timeit(f"{op}:{variant}", fn)
 
 
 if __name__ == "__main__":
