@@ -44,14 +44,21 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR], check=True,
-                    capture_output=True, timeout=120)
-            except Exception as exc:
+        # ALWAYS run make (not only when the .so is absent): the Makefile
+        # is mtime-driven, so an up-to-date library is a no-op while a
+        # stale pre-existing build — whose missing symbols would otherwise
+        # surface as AttributeError at binding time, escaping the
+        # NativeUnavailable fallback in every caller — gets rebuilt.
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True,
+                capture_output=True, timeout=120)
+        except Exception as exc:
+            if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 raise NativeUnavailable(f"build failed: {exc}") from exc
+            # toolchain missing but a library exists — try it; the
+            # binding below still guards against missing symbols
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError as exc:
@@ -59,27 +66,38 @@ def _load() -> ctypes.CDLL:
             raise NativeUnavailable(f"load failed: {exc}") from exc
 
         f32p = ctypes.POINTER(ctypes.c_float)
-        for sfx in _SUFFIX.values():
-            fn = getattr(lib, f"mdxio_rescale_f32_{sfx}")
-            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,
-                           ctypes.c_float, f32p]
-            fn.restype = None
-            fn2 = getattr(lib, f"mdxio_rescale_norm_{sfx}")
-            fn2.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,
-                            ctypes.c_float, ctypes.c_int, f32p]
-            fn2.restype = None
-        lib.mdxio_minmax_f32.argtypes = [f32p, ctypes.c_int64, f32p, f32p]
-        lib.mdxio_minmax_f32.restype = None
-        lib.mdxio_normalize_f32.argtypes = [f32p, ctypes.c_int64,
-                                            ctypes.c_float, ctypes.c_float]
-        lib.mdxio_normalize_f32.restype = None
-        lib.mdxio_packbits_decode.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_int64]
-        lib.mdxio_packbits_decode.restype = ctypes.c_int64
-        lib.mdxio_packbits_encode.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
-        lib.mdxio_packbits_encode.restype = ctypes.c_int64
+        try:
+            for sfx in _SUFFIX.values():
+                fn = getattr(lib, f"mdxio_rescale_f32_{sfx}")
+                fn.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_float, ctypes.c_float, f32p]
+                fn.restype = None
+                fn2 = getattr(lib, f"mdxio_rescale_norm_{sfx}")
+                fn2.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.c_float, ctypes.c_float,
+                                ctypes.c_int, f32p]
+                fn2.restype = None
+            lib.mdxio_minmax_f32.argtypes = [f32p, ctypes.c_int64, f32p,
+                                             f32p]
+            lib.mdxio_minmax_f32.restype = None
+            lib.mdxio_normalize_f32.argtypes = [f32p, ctypes.c_int64,
+                                                ctypes.c_float,
+                                                ctypes.c_float]
+            lib.mdxio_normalize_f32.restype = None
+            lib.mdxio_packbits_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64]
+            lib.mdxio_packbits_decode.restype = ctypes.c_int64
+            lib.mdxio_packbits_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.mdxio_packbits_encode.restype = ctypes.c_int64
+        except AttributeError as exc:
+            # stale library from an older source revision (and no
+            # toolchain to rebuild it) — degrade to the Python paths
+            # rather than leaking AttributeError past the
+            # NativeUnavailable contract every caller relies on
+            _build_failed = True
+            raise NativeUnavailable(f"stale library: {exc}") from exc
         _lib = lib
         return lib
 

@@ -39,21 +39,23 @@ def bilateral(
     d = _norm_d(d)
     r = d // 2
     n, h, w = x.shape
-    import jax
+    from mdx.ops.pallas_kernels import (
+        _WHOLE_IMAGE_LIMIT,
+        bilateral_tpu,
+        bilateral_use_pallas,
+        on_tpu_backend,
+    )
 
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu:
-        from mdx.ops.pallas_kernels import (
-            _WHOLE_IMAGE_LIMIT,
-            bilateral_tpu,
-            bilateral_use_pallas,
-        )
-
-        if h * w <= _WHOLE_IMAGE_LIMIT and bilateral_use_pallas(impl):
-            return bilateral_tpu(x, d, sigma_color, sigma_space)
+    on_tpu = on_tpu_backend()
+    if on_tpu and h * w <= _WHOLE_IMAGE_LIMIT and bilateral_use_pallas(impl):
+        return bilateral_tpu(x, d, sigma_color, sigma_space)
+    if impl is not None and bilateral_use_pallas(impl):
+        # an explicitly pinned 'pallas' that cannot dispatch must raise —
+        # silently timing the XLA lowering would corrupt an A/B
+        raise ValueError(
+            f"bilateral impl='pallas' pinned but not dispatchable: "
+            f"backend {'tpu' if on_tpu else 'non-tpu'}, "
+            f"h*w {h * w} vs limit {_WHOLE_IMAGE_LIMIT}")
     sc = jnp.asarray(sigma_color, x.dtype)
     ss = jnp.asarray(sigma_space, x.dtype)
     if sc.ndim == 1:

@@ -105,13 +105,9 @@ def clahe(
     keeps golden parity, so the XLA path is used.  Both are numerically
     equivalent (tests/test_pallas.py asserts ≤2e-6).
     """
-    import jax
+    from mdx.ops.pallas_kernels import on_tpu_backend
 
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu:
+    if on_tpu_backend():
         from mdx.ops.pallas_kernels import clahe_tpu
 
         return clahe_tpu(x, jnp.broadcast_to(

@@ -244,23 +244,27 @@ def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray,
     Pallas kernel (mdx/ops/pallas_kernels.py unsharp_tpu — identical
     formula and accumulation order); MDX_UNSHARP_IMPL gates it, with
     auto = the measured policy (conv until the hardware A/B runs).
-    ``impl`` pins one lowering over the env knob (A/B tooling)."""
-    import jax
+    ``impl`` pins one lowering over the env knob (A/B tooling); an
+    explicit 'pallas' pin that cannot dispatch (non-TPU backend or image
+    above the VMEM size limit) raises rather than silently timing the
+    XLA lowering — a discarded pin would turn an A/B into same-vs-same."""
+    from mdx.ops.pallas_kernels import (
+        _WHOLE_IMAGE_LIMIT,
+        on_tpu_backend,
+        unsharp_tpu,
+        unsharp_use_pallas,
+    )
 
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu:
-        from mdx.ops.pallas_kernels import (
-            _WHOLE_IMAGE_LIMIT,
-            unsharp_tpu,
-            unsharp_use_pallas,
-        )
-
-        h, w = x.shape[-2:]
-        if h * w <= _WHOLE_IMAGE_LIMIT and unsharp_use_pallas(impl):
-            return unsharp_tpu(x, radius, amount)
+    on_tpu = on_tpu_backend()
+    h, w = x.shape[-2:]
+    fits = h * w <= _WHOLE_IMAGE_LIMIT
+    if on_tpu and fits and unsharp_use_pallas(impl):
+        return unsharp_tpu(x, radius, amount)
+    if impl is not None and unsharp_use_pallas(impl):
+        raise ValueError(
+            f"unsharp impl='pallas' pinned but not dispatchable: "
+            f"backend {'tpu' if on_tpu else 'non-tpu'}, "
+            f"h*w {h * w} vs limit {_WHOLE_IMAGE_LIMIT}")
     amount = jnp.asarray(amount, x.dtype)
     if amount.ndim == 1:  # per-image
         amount = amount[:, None, None]

@@ -56,29 +56,44 @@ _SCOPED_VMEM_BYTES = 100 * 1024 * 1024
 _AUTO_GATHER = {"whole": False, "banded": False, "sharded": False}
 
 
+def on_tpu_backend() -> bool:
+    """True when jax's default backend is TPU (False when the backend
+    cannot be determined).  The single dispatch gate shared by the ops
+    with Pallas lowerings (clahe/tv/unsharp/bilateral) — reads
+    ``jax.default_backend`` at CALL time so tests can monkeypatch it."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _impl_mode(env_var: str, impl: str | None,
+               choices: tuple[str, str]) -> str:
+    """Resolve a trace-time lowering knob to 'auto' or one of ``choices``.
+
+    ``impl`` overrides the env var (A/B tooling pins one lowering per
+    candidate regardless of the environment).  Unrecognised values raise
+    — the knobs are trace-time-only with no logging, so a typo silently
+    keeping the default would be invisible."""
+    mode = (impl if impl is not None
+            else os.environ.get(env_var, "auto")).strip().lower()
+    if mode != "auto" and mode not in choices:
+        raise ValueError(f"{env_var}={mode!r}: expected auto, "
+                         f"{choices[0]} or {choices[1]}")
+    return mode
+
+
 def clahe_use_gather(kind: str, t: int, nbins: int,
                      impl: str | None = None) -> bool:
     """True when the ``kind`` remap ('whole'|'banded'|'sharded') should
     lower as per-lane dynamic gathers instead of the bin-loop matmuls.
-
-    ``impl`` overrides the env knob (used by callers that must pin one
-    lowering regardless of the environment, e.g. the A/B tool's matmul
-    candidates).  Unrecognised values raise — the knob is trace-time-only
-    with no logging, so a typo silently keeping the default would be
-    invisible.
-    """
+    Knob semantics: see :func:`_impl_mode` (MDX_CLAHE_IMPL)."""
     if t * t != nbins:
         return False
-    mode = (impl if impl is not None
-            else os.environ.get("MDX_CLAHE_IMPL", "auto")).strip().lower()
-    if mode == "gather":
-        return True
-    if mode == "matmul":
-        return False
-    if mode != "auto":
-        raise ValueError(
-            f"MDX_CLAHE_IMPL={mode!r}: expected auto, gather or matmul")
-    return _AUTO_GATHER[kind]
+    mode = _impl_mode("MDX_CLAHE_IMPL", impl, ("gather", "matmul"))
+    if mode == "auto":
+        return _AUTO_GATHER[kind]
+    return mode == "gather"
 
 
 def _tile_membership(n_pix: int, t: int) -> np.ndarray:
@@ -1112,19 +1127,12 @@ def unsharp_use_pallas(impl: str | None = None) -> bool:
     kernel instead of the grouped-conv XLA lowering.
 
     MDX_UNSHARP_IMPL: auto (measured policy — conv until the hardware
-    A/B runs), pallas | xla force one.  ``impl`` overrides the env knob
-    (A/B tooling pins one lowering per candidate).  Trace-time only,
-    like MDX_CLAHE_IMPL; unrecognised values raise."""
-    mode = (impl if impl is not None
-            else os.environ.get("MDX_UNSHARP_IMPL", "auto")).strip().lower()
-    if mode == "pallas":
-        return True
-    if mode == "xla":
-        return False
-    if mode != "auto":
-        raise ValueError(
-            f"MDX_UNSHARP_IMPL={mode!r}: expected auto, pallas or xla")
-    return _AUTO_UNSHARP_PALLAS
+    A/B runs), pallas | xla force one.  Knob semantics: see
+    :func:`_impl_mode`."""
+    mode = _impl_mode("MDX_UNSHARP_IMPL", impl, ("pallas", "xla"))
+    if mode == "auto":
+        return _AUTO_UNSHARP_PALLAS
+    return mode == "pallas"
 
 
 def _unsharp_kernel(taps_ref, amount_ref, x_ref, out_ref, *,
@@ -1212,19 +1220,12 @@ def bilateral_use_pallas(impl: str | None = None) -> bool:
     kernel instead of the unrolled XLA elementwise program.
 
     MDX_BILATERAL_IMPL: auto (measured policy — XLA until the hardware
-    A/B runs), pallas | xla force one.  ``impl`` overrides the env knob
-    (A/B tooling pins one lowering per candidate).  Trace-time only;
-    unrecognised values raise."""
-    mode = (impl if impl is not None
-            else os.environ.get("MDX_BILATERAL_IMPL", "auto")).strip().lower()
-    if mode == "pallas":
-        return True
-    if mode == "xla":
-        return False
-    if mode != "auto":
-        raise ValueError(
-            f"MDX_BILATERAL_IMPL={mode!r}: expected auto, pallas or xla")
-    return _AUTO_BILATERAL_PALLAS
+    A/B runs), pallas | xla force one.  Knob semantics: see
+    :func:`_impl_mode`."""
+    mode = _impl_mode("MDX_BILATERAL_IMPL", impl, ("pallas", "xla"))
+    if mode == "auto":
+        return _AUTO_BILATERAL_PALLAS
+    return mode == "pallas"
 
 
 def _bilateral_kernel(sc_ref, ss_ref, xp_ref, out_ref, *,

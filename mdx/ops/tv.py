@@ -92,12 +92,9 @@ def tv_chambolle(
     (mdx/ops/pallas_kernels.py) — the XLA while_loop streams ~10 full-image
     HBM buffers per iteration; keeping the state on-chip makes iterations
     VPU-bound.  Parity ≤1e-7 (tests/test_pallas.py)."""
-    import jax
+    from mdx.ops.pallas_kernels import on_tpu_backend
 
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
+    on_tpu = on_tpu_backend()
     h, w = x.shape[-2:]
     # the kernel keeps x/out/p0/p1 (+temps) in VMEM — safe up to 1024²
     # with the raised scoped-VMEM limit (measured: 0.3 ms vs the XLA

@@ -141,3 +141,24 @@ class TestPackBits:
         assert frag_native == frag_py
         out = rle.decode_frame(frag_native, 96, 80, 1, 2)
         np.testing.assert_array_equal(out.reshape(96, 80), img)
+
+
+class TestStaleLibrary:
+    def test_stale_library_degrades_to_python(self, monkeypatch):
+        """A pre-existing libmdxio.so missing the current symbols (older
+        source revision, no toolchain) must surface as NativeUnavailable
+        — NOT AttributeError — so every caller's fallback engages."""
+        from mdx.io import rle
+
+        class _Stale:
+            def __getattr__(self, name):
+                raise AttributeError(f"undefined symbol: {name}")
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_build_failed", False)
+        monkeypatch.setattr(native.ctypes, "CDLL", lambda p: _Stale())
+        with pytest.raises(native.NativeUnavailable, match="stale"):
+            native._load()
+        # the dispatching codec falls back to the Python loop
+        enc = rle._packbits_encode_py(b"hello world" * 10)
+        assert rle.packbits_decode(enc, 110) == b"hello world" * 10

@@ -592,3 +592,39 @@ class TestBilateralPallas:
         assert calls
         np.testing.assert_allclose(np.asarray(want), np.asarray(got),
                                    atol=1e-6)
+
+
+class TestImplPinNotDispatchable:
+    """An explicit impl='pallas' pin that cannot dispatch must raise —
+    silently running the XLA lowering would corrupt an A/B (the
+    profile_pass --ab candidates rely on the pin taking effect)."""
+
+    def test_unsharp_pin_raises_off_tpu(self, batch):
+        from mdx.ops.filters import unsharp_mask
+
+        with pytest.raises(ValueError, match="not dispatchable"):
+            unsharp_mask(batch, 1.0, 0.6, impl="pallas")
+
+    def test_bilateral_pin_raises_off_tpu(self, batch):
+        import importlib
+
+        B = importlib.import_module("mdx.ops.bilateral")
+        with pytest.raises(ValueError, match="not dispatchable"):
+            B.bilateral(batch, 5, 0.05, 0.05, impl="pallas")
+
+    def test_unsharp_pin_raises_above_size_limit(self, batch, monkeypatch):
+        import jax
+
+        from mdx.ops import pallas_kernels as PK
+        from mdx.ops.filters import unsharp_mask
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)
+        with pytest.raises(ValueError, match="not dispatchable"):
+            unsharp_mask(batch, 1.0, 0.6, impl="pallas")
+
+    def test_xla_pin_never_raises(self, batch):
+        from mdx.ops.filters import unsharp_mask
+
+        out = unsharp_mask(batch, 1.0, 0.6, impl="xla")
+        assert out.shape == batch.shape

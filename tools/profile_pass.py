@@ -82,9 +82,12 @@ def main() -> None:
         float(tiny(x))
     rtt = (time.perf_counter() - t0) / 5
 
-    def timeit(name, fn):
-        """fn: [N,H,W] -> [N,H,W]-ish array; chained reps, scalar fetch."""
-        if args.only and not any(s in name for s in args.only.split(",")):
+    def timeit(name, fn, force=False):
+        """fn: [N,H,W] -> [N,H,W]-ish array; chained reps, scalar fetch.
+        ``force`` bypasses the --only filter (--ab rows were explicitly
+        requested)."""
+        if (not force and args.only
+                and not any(s in name for s in args.only.split(","))):
             return
 
         @jax.jit
@@ -179,7 +182,7 @@ def main() -> None:
             print(f"{op + ' parity max|xla-pallas|':34s} "
                   f"{float(pj(x)):8.2e}")
             for variant, fn in pair.items():
-                timeit(f"{op}:{variant}", fn)
+                timeit(f"{op}:{variant}", fn, force=True)
 
 
 if __name__ == "__main__":
