@@ -44,21 +44,32 @@ def _load() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        # ALWAYS run make (not only when the .so is absent): the Makefile
-        # is mtime-driven, so an up-to-date library is a no-op while a
-        # stale pre-existing build — whose missing symbols would otherwise
+        # Rebuild when the library is missing OR older than its source: a
+        # stale pre-existing build's missing symbols would otherwise
         # surface as AttributeError at binding time, escaping the
-        # NativeUnavailable fallback in every caller — gets rebuilt.
+        # NativeUnavailable fallback in every caller.  The mtime check
+        # runs HERE (not by always spawning make) so the common path does
+        # no subprocess work, and the Makefile's recipe builds to a temp
+        # file + atomic rename — a rebuild racing a live process that has
+        # the .so mapped must never truncate it in place (g++ -o does;
+        # observed SIGSEGV with ip inside the half-rewritten mapping).
         try:
-            subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True,
-                capture_output=True, timeout=120)
-        except Exception as exc:
-            if not os.path.exists(_LIB_PATH):
-                _build_failed = True
-                raise NativeUnavailable(f"build failed: {exc}") from exc
-            # toolchain missing but a library exists — try it; the
-            # binding below still guards against missing symbols
+            src_mtime = os.path.getmtime(
+                os.path.join(_NATIVE_DIR, "mdxio.cpp"))
+            need_build = os.path.getmtime(_LIB_PATH) < src_mtime
+        except OSError:
+            need_build = True  # library (or source) missing
+        if need_build:
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True,
+                    capture_output=True, timeout=120)
+            except Exception as exc:
+                if not os.path.exists(_LIB_PATH):
+                    _build_failed = True
+                    raise NativeUnavailable(f"build failed: {exc}") from exc
+                # toolchain missing but a library exists — try it; the
+                # binding below still guards against missing symbols
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError as exc:
