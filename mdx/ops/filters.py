@@ -251,20 +251,25 @@ def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray,
     from mdx.ops.pallas_kernels import (
         _WHOLE_IMAGE_LIMIT,
         on_tpu_backend,
+        tv_band_for,
+        unsharp_banded_tpu,
         unsharp_tpu,
         unsharp_use_pallas,
     )
 
     on_tpu = on_tpu_backend()
     h, w = x.shape[-2:]
-    fits = h * w <= _WHOLE_IMAGE_LIMIT
-    if on_tpu and fits and unsharp_use_pallas(impl):
-        return unsharp_tpu(x, radius, amount)
+    band = 0 if h * w <= _WHOLE_IMAGE_LIMIT else tv_band_for(h)
+    if on_tpu and unsharp_use_pallas(impl):
+        if h * w <= _WHOLE_IMAGE_LIMIT:
+            return unsharp_tpu(x, radius, amount)
+        if band:  # >1024² class: banded kernel when a band divides H
+            return unsharp_banded_tpu(x, radius, amount, band=band)
     if impl is not None and unsharp_use_pallas(impl):
         raise ValueError(
             f"unsharp impl='pallas' pinned but not dispatchable: "
             f"backend {'tpu' if on_tpu else 'non-tpu'}, "
-            f"h*w {h * w} vs limit {_WHOLE_IMAGE_LIMIT}")
+            f"h*w {h * w} vs limit {_WHOLE_IMAGE_LIMIT}, band {band}")
     amount = jnp.asarray(amount, x.dtype)
     if amount.ndim == 1:  # per-image
         amount = amount[:, None, None]

@@ -1297,3 +1297,96 @@ def bilateral_tpu(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(sc, ss, xp)
+
+
+# ---------------------------------------------------------------------------
+# Banded fused unsharp — the >1024² class (config 2 runs unsharp at 2048²)
+# ---------------------------------------------------------------------------
+
+
+def _unsharp_band_kernel(taps_ref, amount_ref, xs_ref, out_ref, *,
+                         band: int, w: int, r: int):
+    """One (image, row-band) per grid step.
+
+    xs_ref: [1, 1, band+2r, w] — the edge-padded image's rows
+    [b·band, b·band + band + 2r) (the snapshot is built in XLA with
+    strided slices, same pattern as the banded TV kernel's halo rows;
+    overlapping windows cannot be expressed as Pallas block indexing).
+    The band's original pixels are the snapshot's centre rows [r, r+band)
+    — no second input needed for the combine.  Row sweep, in-kernel lane
+    edge-pad, column sweep and combine are element-for-element the
+    whole-image kernel's ops (tap-ascending), so values match it (and the
+    dense n≤16 branch) to fp noise.
+    """
+    i = pl.program_id(0)
+    xs = xs_ref[0, 0]                                      # [band+2r, w]
+    x = xs[r:r + band, :]
+
+    acc = None
+    for k in range(2 * r + 1):
+        t = taps_ref[i, k] * xs[k:k + band, :]
+        acc = t if acc is None else acc + t
+
+    left = jnp.broadcast_to(acc[:, 0:1], (band, r))
+    right = jnp.broadcast_to(acc[:, w - 1:w], (band, r))
+    ap = jnp.concatenate([left, acc, right], axis=1)       # [band, w+2r]
+    blur = None
+    for k in range(2 * r + 1):
+        t = taps_ref[i, k] * ap[:, k:k + w]
+        blur = t if blur is None else blur + t
+
+    out_ref[0, 0] = jnp.clip(x + (x - blur) * amount_ref[i], 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def unsharp_banded_tpu(
+    x: jnp.ndarray,
+    radius: jnp.ndarray,
+    amount: jnp.ndarray,
+    band: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded fused Pallas unsharp of [N,H,W] (``band`` must divide H);
+    traced per-image ``radius``/``amount``.  Whole-image VMEM state at
+    2048² exceeds the physical ceiling, so the grid runs (image,
+    row-band) with an XLA-snapshotted row halo — HBM traffic is the
+    ~1.1× snapshot copy + one read + one write instead of the XLA
+    lowering's per-tap streamed slices."""
+    from mdx.ops.filters import _GAUSS_MAX_RADIUS, _gauss_taps
+
+    n, h, w = x.shape
+    r = _GAUSS_MAX_RADIUS
+    if h % band:
+        raise ValueError(f"band {band} does not divide H {h}")
+    nb = h // band
+    sigma = jnp.broadcast_to(
+        jnp.asarray(radius, jnp.float32).reshape(-1), (n,))
+    taps = _gauss_taps(sigma, jnp.float32)                  # [n, 2r+1]
+    amount_arr = jnp.broadcast_to(
+        jnp.asarray(amount, jnp.float32).reshape(-1), (n,))
+
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)), mode="edge")  # [n, h+2r, w]
+    # [n, nb, band+2r, w] overlapping row snapshot (≈(band+2r)/band × the
+    # image) — band b's rows [b·band, b·band+band+2r) of xp
+    xs = jnp.stack([xp[:, b * band:b * band + band + 2 * r, :]
+                    for b in range(nb)], axis=1)
+
+    kernel = functools.partial(_unsharp_band_kernel, band=band, w=w, r=r)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, band + 2 * r, w),
+                         lambda i, b: (i, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, band, w), lambda i, b: (i, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nb, band, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(taps, amount_arr, xs)
+    return out.reshape(n, h, w)

@@ -613,6 +613,8 @@ class TestImplPinNotDispatchable:
             B.bilateral(batch, 5, 0.05, 0.05, impl="pallas")
 
     def test_unsharp_pin_raises_above_size_limit(self, batch, monkeypatch):
+        """Above the whole-image limit AND with no dividing band (h=60),
+        neither unsharp kernel can dispatch — the pin must raise."""
         import jax
 
         from mdx.ops import pallas_kernels as PK
@@ -621,10 +623,78 @@ class TestImplPinNotDispatchable:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)
         with pytest.raises(ValueError, match="not dispatchable"):
-            unsharp_mask(batch, 1.0, 0.6, impl="pallas")
+            unsharp_mask(batch[:, :60, :], 1.0, 0.6, impl="pallas")
 
     def test_xla_pin_never_raises(self, batch):
         from mdx.ops.filters import unsharp_mask
 
         out = unsharp_mask(batch, 1.0, 0.6, impl="xla")
         assert out.shape == batch.shape
+
+
+class TestUnsharpBanded:
+    """Banded fused unsharp for the >1024² class (grid image × row-band,
+    XLA-snapshotted row halos)."""
+
+    @pytest.mark.parametrize("n,h,w,band", [(2, 128, 96, 64),
+                                            (1, 192, 160, 64),
+                                            (3, 256, 80, 128)])
+    def test_matches_dense(self, n, h, w, band):
+        from mdx.ops.filters import unsharp_mask
+        from mdx.ops.pallas_kernels import unsharp_banded_tpu
+
+        r = np.random.default_rng(n * 1000 + h + w)
+        x = jnp.asarray(r.random((n, h, w), np.float32))
+        rad = jnp.asarray(r.uniform(0.5, 3.0, n).astype(np.float32))
+        amt = jnp.asarray(r.uniform(0.2, 1.5, n).astype(np.float32))
+        want = unsharp_mask(x, rad, amt)
+        got = unsharp_banded_tpu(x, rad, amt, band=band, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6)
+
+    def test_matches_whole_image_kernel(self, batch):
+        from mdx.ops.pallas_kernels import unsharp_banded_tpu, unsharp_tpu
+
+        a = unsharp_tpu(batch, 1.3, 0.7, interpret=True)
+        b = unsharp_banded_tpu(batch, 1.3, 0.7, band=32, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rejects_non_dividing_band(self, batch):
+        from mdx.ops.pallas_kernels import unsharp_banded_tpu
+
+        with pytest.raises(ValueError, match="does not divide"):
+            unsharp_banded_tpu(batch[:, :60, :], 1.0, 0.6, band=64,
+                               interpret=True)
+
+    def test_dispatches_above_limit(self, batch, monkeypatch):
+        """Above the whole-image limit with a dividing band, the pallas
+        pin routes to the banded kernel."""
+        import jax
+
+        from mdx.ops import pallas_kernels as PK
+        from mdx.ops.filters import unsharp_mask
+
+        want = unsharp_mask(batch, 1.0, 0.6)  # real CPU path first
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)
+        calls = []
+        real = PK.unsharp_banded_tpu
+        monkeypatch.setattr(
+            PK, "unsharp_banded_tpu",
+            lambda v, r, a, band: (calls.append(band),
+                                   real(v, r, a, band=band,
+                                        interpret=True))[1])
+        got = unsharp_mask(batch, 1.0, 0.6, impl="pallas")
+        assert calls  # routed banded (batch is 64×64 → band 64)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-6)
+
+    def test_tpu_lowering_stays_supported(self):
+        import jax
+
+        from mdx.ops.pallas_kernels import unsharp_banded_tpu
+
+        x = jnp.zeros((1, 2048, 2048), jnp.float32)
+        jax.export.export(
+            jax.jit(lambda v, r, a: unsharp_banded_tpu(v, r, a, band=256)),
+            platforms=["tpu"])(x, jnp.ones((1,)), jnp.ones((1,)))

@@ -177,10 +177,17 @@ def main() -> None:
                 (lambda v: PK.bilateral_tpu(v, 5, sc, sc, interpret=True)),
             }
         for op, pair in ab_pairs.items():
-            pj = jax.jit(lambda v, _a=pair["xla"], _b=pair["pallas"]:
-                         jnp.max(jnp.abs(_a(v) - _b(v))))
-            print(f"{op + ' parity max|xla-pallas|':34s} "
-                  f"{float(pj(x)):8.2e}")
+            try:
+                pj = jax.jit(lambda v, _a=pair["xla"], _b=pair["pallas"]:
+                             jnp.max(jnp.abs(_a(v) - _b(v))))
+                print(f"{op + ' parity max|xla-pallas|':34s} "
+                      f"{float(pj(x)):8.2e}")
+            except ValueError as exc:
+                # a pinned 'pallas' that cannot dispatch at this shape
+                # (e.g. bilateral above 1024² has no banded kernel) —
+                # skip the pair instead of crashing the tunnel window
+                print(f"{op}: skipped ({exc})")
+                continue
             for variant, fn in pair.items():
                 timeit(f"{op}:{variant}", fn, force=True)
 
