@@ -18,6 +18,23 @@ bilinear-interpolation matrices (clamped half-tile-shifted hat weights),
 so the per-tile reduction and the LUT upsample are plain [H,gy]-shaped
 matmuls on the MXU — no reshapes, no gathers, no scatters.  The only VPU
 sweeps are the (q == b) compares.
+
+Kernel index (all interpret-parity-tested in tests/test_pallas.py; the
+``MDX_*_IMPL`` knobs and their A/B status live in docs/PERF.md):
+
+* CLAHE — whole-image (``clahe_tpu``/``_clahe_kernel``, ≤1024²), banded
+  two-phase (``_clahe_banded``, >1024²), and the experimental gather
+  remaps (``clahe_gather_tpu``/``clahe_banded_gather_tpu``,
+  tpu.dynamic_gather, MDX_CLAHE_IMPL)
+* TV-Chambolle — whole-solve-in-VMEM (``tv_chambolle_tpu``, ≤1024²) and
+  banded per-iteration (``tv_chambolle_banded``, halo rows snapshotted
+  in XLA)
+* Box statistics — both local-variance box pairs + image moments in one
+  kernel (``box_stats_tpu``)
+* Unsharp — fused blur+combine, whole-image (``unsharp_tpu``) and banded
+  (``unsharp_banded_tpu``); MDX_UNSHARP_IMPL, gated pending hardware A/B
+* Bilateral — fused d² window (``bilateral_tpu``); MDX_BILATERAL_IMPL,
+  gated pending hardware A/B
 """
 
 from __future__ import annotations
