@@ -1407,3 +1407,143 @@ def unsharp_banded_tpu(
         interpret=interpret,
     )(taps, amount_arr, xs)
     return out.reshape(n, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Fused Haar (db1) BayesShrink wavelet denoise — whole transform in VMEM
+# ---------------------------------------------------------------------------
+# The product denoise (ref pipeline/enhancement.py:169-174, skimage
+# denoise_wavelet db1 BayesShrink) runs a multi-level separable DWT,
+# per-band soft/hard thresholds, and the inverse transform — ~10 XLA
+# fusions streaming level intermediates through HBM (the wavelet phases
+# total ~1.8 ms of the 29 ms pass at 24% roofline).  For db1 on
+# 2^levels-divisible extents the analysis never reads the boundary
+# extension, so every step is a reshape-deinterleave + 2-tap MAC — all
+# Mosaic-lowerable — and the whole denoise fits in VMEM per image.
+
+_AUTO_WAVELET_PALLAS = False  # pending the hardware A/B (profile_pass --ab wavelet)
+
+
+def wavelet_use_pallas(impl: str | None = None) -> bool:
+    """True when the dense TPU db1 denoise should run as the fused Pallas
+    kernel instead of the XLA shift-MAC lowering.  Knob semantics: see
+    :func:`_impl_mode` (MDX_WAVELET_IMPL)."""
+    mode = _impl_mode("MDX_WAVELET_IMPL", impl, ("pallas", "xla"))
+    if mode == "auto":
+        return _AUTO_WAVELET_PALLAS
+    return mode == "pallas"
+
+
+def _wavelet_denoise_kernel(sigma_ref, soft_ref, x_ref, out_ref, *,
+                            h: int, w: int, levels: int,
+                            lo: tuple, hi: tuple):
+    """One image per grid step; the full wavedec2→shrink→waverec2 chain
+    stays in VMEM.  Taps/accumulation order match mdx/ops/wavelet.py
+    (_analysis_last / _synthesis_last) exactly; the even-extent db1
+    analysis provably never reads the symmetric extension, so the
+    reshape-deinterleave form is the same arithmetic."""
+    i = pl.program_id(0)
+    x = x_ref[0]
+    sigma = sigma_ref[i]
+    soft = soft_ref[i]
+    noise_var = sigma * sigma
+    eps = float(np.finfo(np.float32).eps)
+    lo_r = (lo[1], lo[0])  # _analysis_last uses time-reversed taps
+    hi_r = (hi[1], hi[0])
+
+    def fwd_rows(v, vh, vw):
+        vr = v.reshape(vh // 2, 2, vw)
+        e, o = vr[:, 0, :], vr[:, 1, :]
+        return lo_r[0] * e + lo_r[1] * o, hi_r[0] * e + hi_r[1] * o
+
+    def fwd_cols(v, vh, vw):
+        vr = v.reshape(vh, vw // 2, 2)
+        e, o = vr[:, :, 0], vr[:, :, 1]
+        return lo_r[0] * e + lo_r[1] * o, hi_r[0] * e + hi_r[1] * o
+
+    def syn_cols(a, d, vh, vw2):
+        # out[.., 2q] = lo[1]·a[q] + hi[1]·d[q]; out[.., 2q+1] = lo[0]·a + hi[0]·d
+        even = lo[1] * a + hi[1] * d
+        odd = lo[0] * a + hi[0] * d
+        return jnp.stack([even, odd], axis=-1).reshape(vh, 2 * vw2)
+
+    def syn_rows(a, d, vh2, vw):
+        even = lo[1] * a + hi[1] * d
+        odd = lo[0] * a + hi[0] * d
+        return jnp.stack([even, odd], axis=1).reshape(2 * vh2, vw)
+
+    # ---- analysis (dwt2 order: rows then cols) -------------------------
+    ll = x
+    vh, vw = h, w
+    details = []
+    for _ in range(levels):
+        a, d = fwd_rows(ll, vh, vw)
+        ll, lh = fwd_cols(a, vh // 2, vw)
+        hl, hh = fwd_cols(d, vh // 2, vw)
+        vh //= 2
+        vw //= 2
+        details.append((lh, hl, hh, vh, vw))
+
+    # ---- BayesShrink per detail band -----------------------------------
+    def shrink(band):
+        dvar = jnp.mean(band * band)
+        t = noise_var / jnp.sqrt(jnp.maximum(dvar - noise_var, eps))
+        soft_v = jnp.sign(band) * jnp.maximum(jnp.abs(band) - t, 0.0)
+        hard_v = jnp.where(jnp.abs(band) > t, band, 0.0)
+        return jnp.where(soft > 0.0, soft_v, hard_v)
+
+    # ---- synthesis (idwt2 order: cols then rows) -----------------------
+    for lh, hl, hh, vh, vw in reversed(details):
+        a = syn_cols(ll, shrink(lh), vh, vw)
+        d = syn_cols(shrink(hl), shrink(hh), vh, vw)
+        ll = syn_rows(a, d, vh, 2 * vw)
+
+    out_ref[0] = ll
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "interpret"))
+def wavelet_denoise_tpu(
+    x: jnp.ndarray,
+    sigma: jnp.ndarray,
+    soft: jnp.ndarray,
+    levels: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused Pallas db1 BayesShrink denoise of [N,H,W].
+
+    ``sigma``: per-image [N] noise sigma (callers estimate it first —
+    the MAD median search stays in XLA where it is already at 51% of
+    roofline).  ``soft``: per-image [N] bool/float, True → soft
+    thresholding.  H and W must be divisible by 2**levels (the caller's
+    dispatch gate; db1 on even extents never reads the boundary
+    extension)."""
+    from mdx.refimpl.wavelet_np import qmf_pair
+
+    n, h, w = x.shape
+    div = 1 << levels
+    if h % div or w % div:
+        raise ValueError(f"extents {h}x{w} not divisible by 2^{levels}")
+    lo, hi = qmf_pair("db1")
+    sigma_arr = jnp.broadcast_to(
+        jnp.asarray(sigma, jnp.float32).reshape(-1), (n,))
+    soft_arr = jnp.broadcast_to(
+        jnp.asarray(soft, jnp.float32).reshape(-1), (n,))
+    kernel = functools.partial(
+        _wavelet_denoise_kernel, h=h, w=w, levels=int(levels),
+        lo=(float(lo[0]), float(lo[1])), hi=(float(hi[0]), float(hi[1])))
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(sigma_arr, soft_arr, x)

@@ -175,6 +175,7 @@ def denoise_wavelet(
     wavelet: str = "db1",
     wavelet_levels: int | None = None,
     soft_mask: jnp.ndarray | None = None,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Batched BayesShrink wavelet denoise of [N,H,W].
 
@@ -182,10 +183,44 @@ def denoise_wavelet(
     a scalar, or a per-image [N] vector.  ``soft_mask`` ([N] bool) optionally
     selects soft/hard thresholding per image (overrides ``mode``), enabling
     mixed-mode candidate batches in the tuning loop.
+
+    On TPU, db1 on 2^levels-divisible extents ≤1024² can run the whole
+    transform chain as one fused VMEM-resident Pallas kernel
+    (``wavelet_denoise_tpu``) behind MDX_WAVELET_IMPL (auto = XLA until
+    the hardware A/B); ``impl`` pins one lowering (an undispatchable
+    explicit 'pallas' pin raises — see the unsharp/bilateral precedent).
     """
     n = x.shape[0]
     if wavelet_levels is None:
         wavelet_levels = default_levels(x.shape[-2:], wavelet)
+
+    from mdx.ops.pallas_kernels import (
+        _WHOLE_IMAGE_LIMIT,
+        on_tpu_backend,
+        wavelet_denoise_tpu,
+        wavelet_use_pallas,
+    )
+
+    h, w = x.shape[-2:]
+    div = 1 << wavelet_levels
+    kernel_ok = (wavelet == "db1" and h % div == 0 and w % div == 0
+                 and h * w <= _WHOLE_IMAGE_LIMIT)
+    if wavelet_use_pallas(impl) and kernel_ok and on_tpu_backend():
+        if sigma is None:
+            from mdx.ops.quantile import median_rows
+
+            hh1 = dwt2(x, wavelet)[1][2]
+            sigma = median_rows(jnp.abs(hh1.reshape(n, -1))) * jnp.asarray(
+                MAD_TO_SIGMA, x.dtype)
+        soft = (soft_mask if soft_mask is not None
+                else jnp.full((n,), mode == "soft", bool))
+        return wavelet_denoise_tpu(x, sigma, soft, wavelet_levels)
+    if impl is not None and wavelet_use_pallas(impl):
+        raise ValueError(
+            f"wavelet impl='pallas' pinned but not dispatchable: "
+            f"backend {'tpu' if on_tpu_backend() else 'non-tpu'}, "
+            f"wavelet {wavelet}, extents {h}x{w} vs 2^{wavelet_levels} "
+            f"divisibility and limit {_WHOLE_IMAGE_LIMIT}")
     ll, details, shapes = wavedec2(x, wavelet, wavelet_levels)
     if sigma is None:
         from mdx.ops.quantile import median_rows

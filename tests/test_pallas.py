@@ -698,3 +698,116 @@ class TestUnsharpBanded:
         jax.export.export(
             jax.jit(lambda v, r, a: unsharp_banded_tpu(v, r, a, band=256)),
             platforms=["tpu"])(x, jnp.ones((1,)), jnp.ones((1,)))
+
+
+class TestWaveletDenoisePallas:
+    """Fused Haar BayesShrink kernel (pallas_kernels.wavelet_denoise_tpu)."""
+
+    def _sigma(self, x):
+        from mdx.ops.quantile import median_rows
+        from mdx.ops.wavelet import dwt2
+        from mdx.refimpl.wavelet_np import MAD_TO_SIGMA
+
+        hh1 = dwt2(x, "db1")[1][2]
+        return median_rows(jnp.abs(hh1.reshape(x.shape[0], -1))) \
+            * jnp.float32(MAD_TO_SIGMA)
+
+    @pytest.mark.parametrize("mode", ["soft", "hard"])
+    def test_matches_xla(self, batch, mode):
+        from mdx.ops.pallas_kernels import wavelet_denoise_tpu
+        from mdx.ops.wavelet import default_levels, denoise_wavelet
+
+        lv = default_levels(batch.shape[-2:], "db1")
+        sig = self._sigma(batch)
+        want = denoise_wavelet(batch, sigma=sig, mode=mode,
+                               wavelet_levels=lv)
+        got = wavelet_denoise_tpu(batch, sig,
+                                  jnp.full((2,), mode == "soft"),
+                                  lv, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=2e-6)
+
+    def test_mixed_soft_mask_and_sigma_vector(self):
+        from mdx.ops.pallas_kernels import wavelet_denoise_tpu
+        from mdx.ops.wavelet import denoise_wavelet
+
+        r = np.random.default_rng(3)
+        x = jnp.asarray(r.random((3, 96, 64), np.float32))
+        sig = jnp.asarray([0.03, 0.08, 0.05], jnp.float32)
+        mask = jnp.asarray([True, False, True])
+        want = denoise_wavelet(x, sigma=sig, wavelet_levels=4,
+                               soft_mask=mask)
+        got = wavelet_denoise_tpu(x, sig, mask, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=2e-6)
+
+    def test_matches_refimpl(self, noisy_image):
+        from mdx.ops.pallas_kernels import wavelet_denoise_tpu
+        from mdx.refimpl.wavelet_np import denoise_wavelet as dn_np
+
+        x = jnp.asarray(noisy_image, jnp.float32)[None]
+        sig = self._sigma(x)
+        got = wavelet_denoise_tpu(x, sig, jnp.ones((1,)), 3,
+                                  interpret=True)
+        ref = dn_np(np.asarray(noisy_image, np.float64),
+                    sigma=float(sig[0]), mode="soft", wavelet="db1",
+                    wavelet_levels=3)
+        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
+
+    def test_rejects_non_divisible(self, batch):
+        from mdx.ops.pallas_kernels import wavelet_denoise_tpu
+
+        with pytest.raises(ValueError, match="divisible"):
+            wavelet_denoise_tpu(batch[:, :60, :], jnp.ones((2,)),
+                                jnp.ones((2,)), 3, interpret=True)
+
+    def test_knob_routes_denoise(self, batch, monkeypatch):
+        """MDX_WAVELET_IMPL=pallas on a (faked) TPU backend routes the op
+        through the kernel, incl. the sigma=None estimate path."""
+        import jax
+
+        from mdx.ops import pallas_kernels as PK
+        from mdx.ops.wavelet import denoise_wavelet
+
+        want = denoise_wavelet(batch)  # real CPU path, sigma estimated
+        monkeypatch.setenv("MDX_WAVELET_IMPL", "pallas")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        calls = []
+        real = PK.wavelet_denoise_tpu
+        monkeypatch.setattr(
+            PK, "wavelet_denoise_tpu",
+            lambda v, s, m, lv: (calls.append(1),
+                                 real(v, s, m, lv, interpret=True))[1])
+        got = denoise_wavelet(batch)
+        assert calls
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=2e-6)
+
+    def test_pin_raises_for_db2(self, batch):
+        from mdx.ops.wavelet import denoise_wavelet
+
+        with pytest.raises(ValueError, match="not dispatchable"):
+            denoise_wavelet(batch, wavelet="db2", impl="pallas")
+
+    def test_impl_knob(self, monkeypatch):
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.delenv("MDX_WAVELET_IMPL", raising=False)
+        assert PK.wavelet_use_pallas() is PK._AUTO_WAVELET_PALLAS
+        monkeypatch.setenv("MDX_WAVELET_IMPL", "pallas")
+        assert PK.wavelet_use_pallas()
+        assert not PK.wavelet_use_pallas(impl="xla")
+        monkeypatch.setenv("MDX_WAVELET_IMPL", "nope")
+        with pytest.raises(ValueError, match="MDX_WAVELET_IMPL"):
+            PK.wavelet_use_pallas()
+
+    def test_tpu_lowering_stays_supported(self):
+        import jax
+
+        from mdx.ops.pallas_kernels import wavelet_denoise_tpu
+
+        x = jnp.zeros((2, 512, 512), jnp.float32)
+        s = jnp.full((2,), 0.05, jnp.float32)
+        jax.export.export(
+            jax.jit(lambda v, sg, sf: wavelet_denoise_tpu(v, sg, sf, 6)),
+            platforms=["tpu"])(x, s, s)

@@ -176,6 +176,23 @@ def main() -> None:
                 if on_tpu else
                 (lambda v: PK.bilateral_tpu(v, 5, sc, sc, interpret=True)),
             }
+        if "wavelet" in args.ab:
+            def _wav_pallas_interp(v):
+                from mdx.ops.quantile import median_rows
+                from mdx.refimpl.wavelet_np import MAD_TO_SIGMA
+
+                lv = W.default_levels(v.shape[-2:], "db1")
+                hh1 = W.dwt2(v, "db1")[1][2]
+                sig = median_rows(jnp.abs(hh1.reshape(v.shape[0], -1))) \
+                    * jnp.float32(MAD_TO_SIGMA)
+                return PK.wavelet_denoise_tpu(
+                    v, sig, jnp.ones((v.shape[0],)), lv, interpret=True)
+
+            ab_pairs["wavelet"] = {
+                "xla": lambda v: W.denoise_wavelet(v, impl="xla"),
+                "pallas": (lambda v: W.denoise_wavelet(v, impl="pallas"))
+                if on_tpu else _wav_pallas_interp,
+            }
         for op, pair in ab_pairs.items():
             try:
                 pj = jax.jit(lambda v, _a=pair["xla"], _b=pair["pallas"]:
