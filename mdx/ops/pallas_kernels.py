@@ -35,6 +35,8 @@ Kernel index (all interpret-parity-tested in tests/test_pallas.py; the
   (``unsharp_banded_tpu``); MDX_UNSHARP_IMPL, gated pending hardware A/B
 * Bilateral — fused d² window (``bilateral_tpu``); MDX_BILATERAL_IMPL,
   gated pending hardware A/B
+* Wavelet denoise — fused db1 BayesShrink chain
+  (``wavelet_denoise_tpu``); MDX_WAVELET_IMPL, gated pending hardware A/B
 """
 
 from __future__ import annotations

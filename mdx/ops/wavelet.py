@@ -143,14 +143,22 @@ def waverec2(ll, details, shapes, wavelet: str):
 # ---------------------------------------------------------------------------
 
 
+def mad_sigma_from_hh(hh: jnp.ndarray) -> jnp.ndarray:
+    """Per-image MAD noise sigma [N] from a finest-HH subband [N,h,w]:
+    median|HH| / Φ⁻¹(0.75) (PyWavelets/skimage convention).  The single
+    home of this formula — shared by :func:`estimate_sigma`, both
+    denoise_wavelet branches, and the A/B tooling/tests."""
+    from mdx.ops.quantile import median_rows
+
+    n = hh.shape[0]
+    return median_rows(jnp.abs(hh.reshape(n, -1))) * jnp.asarray(
+        MAD_TO_SIGMA, hh.dtype)
+
+
 def estimate_sigma(x: jnp.ndarray) -> jnp.ndarray:
     """Per-image wavelet-MAD noise sigma, [N] (ref pipeline/metrics.py:47)."""
     _, (_, _, hh) = dwt2(x, "db2")
-    n = x.shape[0]
-    from mdx.ops.quantile import median_rows
-
-    med = median_rows(jnp.abs(hh.reshape(n, -1)))
-    return med * jnp.asarray(MAD_TO_SIGMA, x.dtype)
+    return mad_sigma_from_hh(hh)
 
 
 def _soft(x, t):
@@ -207,11 +215,7 @@ def denoise_wavelet(
                  and h * w <= _WHOLE_IMAGE_LIMIT)
     if wavelet_use_pallas(impl) and kernel_ok and on_tpu_backend():
         if sigma is None:
-            from mdx.ops.quantile import median_rows
-
-            hh1 = dwt2(x, wavelet)[1][2]
-            sigma = median_rows(jnp.abs(hh1.reshape(n, -1))) * jnp.asarray(
-                MAD_TO_SIGMA, x.dtype)
+            sigma = mad_sigma_from_hh(dwt2(x, wavelet)[1][2])
         soft = (soft_mask if soft_mask is not None
                 else jnp.full((n,), mode == "soft", bool))
         return wavelet_denoise_tpu(x, sigma, soft, wavelet_levels)
@@ -223,11 +227,7 @@ def denoise_wavelet(
             f"divisibility and limit {_WHOLE_IMAGE_LIMIT}")
     ll, details, shapes = wavedec2(x, wavelet, wavelet_levels)
     if sigma is None:
-        from mdx.ops.quantile import median_rows
-
-        hh1 = details[-1][2]
-        sigma = median_rows(jnp.abs(hh1.reshape(n, -1))) * jnp.asarray(
-            MAD_TO_SIGMA, x.dtype)
+        sigma = mad_sigma_from_hh(details[-1][2])
     sigma = jnp.broadcast_to(jnp.asarray(sigma, x.dtype), (n,))
     noise_var = sigma * sigma
     eps = jnp.asarray(np.finfo(np.float32).eps, x.dtype)

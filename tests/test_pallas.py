@@ -704,13 +704,9 @@ class TestWaveletDenoisePallas:
     """Fused Haar BayesShrink kernel (pallas_kernels.wavelet_denoise_tpu)."""
 
     def _sigma(self, x):
-        from mdx.ops.quantile import median_rows
-        from mdx.ops.wavelet import dwt2
-        from mdx.refimpl.wavelet_np import MAD_TO_SIGMA
+        from mdx.ops.wavelet import dwt2, mad_sigma_from_hh
 
-        hh1 = dwt2(x, "db1")[1][2]
-        return median_rows(jnp.abs(hh1.reshape(x.shape[0], -1))) \
-            * jnp.float32(MAD_TO_SIGMA)
+        return mad_sigma_from_hh(dwt2(x, "db1")[1][2])
 
     @pytest.mark.parametrize("mode", ["soft", "hard"])
     def test_matches_xla(self, batch, mode):
@@ -806,8 +802,10 @@ class TestWaveletDenoisePallas:
 
         from mdx.ops.pallas_kernels import wavelet_denoise_tpu
 
-        x = jnp.zeros((2, 512, 512), jnp.float32)
         s = jnp.full((2,), 0.05, jnp.float32)
-        jax.export.export(
-            jax.jit(lambda v, sg, sf: wavelet_denoise_tpu(v, sg, sf, 6)),
-            platforms=["tpu"])(x, s, s)
+        for hw, lv in ((512, 6), (1024, 7)):
+            x = jnp.zeros((2, hw, hw), jnp.float32)
+            jax.export.export(
+                jax.jit(lambda v, sg, sf, _lv=lv:
+                        wavelet_denoise_tpu(v, sg, sf, _lv)),
+                platforms=["tpu"])(x, s, s)

@@ -52,13 +52,17 @@ def main() -> None:
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated block-name substrings to run")
     ap.add_argument("--ab", type=str, default="",
-                    help="comma-separated ops to A/B (unsharp,bilateral): "
-                         "times the xla vs pallas lowering with a "
-                         "device-side max-abs-diff parity scalar; each "
-                         "candidate PINS its lowering (immune to the "
-                         "MDX_*_IMPL env).  On a CPU backend the pallas "
-                         "candidate runs in interpret mode (tool "
-                         "validation only; timings meaningless)")
+                    help="comma-separated ops to A/B "
+                         "(unsharp,bilateral,wavelet): times the xla vs "
+                         "pallas lowering with a device-side "
+                         "max-abs-diff parity scalar; each candidate "
+                         "PINS its lowering (immune to the MDX_*_IMPL "
+                         "env).  On a CPU backend the pallas candidate "
+                         "runs in interpret mode (tool validation only; "
+                         "timings meaningless)")
+    ap.add_argument("--ab-only", action="store_true",
+                    help="run ONLY the --ab pairs, skipping the regular "
+                         "profile blocks (the tunnel-window A/B mode)")
     args = ap.parse_args()
 
     import jax
@@ -84,8 +88,10 @@ def main() -> None:
 
     def timeit(name, fn, force=False):
         """fn: [N,H,W] -> [N,H,W]-ish array; chained reps, scalar fetch.
-        ``force`` bypasses the --only filter (--ab rows were explicitly
-        requested)."""
+        ``force`` bypasses the --only/--ab-only filters (--ab rows were
+        explicitly requested)."""
+        if not force and args.ab_only:
+            return
         if (not force and args.only
                 and not any(s in name for s in args.only.split(","))):
             return
@@ -178,13 +184,8 @@ def main() -> None:
             }
         if "wavelet" in args.ab:
             def _wav_pallas_interp(v):
-                from mdx.ops.quantile import median_rows
-                from mdx.refimpl.wavelet_np import MAD_TO_SIGMA
-
                 lv = W.default_levels(v.shape[-2:], "db1")
-                hh1 = W.dwt2(v, "db1")[1][2]
-                sig = median_rows(jnp.abs(hh1.reshape(v.shape[0], -1))) \
-                    * jnp.float32(MAD_TO_SIGMA)
+                sig = W.mad_sigma_from_hh(W.dwt2(v, "db1")[1][2])
                 return PK.wavelet_denoise_tpu(
                     v, sig, jnp.ones((v.shape[0],)), lv, interpret=True)
 
