@@ -16,7 +16,6 @@ traced, so CLAHE parameter sweeps in the tuning loop do not recompile.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

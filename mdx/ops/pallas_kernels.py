@@ -1138,7 +1138,8 @@ def tv_band_for(h: int) -> int:
 # fixed ±12 support) and amounts arrive in SMEM, so parameter sweeps
 # never recompile.
 
-_AUTO_UNSHARP_PALLAS = False  # pending the hardware A/B (profile_pass --only unsharp, MDX_UNSHARP_IMPL=pallas vs xla)
+# pending the hardware A/B (profile_pass --ab unsharp ...)
+_AUTO_UNSHARP_PALLAS = False
 
 
 def unsharp_use_pallas(impl: str | None = None) -> bool:
@@ -1231,7 +1232,8 @@ def unsharp_tpu(
 # Bilateral filter — VMEM-resident unrolled window
 # ---------------------------------------------------------------------------
 
-_AUTO_BILATERAL_PALLAS = False  # pending the hardware A/B (profile_pass --only bilateral, MDX_BILATERAL_IMPL=pallas vs xla)
+# pending the hardware A/B (profile_pass --ab bilateral ...)
+_AUTO_BILATERAL_PALLAS = False
 
 
 def bilateral_use_pallas(impl: str | None = None) -> bool:

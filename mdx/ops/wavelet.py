@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from mdx.refimpl.wavelet_np import FILTERS, MAD_TO_SIGMA, qmf_pair, max_level
+from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair, max_level
 
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
 
