@@ -91,12 +91,46 @@ def _lv_box_stats(x: jnp.ndarray):
             jnp.std(lv16, axis=-1))
 
 
-def image_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+def _use_stats_kernel(x: jnp.ndarray, impl: str | None) -> bool:
+    try:
+        from mdx.ops.pallas_kernels import (
+            on_tpu_backend,
+            stats_fits,
+            stats_use_pallas,
+        )
+
+        return (on_tpu_backend() and stats_use_pallas(impl)
+                and stats_fits(x.shape[1], x.shape[2]))
+    except Exception:
+        return False
+
+
+def image_stats(x: jnp.ndarray,
+                impl: str | None = None) -> dict[str, jnp.ndarray]:
     """All 16 metrics + ``niqe`` + ``edge_ratio`` per image: [N,H,W] → {[N]}.
 
     Formulas: ref pipeline/metrics.py:42-158 (metrics), :187-210 (NIQE),
     :213-217 (edge ratio).
-    """
+
+    On TPU at ≤512² the whole pass can run as ONE fused Pallas kernel
+    (mdx/ops/pallas_kernels.py ``stats_tpu`` — same formulas, exact
+    percentiles, bit-identical histogram counts) behind MDX_STATS_IMPL
+    (auto = the multi-phase XLA program until the hardware A/B).
+    ``impl`` pins one lowering over the env knob (A/B tooling); an
+    explicit 'pallas' pin that cannot dispatch raises rather than
+    silently timing the XLA program."""
+    if _use_stats_kernel(x, impl):
+        from mdx.ops.pallas_kernels import stats_tpu
+
+        return stats_tpu(x)
+    if impl is not None:
+        from mdx.ops.pallas_kernels import stats_fits, stats_use_pallas
+
+        if stats_use_pallas(impl):
+            raise ValueError(
+                f"image_stats impl='pallas' pinned but not dispatchable: "
+                f"shape {x.shape} vs stats_fits "
+                f"{stats_fits(x.shape[1], x.shape[2])}, or non-TPU backend")
     n = x.shape[0]
     flatten = lambda a: a.reshape(n, -1)
 

@@ -55,10 +55,11 @@ def test_bench_clahe_interpret_smoke():
 def test_profile_pass_ab_only_smoke():
     stdout = _run_tool("tools/profile_pass.py",
                        ["--batch", "1", "--hw", "64", "--reps", "1",
-                        "--ab", "unsharp,bilateral,wavelet", "--ab-only"])
+                        "--ab", "unsharp,bilateral,wavelet,stats",
+                        "--ab-only"])
     lines = stdout.strip().splitlines()
-    # three parity rows + six timing rows, no regular profile blocks
-    for op in ("unsharp", "bilateral", "wavelet"):
+    # four parity rows + eight timing rows, no regular profile blocks
+    for op in ("unsharp", "bilateral", "wavelet", "stats"):
         assert any(f"{op} parity" in ln for ln in lines), lines
         assert any(ln.startswith(f"{op}:xla") for ln in lines), lines
         assert any(ln.startswith(f"{op}:pallas") for ln in lines), lines
