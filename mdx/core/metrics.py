@@ -98,11 +98,13 @@ def _use_stats_kernel(x: jnp.ndarray, impl: str | None) -> bool:
             stats_fits,
             stats_use_pallas,
         )
-
-        return (on_tpu_backend() and stats_use_pallas(impl)
-                and stats_fits(x.shape[1], x.shape[2]))
     except Exception:
         return False
+    # outside the try: an unrecognised MDX_STATS_IMPL must raise (the
+    # knob is trace-time-only — a typo silently meaning xla would be
+    # invisible, the _impl_mode contract all four sibling knobs share)
+    return (on_tpu_backend() and stats_use_pallas(impl)
+            and stats_fits(x.shape[1], x.shape[2]))
 
 
 def image_stats(x: jnp.ndarray,

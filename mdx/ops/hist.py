@@ -38,7 +38,12 @@ def bin_indices(x: jnp.ndarray, bins: int,
         e_lo = idxf / bins
         e_hi = (idxf + 1.0) / bins
     else:
-        hi_s = jnp.maximum(hi, 1e-30).astype(jnp.float32)[:, None]
+        # hi: [N] per-image edges for [N, P] data, or a traced scalar
+        # broadcast over any shape (the fused stats kernel's per-plane
+        # call) — identical arithmetic either way
+        hi_s = jnp.maximum(hi, 1e-30).astype(jnp.float32)
+        if hi_s.ndim:
+            hi_s = hi_s[:, None]
         idx = jnp.floor(x * (jnp.float32(bins) / hi_s))
         idxf = jnp.clip(idx, 0.0, bins - 1.0)
         e_lo = (idxf / bins) * hi_s

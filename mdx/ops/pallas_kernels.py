@@ -1610,17 +1610,17 @@ _ORD_SIGN = 0x80000000
 
 
 def _k_to_u32(v: jnp.ndarray) -> jnp.ndarray:
-    """Order-preserving f32 → u32 bijection (quantile.py _to_ordered_u32,
-    NaN-free inputs)."""
-    sign = jnp.uint32(_ORD_SIGN)
-    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-    return jnp.where(u & sign == 0, u | sign, ~u)
+    """quantile.py's order-preserving f32 → u32 bijection, reused
+    directly — every op in it lowers through Mosaic (export-probed)."""
+    from mdx.ops.quantile import _to_ordered_u32
+
+    return _to_ordered_u32(v)
 
 
 def _k_from_u32(u: jnp.ndarray) -> jnp.ndarray:
-    sign = jnp.uint32(_ORD_SIGN)
-    bits = jnp.where(u & sign != 0, u & ~sign, ~u)
-    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    from mdx.ops.quantile import _from_ordered_u32
+
+    return _from_ordered_u32(u)
 
 
 def _k_bitsearch(u: jnp.ndarray, ranks: tuple) -> jnp.ndarray:
@@ -1702,37 +1702,32 @@ def _k_hist(q: jnp.ndarray, h: int, w: int, nbins: int) -> jnp.ndarray:
 
 
 def _k_entropy(hist: jnp.ndarray) -> jnp.ndarray:
-    """hist.entropy_from_hist on one [nh, 16] count table (kept 2-D —
-    the reduction is over all entries, so the shape is free)."""
-    total = jnp.sum(hist)
-    p = hist / jnp.maximum(total, 1.0)
-    logp = jnp.where(p > 0, jnp.log2(jnp.maximum(p, 1e-30)), 0.0)
-    return -jnp.sum(p * logp)
+    """hist.entropy_from_hist, reused on the [nh, 16] count table
+    reshaped to its [1, bins] contract (elementwise + last-axis
+    reductions — all Mosaic-lowerable)."""
+    from mdx.ops.hist import entropy_from_hist
+
+    return entropy_from_hist(hist.reshape(1, -1))[0]
 
 
 def _k_bin_idx01(x: jnp.ndarray, nbins: int) -> jnp.ndarray:
-    """hist.bin_indices(hi=None) on one plane: floor-multiply index with
-    the two-compare boundary fixup — bit-equivalent to edge compares."""
-    idx = jnp.floor(x * jnp.float32(nbins))
-    idxf = jnp.clip(idx, 0.0, nbins - 1.0)
-    e_lo = idxf / nbins
-    e_hi = (idxf + 1.0) / nbins
-    i = (idxf - (x < e_lo).astype(jnp.float32)
-         + (x >= e_hi).astype(jnp.float32))
-    return jnp.clip(i, 0.0, nbins - 1.0).astype(jnp.int32)
+    """hist.bin_indices(hi=None), reused directly on one plane (the
+    hi=None branch is purely elementwise and shape-agnostic) — the
+    boundary-fixup formula has exactly one home, so the kernel's
+    bit-identical-counts guarantee cannot drift from the XLA path."""
+    from mdx.ops.hist import bin_indices
+
+    return bin_indices(x, nbins)
 
 
 def _k_bin_idx_scaled(x: jnp.ndarray, nbins: int,
                       hi: jnp.ndarray) -> jnp.ndarray:
-    """hist.bin_indices with a traced per-image upper edge ``hi``."""
-    hi_s = jnp.maximum(hi, 1e-30).astype(jnp.float32)
-    idx = jnp.floor(x * (jnp.float32(nbins) / hi_s))
-    idxf = jnp.clip(idx, 0.0, nbins - 1.0)
-    e_lo = (idxf / nbins) * hi_s
-    e_hi = ((idxf + 1.0) / nbins) * hi_s
-    i = (idxf - (x < e_lo).astype(jnp.float32)
-         + (x >= e_hi).astype(jnp.float32))
-    return jnp.clip(i, 0.0, nbins - 1.0).astype(jnp.int32)
+    """hist.bin_indices, reused with its scalar-``hi`` broadcast form
+    (no reshape: merging [h, w] into one row would force a Mosaic
+    relayout; the scalar edge broadcasts over the plane instead)."""
+    from mdx.ops.hist import bin_indices
+
+    return bin_indices(x, nbins, hi)
 
 
 def _k_sympad87(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

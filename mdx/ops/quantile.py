@@ -31,10 +31,15 @@ Precondition: inputs must be NaN-free (everything in the mdx hot path is).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-_SIGN = jnp.uint32(0x80000000)
-_UMAX = jnp.uint32(0xFFFFFFFF)
+# NumPy scalars, not jnp.uint32 device constants: they inline as
+# literals wherever they are traced, and the fused stats Pallas kernel
+# reuses _to_ordered_u32/_from_ordered_u32 — a kernel cannot capture
+# pre-materialised host constant arrays.
+_SIGN = np.uint32(0x80000000)
+_UMAX = np.uint32(0xFFFFFFFF)
 
 
 def _to_ordered_u32(x: jnp.ndarray) -> jnp.ndarray:

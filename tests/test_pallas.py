@@ -938,3 +938,16 @@ class TestStatsKernel:
         assert stats_fits(512, 512)
         assert not stats_fits(1024, 1024)
         assert not stats_fits(8, 4096)
+
+    def test_env_typo_raises_on_tpu_backend(self, monkeypatch):
+        """An unrecognised MDX_STATS_IMPL must raise from the dispatch
+        gate on a TPU backend (regression: an `except Exception` around
+        the gate once swallowed it into a silent XLA fallback)."""
+        import jax
+
+        from mdx.core.metrics import image_stats
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("MDX_STATS_IMPL", "pallsa")
+        with pytest.raises(ValueError, match="MDX_STATS_IMPL"):
+            image_stats(self._mk((1, 64, 64)))
