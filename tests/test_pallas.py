@@ -951,3 +951,37 @@ class TestStatsKernel:
         monkeypatch.setenv("MDX_STATS_IMPL", "pallsa")
         with pytest.raises(ValueError, match="MDX_STATS_IMPL"):
             image_stats(self._mk((1, 64, 64)))
+
+    def test_qa_pass_integration_with_kernel(self, monkeypatch):
+        """The FULL deterministic QA program (metrics → detect → chain →
+        guards → validation → score) with the stats kernel dispatched:
+        catches jit-nesting / sub-batching integration breaks the
+        image_stats-level routing test cannot."""
+        import jax
+
+        from mdx.core import metrics as M
+        from mdx.core.qa import qa_deterministic
+        from mdx.ops import pallas_kernels as PK
+
+        x = self._mk((2, 96, 80), seed=11)
+        want = qa_deterministic(x)   # real CPU path first
+        # flip ONLY the stats gate (a faked TPU backend would dispatch
+        # the CLAHE/TV kernels non-interpret on CPU too)
+        monkeypatch.setattr(M, "_use_stats_kernel", lambda v, impl: True)
+        real = PK.stats_tpu
+        monkeypatch.setattr(PK, "stats_tpu",
+                            lambda v: real(v, interpret=True))
+        jax.clear_caches()   # same avals already traced with the XLA path
+        try:
+            got = qa_deterministic(x)
+        finally:
+            jax.clear_caches()  # don't leak kernel traces to later tests
+        w_enh, w_stats = want[0], want[1]
+        g_enh, g_stats = got[0], got[1]
+        np.testing.assert_allclose(np.asarray(g_enh), np.asarray(w_enh),
+                                   rtol=1e-4, atol=1e-5)
+        for k in w_stats:
+            rtol = 5e-4 if k == "local_contrast_std" else 2e-5
+            np.testing.assert_allclose(
+                np.asarray(g_stats[k]), np.asarray(w_stats[k]),
+                rtol=rtol, atol=1e-6, err_msg=k)

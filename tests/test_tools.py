@@ -74,3 +74,55 @@ def test_bench_spatial_smoke():
     stdout = _run_tool("tools/bench_spatial.py",
                        ["--hw", "128", "--reps", "1", "--only", "stats"])
     assert "image_stats" in stdout
+
+
+def test_tunnel_window_plan_contract():
+    """The tunnel-window orchestrator's step plan stays aligned with the
+    verify-skill checklist: probe first, all five A/B surfaces, three
+    serial bench reps, config-3 anchor — flag rot here would burn a
+    scarce tunnel window."""
+    out = subprocess.run([sys.executable, "tools/tunnel_window.py",
+                          "--plan"], cwd=REPO, capture_output=True,
+                         text=True, timeout=60)
+    assert out.returncode == 0, out.stderr[-500:]
+    import json
+
+    steps = {s["name"]: s for s in json.loads(out.stdout)}
+    assert list(steps)[0] == "probe"
+    assert "--sharded-remap" in steps["clahe"]["argv"]
+    for ab in ("ab512", "ab1024", "ab2048"):
+        argv = steps[ab]["argv"]
+        assert "unsharp,bilateral,wavelet,stats" in argv
+        assert "--ab-only" in argv
+    assert steps["ab2048"]["argv"][-2:] == ["--hw", "2048"]
+    assert sum(1 for n in steps if n.startswith("bench")) == 3
+    assert "config3" in steps
+
+
+def test_tunnel_window_abort_on_watchdog(tmp_path):
+    """A child exiting 2 (init watchdog: tunnel relapse) stops the
+    sequence and records the abort in summary.json."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import tunnel_window as TW
+    finally:
+        sys.path.pop(0)
+
+    calls = []
+
+    class _P:
+        def __init__(self, rc):
+            self.returncode = rc
+            self.stdout = "out"
+            self.stderr = ""
+
+    def fake_run(argv, **kw):
+        calls.append(argv)
+        # probe ok, first real step hits the watchdog
+        return _P(0 if len(calls) == 1 else 2)
+
+    summary = TW.run_steps(None, str(tmp_path), runner=fake_run)
+    assert len(calls) == 2          # probe + clahe, then stop
+    assert "watchdog" in summary["aborted"]
+    assert (tmp_path / "summary.json").exists()
+    assert (tmp_path / "probe.log").read_text() == "out"
