@@ -985,3 +985,21 @@ class TestStatsKernel:
             np.testing.assert_allclose(
                 np.asarray(g_stats[k]), np.asarray(w_stats[k]),
                 rtol=rtol, atol=1e-6, err_msg=k)
+
+    @pytest.mark.parametrize("shape", [(1, 16, 1024), (1, 1024, 16),
+                                       (2, 512, 512)])
+    def test_parity_extreme_aspect_and_full_size(self, shape):
+        """The fits-gate extremes: minimum-height/width planes (db2
+        analysis down to 9 output rows, single hist chunk) and the full
+        512² product shape."""
+        from mdx.core.metrics import image_stats
+        from mdx.ops.pallas_kernels import stats_tpu
+
+        x = self._mk(shape, seed=sum(shape))
+        want = image_stats(x)
+        got = stats_tpu(x, interpret=True)
+        for k in want:
+            rtol = 5e-4 if k == "local_contrast_std" else 2e-5
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=rtol, atol=1e-6, err_msg=f"{k} @ {shape}")
