@@ -135,9 +135,20 @@ def main() -> None:
                 return clahe_xla(v, c, 16, 256)
 
             g = _golden(x, clip)
-            for name, fn in cands.items():
-                row[f"parity_{name}"] = float(
-                    jnp.max(jnp.abs(fn(x, clip) - g)))
+            for name, fn in list(cands.items()):
+                # a formulation that fails the REAL backend compile
+                # (e.g. a Mosaic pass the client-side export check does
+                # not run) must not cost the window the other rows —
+                # record the failure and drop the candidate
+                try:
+                    row[f"parity_{name}"] = float(
+                        jnp.max(jnp.abs(fn(x, clip) - g)))
+                except Exception as e:  # noqa: BLE001
+                    row[f"error_{name}"] = str(e).split("\n")[0][:300]
+                    del cands[name]
+                    if not args.json:
+                        print(f"{spec.strip():>10s}  {name:14s} "
+                              f"COMPILE/RUN FAILED: {row[f'error_{name}']}")
             del g
 
         # timing: chained reps, scalar fetch
@@ -149,7 +160,15 @@ def main() -> None:
                     return carry * (1.0 + 1e-12 * jnp.mean(out))
                 return jnp.sum(jax.lax.fori_loop(0, args.reps, body, v))
 
-            float(loop(x, clip))  # compile + warm
+            try:
+                float(loop(x, clip))  # compile + warm
+            except Exception as e:  # noqa: BLE001
+                row.setdefault(f"error_{name}",
+                               str(e).split("\n")[0][:300])
+                if not args.json:
+                    print(f"{spec.strip():>10s}  {name:14s} "
+                          f"COMPILE/RUN FAILED: {row[f'error_{name}']}")
+                continue
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -193,7 +212,14 @@ def main() -> None:
                         return carry * (1.0 + 1e-12 * jnp.mean(out))
                     return jnp.sum(jax.lax.fori_loop(0, args.reps, body, v))
 
-                float(rloop(xp0))
+                try:
+                    float(rloop(xp0))
+                except Exception as e:  # noqa: BLE001
+                    row[f"error_{name}"] = str(e).split("\n")[0][:300]
+                    if not args.json:
+                        print(f"{spec.strip():>10s}  {name:14s} "
+                              f"COMPILE/RUN FAILED: {row[f'error_{name}']}")
+                    continue
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()

@@ -97,22 +97,49 @@ def main() -> None:
                 and not any(s in name for s in args.only.split(","))):
             return
 
-        @jax.jit
-        def loop(v):
-            def body(i, carry):
-                out = fn(carry)
-                # fold the result back into the carry so reps chain
-                s = jnp.sum(out) if out.ndim <= 1 else jnp.mean(out)
-                return carry * (1.0 + 1e-12 * s)
-            return jnp.sum(jax.lax.fori_loop(0, args.reps, body, v))
+        def make_loop(reps):
+            @jax.jit
+            def loop(v):
+                def body(i, carry):
+                    out = fn(carry)
+                    # fold the result back into the carry so reps chain
+                    s = jnp.sum(out) if out.ndim <= 1 else jnp.mean(out)
+                    return carry * (1.0 + 1e-12 * s)
+                return jnp.sum(jax.lax.fori_loop(0, reps, body, v))
+            return loop
 
-        float(loop(x))  # compile + warm
-        best = float("inf")
+        reps = args.reps
+        loop = make_loop(reps)
+        try:
+            float(loop(x))  # compile + warm
+        except Exception as e:  # noqa: BLE001
+            # a candidate that fails the REAL backend compile (Mosaic
+            # passes the client-side export check does not run) must
+            # not kill the remaining rows of a scarce tunnel window
+            print(f"{name:34s} COMPILE/RUN FAILED: "
+                  f"{str(e).splitlines()[0][:200]}")
+            return
+        t0 = time.perf_counter()
+        float(loop(x))
+        elapsed = time.perf_counter() - t0
+        # tiny ops drown in tunnel RTT at the default rep count (seen
+        # as NEGATIVE ms/batch after the subtraction): escalate reps
+        # until the loop body dominates the RTT by >=10x
+        while elapsed - rtt < 10 * rtt and reps < 4096:
+            scale = max(2, int((12 * rtt) / max(elapsed - rtt, 1e-4)))
+            reps = min(4096, reps * scale)
+            loop = make_loop(reps)
+            float(loop(x))
+            t0 = time.perf_counter()
+            float(loop(x))
+            elapsed = time.perf_counter() - t0
+        best = elapsed - rtt
         for _ in range(2):
             t0 = time.perf_counter()
             float(loop(x))
             best = min(best, time.perf_counter() - t0 - rtt)
-        print(f"{name:34s} {best / args.reps * 1e3:8.2f} ms/batch")
+        print(f"{name:34s} {best / reps * 1e3:8.2f} ms/batch"
+              + (f"  [reps={reps}]" if reps != args.reps else ""))
 
     static = E.PlanStatic(
         ops=("denoise", "clahe", "gamma", "unsharp", "post_denoise",
@@ -221,11 +248,13 @@ def main() -> None:
                 kind = "maxrel" if rel else "max"
                 print(f"{op + f' parity {kind}|xla-pallas|':34s} "
                       f"{float(pj(x)):8.2e}")
-            except ValueError as exc:
+            except Exception as exc:  # noqa: BLE001
                 # a pinned 'pallas' that cannot dispatch at this shape
-                # (e.g. bilateral above 1024² has no banded kernel) —
-                # skip the pair instead of crashing the tunnel window
-                print(f"{op}: skipped ({exc})")
+                # (e.g. bilateral above 1024² has no banded kernel), or
+                # one that fails the REAL backend compile (Mosaic passes
+                # the client-side export check does not run) — skip the
+                # pair instead of crashing the tunnel window
+                print(f"{op}: skipped ({str(exc).splitlines()[0][:200]})")
                 continue
             for variant, fn in pair.items():
                 timeit(f"{op}:{variant}", fn, force=True)
