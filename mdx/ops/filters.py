@@ -249,7 +249,7 @@ def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray,
     above the VMEM size limit) raises rather than silently timing the
     XLA lowering — a discarded pin would turn an A/B into same-vs-same."""
     from mdx.ops.pallas_kernels import (
-        _WHOLE_IMAGE_LIMIT,
+        _UNSHARP_WHOLE_LIMIT,
         on_tpu_backend,
         tv_band_for,
         unsharp_banded_tpu,
@@ -259,17 +259,23 @@ def unsharp_mask(x: jnp.ndarray, radius: jnp.ndarray, amount: jnp.ndarray,
 
     on_tpu = on_tpu_backend()
     h, w = x.shape[-2:]
-    band = 0 if h * w <= _WHOLE_IMAGE_LIMIT else tv_band_for(h)
-    if on_tpu and unsharp_use_pallas(impl):
-        if h * w <= _WHOLE_IMAGE_LIMIT:
+    # whole-image kernel only at the ≤512² class (its scoped-VMEM ask at
+    # 4×1024² measured 114.93M vs the 100M limit); above it the banded
+    # kernel (bit-identical) covers any H a band divides
+    whole = h * w <= _UNSHARP_WHOLE_LIMIT
+    band = 0 if whole else tv_band_for(h)
+    kind = "whole" if whole else "banded"
+    if on_tpu and unsharp_use_pallas(impl, kind):
+        if whole:
             return unsharp_tpu(x, radius, amount)
-        if band:  # >1024² class: banded kernel when a band divides H
+        if band:
             return unsharp_banded_tpu(x, radius, amount, band=band)
-    if impl is not None and unsharp_use_pallas(impl):
+    if impl is not None and unsharp_use_pallas(impl, kind):
         raise ValueError(
             f"unsharp impl='pallas' pinned but not dispatchable: "
             f"backend {'tpu' if on_tpu else 'non-tpu'}, "
-            f"h*w {h * w} vs limit {_WHOLE_IMAGE_LIMIT}, band {band}")
+            f"h*w {h * w} vs whole limit {_UNSHARP_WHOLE_LIMIT}, "
+            f"band {band}")
     amount = jnp.asarray(amount, x.dtype)
     if amount.ndim == 1:  # per-image
         amount = amount[:, None, None]

@@ -22,25 +22,29 @@ sweeps are the (q == b) compares.
 Kernel index (all interpret-parity-tested in tests/test_pallas.py; the
 ``MDX_*_IMPL`` knobs and their A/B status live in docs/PERF.md):
 
-* CLAHE — whole-image (``clahe_tpu``/``_clahe_kernel``, ≤1024²), banded
-  two-phase (``_clahe_banded``, >1024²), and the experimental gather
-  remaps (``clahe_gather_tpu``/``clahe_banded_gather_tpu``,
-  tpu.dynamic_gather, MDX_CLAHE_IMPL)
+* CLAHE — whole-image (``clahe_tpu``/``_clahe_kernel``, ≤1024²) and
+  banded two-phase (``_clahe_banded``, >1024²); the gather remap
+  alternative was deleted after the real backend rejected multi-vreg
+  ``tpu.dynamic_gather`` (docs/PERF.md measured dead ends)
 * TV-Chambolle — whole-solve-in-VMEM (``tv_chambolle_tpu``, ≤1024²) and
   banded per-iteration (``tv_chambolle_banded``, halo rows snapshotted
   in XLA)
 * Box statistics — both local-variance box pairs + image moments in one
   kernel (``box_stats_tpu``)
-* Unsharp — fused blur+combine, whole-image (``unsharp_tpu``) and banded
-  (``unsharp_banded_tpu``); MDX_UNSHARP_IMPL, gated pending hardware A/B
+* Unsharp — fused blur+combine, whole-image (``unsharp_tpu``, ≤512²)
+  and banded (``unsharp_banded_tpu``); MDX_UNSHARP_IMPL, measured ON
+  (1.8–2.9× vs the XLA conv, 2026-08-18)
 * Bilateral — fused d² window (``bilateral_tpu``); MDX_BILATERAL_IMPL,
-  gated pending hardware A/B
+  measured WASH — auto stays XLA
 * Wavelet denoise — fused db1 BayesShrink chain
-  (``wavelet_denoise_tpu``); MDX_WAVELET_IMPL, gated pending hardware A/B
+  (``wavelet_denoise_tpu``); MDX_WAVELET_IMPL, off — fails the real
+  backend's vector-layout pass (lane-splitting reshape), reformulation
+  lever in docs/PERF.md
 * Fused image_stats — ALL 18 metric outputs (moments, histograms +
   entropies, exact bitwise-search percentiles, db2-MAD sigma, box-stat
   local variances, NIQE) from ONE read of the image (``stats_tpu``);
-  MDX_STATS_IMPL, gated pending hardware A/B
+  MDX_STATS_IMPL, off — same real-backend failure class as the wavelet
+  kernel
 """
 
 from __future__ import annotations
@@ -64,19 +68,17 @@ from jax.experimental.pallas import tpu as pltpu
 _SCOPED_VMEM_BYTES = 100 * 1024 * 1024
 
 # ---------------------------------------------------------------------------
-# CLAHE remap lowering selection
+# Lowering-selection knobs
 # ---------------------------------------------------------------------------
-# "auto" is the measured per-size-class policy: which remap lowering wins
-# on hardware (tools/bench_clahe.py A/B).  Until that A/B runs on a real
-# chip (TPU tunnel outage at round-3 close), auto keeps the shipped
-# matmul kernels.  MDX_CLAHE_IMPL=matmul|gather forces one lowering for
-# every class (gather silently falls back to matmul when t² != nbins —
-# the folded layout needs tile_size² == nbins).
-#
-# The env var is read at TRACE time: set it before the process first
-# compiles; already-compiled programs keep their lowering (the knob is
-# not part of the jit cache key).
-_AUTO_GATHER = {"whole": False, "banded": False, "sharded": False}
+# Each op with competing lowerings has a trace-time MDX_*_IMPL env knob
+# resolved by _impl_mode; "auto" is the measured per-size-class policy
+# from the hardware A/Bs (docs/PERF.md).  The env vars are read at TRACE
+# time: set them before the process first compiles; already-compiled
+# programs keep their lowering (the knobs are not part of the jit cache
+# key).  The CLAHE remap once had a gather alternative
+# (MDX_CLAHE_IMPL=gather); the real Mosaic backend rejects
+# multi-source-vreg tpu.dynamic_gather, so the matmul remap is the ONLY
+# CLAHE lowering (measured dead end, docs/PERF.md 2026-08-18).
 
 
 def on_tpu_backend() -> bool:
@@ -104,19 +106,6 @@ def _impl_mode(env_var: str, impl: str | None,
         raise ValueError(f"{env_var}={mode!r}: expected auto, "
                          f"{choices[0]} or {choices[1]}")
     return mode
-
-
-def clahe_use_gather(kind: str, t: int, nbins: int,
-                     impl: str | None = None) -> bool:
-    """True when the ``kind`` remap ('whole'|'banded'|'sharded') should
-    lower as per-lane dynamic gathers instead of the bin-loop matmuls.
-    Knob semantics: see :func:`_impl_mode` (MDX_CLAHE_IMPL)."""
-    if t * t != nbins:
-        return False
-    mode = _impl_mode("MDX_CLAHE_IMPL", impl, ("gather", "matmul"))
-    if mode == "auto":
-        return _AUTO_GATHER[kind]
-    return mode == "gather"
 
 
 def _tile_membership(n_pix: int, t: int) -> np.ndarray:
@@ -243,21 +232,17 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_size", "nbins",
-                                             "interpret", "impl"))
+                                             "interpret"))
 def clahe_tpu(
     x: jnp.ndarray,
     clip_limit: jnp.ndarray,
     tile_size: int = 16,
     nbins: int = 256,
     interpret: bool = False,
-    impl: str | None = None,
 ) -> jnp.ndarray:
     """Pallas CLAHE on [N,H,W] float32 in [0,1]; per-image traced
     ``clip_limit`` ([N] or scalar).  H and W are padded to tile multiples
-    (reflect, matching mdx.ops.clahe) and cropped on the way out.
-
-    ``impl`` pins the remap lowering ('matmul'|'gather'), overriding the
-    MDX_CLAHE_IMPL env knob; None defers to the knob / measured policy."""
+    (reflect, matching mdx.ops.clahe) and cropped on the way out."""
     n, h, w = x.shape
     t = int(tile_size)
     pad_h = (-h) % t
@@ -274,14 +259,8 @@ def clahe_tpu(
     if ph * pw > _WHOLE_IMAGE_LIMIT:
         # image + LUT state would overflow VMEM — use the banded 2-phase
         # kernels (per-tile-row grid) instead.
-        if clahe_use_gather("banded", t, nbins, impl):
-            out = _clahe_banded_gather(xp, clip_arr, t, nbins, interpret)
-        else:
-            out = _clahe_banded(xp, clip_arr, t, nbins, interpret)
+        out = _clahe_banded(xp, clip_arr, t, nbins, interpret)
         return out[:, :h, :w]
-
-    if clahe_use_gather("whole", t, nbins, impl):
-        return clahe_gather_tpu(x, clip_arr, t, nbins, interpret)
 
     row_sel = jnp.asarray(_tile_membership(ph, t).T)         # [gy, ph]
     col_sel = jnp.asarray(_tile_membership(pw, t))           # [pw, gx]
@@ -546,274 +525,6 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
 
 # Whole-image kernel VMEM budget: image + out + 2×(nbins·gy·gx) floats.
 _WHOLE_IMAGE_LIMIT = 1024 * 1024  # raised-scoped-VMEM bound (see top)
-
-
-# ---------------------------------------------------------------------------
-# CLAHE remap via tpu.dynamic_gather (experimental alternative lowering)
-# ---------------------------------------------------------------------------
-#
-# Mosaic DOES expose a per-lane dynamic gather (jaxlib 0.9.0
-# pallas/mosaic/lowering.py `_gather_lowering_rule` → tpu.dynamic_gather):
-# `jnp.take_along_axis(tab, idx, axis=0)` on SAME-SHAPE 2-D operands
-# gathers tab[idx[i,j], j] — each LANE j carries its own 256-entry table.
-# That breaks the "remap is intrinsically ~256 ops/pixel without a
-# per-lane gather" assumption (docs/PERF.md dead ends, written before the
-# primitive was found): fold the image so every COLUMN is one tile and
-# every ROW one intra-tile pixel position (t·t == nbins == 256 exactly),
-# and the whole 256-bin remap loop collapses to NINE gathers — one per
-# (row, col) tile shift of the bilinear window, same 3-window scheme as
-# the banded kernel — with per-ROW hat weights (in folded layout the
-# bilinear weights depend only on the intra-tile position, i.e. the
-# sublane index, never the lane).
-#
-# Mosaic-lowering verified client-side via jax.export(platforms=["tpu"])
-# at 32×512² / 4×1024² (whole) and 16×2048² (banded): the gather rule
-# accepts these dimension numbers (a negative-control 1-D gather fails
-# with "Only 2D gather is supported", proving the rule runs at export).
-# Hardware timing pending.
-
-
-def _clahe_gather_band_kernel(qf_ref, lutwin_ref, wr_ref, wc_ref, out_ref, *,
-                              nbins: int, gx: int):
-    """Grid (N, gy): banded gather remap on the folded band.
-
-    qf_ref  [1, 1, nbins, gx] i32 — band folded to (intra-tile pixel p,
-            tile column tx); at 2048² gx == 128 == the native lane width.
-    lutwin_ref [1, 1, 3, nbins, gx+2] — the 3-tile-row LUT window with
-            one edge-clamped tile COLUMN of padding on each side, so the
-            nine (row, col) shift tables are plain in-kernel lane slices.
-    wr_ref / wc_ref [nbins, 3] — folded-row hat weights as in the
-            whole-image gather kernel.
-    """
-    q = qf_ref[0, 0]
-    wr = wr_ref[:]
-    wc = wc_ref[:]
-    out = None
-    for c in range(3):
-        inner = None
-        for r in range(3):
-            tab = lutwin_ref[0, 0, r, :, c:c + gx]          # [nbins, gx]
-            g = jnp.take_along_axis(tab, q, axis=0,
-                                    mode="promise_in_bounds")
-            term = wr[:, r][:, None] * g
-            inner = term if inner is None else inner + term
-        term_c = wc[:, c][:, None] * inner
-        out = term_c if out is None else out + term_c
-    out_ref[0, 0] = out
-
-
-def _clahe_banded_gather(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
-                         nbins: int, interpret: bool) -> jnp.ndarray:
-    """Banded CLAHE with the gather remap: XLA nibble hists + XLA LUTs
-    (identical to ``_clahe_banded``), then the per-band kernel is nine
-    per-lane dynamic gathers instead of the 256-bin matmul loop.
-    Requires t·t == nbins."""
-    n, ph, pw = xp.shape
-    gy, gx = ph // t, pw // t
-
-    hists = _tile_hist_nibble(xp, t, nbins)                   # [N,gy,nbins,gx]
-    npix = float(t * t)
-    clim = jnp.maximum(clip_arr * npix, 1.0)[:, None, None, None]
-    excess = jnp.sum(jnp.maximum(hists - clim, 0.0), axis=2, keepdims=True)
-    hists = jnp.minimum(hists, clim) + excess / nbins
-    cdf = jnp.cumsum(hists, axis=2)
-    cdf0 = cdf[:, :, :1, :]
-    total = cdf[:, :, -1:, :]
-    lut = (cdf - cdf0) / jnp.maximum(total - cdf0, 1e-12)    # [N,gy,nbins,gx]
-
-    # 3-row window (edge-clamped) + one edge-clamped tile col each side
-    lut_pad = jnp.concatenate(
-        [lut[:, :1], lut, lut[:, -1:]], axis=1)               # [N,gy+2,...]
-    win = jnp.stack([lut_pad[:, i:i + gy] for i in range(3)], axis=2)
-    win = jnp.concatenate(
-        [win[..., :1], win, win[..., -1:]], axis=-1)          # [...,gx+2]
-
-    # fold each band: [N, gy, t, gx, t] → [N, gy, t·t, gx]
-    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)
-    qf = q.reshape(n, gy, t, gx, t).transpose(0, 1, 2, 4, 3)
-    qf = qf.reshape(n, gy, t * t, gx)
-
-    wr_t = _banded_row_weights(t)
-    wr = jnp.asarray(np.repeat(wr_t, t, axis=0))
-    wc = jnp.asarray(np.tile(wr_t, (t, 1)))
-
-    def _const_spec(shape):
-        return pl.BlockSpec(shape, lambda i, g: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    outf = pl.pallas_call(
-        functools.partial(_clahe_gather_band_kernel, nbins=nbins, gx=gx),
-        grid=(n, gy),
-        in_specs=[
-            pl.BlockSpec((1, 1, t * t, gx), lambda i, g: (i, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, nbins, gx + 2),
-                         lambda i, g: (i, g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const_spec(wr.shape),
-            _const_spec(wc.shape),
-        ],
-        out_specs=pl.BlockSpec((1, 1, t * t, gx), lambda i, g: (i, g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, gy, t * t, gx), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
-        interpret=interpret,
-    )(qf, win, wr, wc)
-
-    out = outf.reshape(n, gy, t, t, gx).transpose(0, 1, 2, 4, 3)
-    return out.reshape(n, ph, pw)
-
-
-def _clahe_gather_kernel(q_ref, tabs_ref, wr_ref, wc_ref, out_ref, *,
-                         nbins: int, m: int):
-    """Grid (N,): folded remap.
-
-    q_ref   [1, nbins, M] i32 — folded quantised image (row p = intra-tile
-            pixel py·t+px, column m = tile ty·gx+tx).
-    tabs_ref[1, 3, 3, nbins, M] — edge-clamped corner-shifted LUT tables:
-            tabs[r, c][b, m] = lut[clip(ty+r−1), clip(tx+c−1)][b].
-    wr_ref / wc_ref [nbins, 3] — hat weights of folded row p onto the
-            row/col tile shifts (``_banded_row_weights`` expanded over
-            p//t and p%t).
-    Association mirrors the matmul kernels: Σ_c wc·(Σ_r wr·gather).
-    """
-    q = q_ref[0]
-    wr = wr_ref[:]
-    wc = wc_ref[:]
-    out = None
-    for c in range(3):
-        inner = None
-        for r in range(3):
-            g = jnp.take_along_axis(tabs_ref[0, r, c], q, axis=0,
-                                    mode="promise_in_bounds")
-            term = wr[:, r][:, None] * g
-            inner = term if inner is None else inner + term
-        term_c = wc[:, c][:, None] * inner
-        out = term_c if out is None else out + term_c
-    out_ref[0] = out
-
-
-@functools.partial(jax.jit, static_argnames=("tile_size", "nbins",
-                                             "interpret"))
-def clahe_banded_gather_tpu(
-    x: jnp.ndarray,
-    clip_limit: jnp.ndarray,
-    tile_size: int = 16,
-    nbins: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Banded CLAHE with the gather remap (the 2048²-class formulation);
-    same contract as :func:`clahe_tpu`.  Requires t·t == nbins."""
-    n, h, w = x.shape
-    t = int(tile_size)
-    if t * t != nbins:
-        raise ValueError(f"gather CLAHE needs tile_size²==nbins, "
-                         f"got {t}² != {nbins}")
-    pad_h = (-h) % t
-    pad_w = (-w) % t
-    xp = jnp.clip(x, 0.0, 1.0)
-    if pad_h or pad_w:
-        xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w)), mode="reflect")
-    clip_arr = jnp.broadcast_to(
-        jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,))
-    out = _clahe_banded_gather(xp, clip_arr, t, nbins, interpret)
-    return out[:, :h, :w]
-
-
-@functools.partial(jax.jit, static_argnames=("tile_size", "nbins",
-                                             "interpret"))
-def clahe_gather_tpu(
-    x: jnp.ndarray,
-    clip_limit: jnp.ndarray,
-    tile_size: int = 16,
-    nbins: int = 256,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """CLAHE with the remap as 9 per-lane dynamic gathers (see above).
-
-    Tile histograms ride the proven XLA nibble einsum on the folded
-    layout (`mdx/ops/hist.py counts_from_indices_grouped`), LUT
-    clip/CDF math is the banded path's XLA formulation verbatim, and the
-    Pallas kernel does ONLY the gather remap.  Requires t·t == nbins.
-    Numerics: same LUT state as the banded path; the bilinear blend
-    differs from the matmul kernels by multiply-association only
-    (≤ a few ulp; same golden tolerances).
-    """
-    from mdx.ops.hist import counts_from_indices_grouped
-
-    n, h, w = x.shape
-    t = int(tile_size)
-    if t * t != nbins:
-        raise ValueError(f"gather CLAHE needs tile_size²==nbins, "
-                         f"got {t}²!= {nbins}")
-    pad_h = (-h) % t
-    pad_w = (-w) % t
-    xp = jnp.clip(x, 0.0, 1.0)
-    if pad_h or pad_w:
-        xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w)), mode="reflect")
-    ph, pw = h + pad_h, w + pad_w
-    gy, gx = ph // t, pw // t
-    m = gy * gx
-
-    clip_arr = jnp.broadcast_to(
-        jnp.asarray(clip_limit, jnp.float32).reshape(-1), (n,))
-
-    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)
-    # fold: [n, ph, pw] → [n, t·t, gy·gx]
-    qf = q.reshape(n, gy, t, gx, t).transpose(0, 2, 4, 1, 3)
-    qf = qf.reshape(n, t * t, m)
-
-    # per-tile histograms + LUTs (XLA; identical math to _clahe_banded)
-    hists = counts_from_indices_grouped(
-        qf.transpose(0, 2, 1), nbins)                      # [n, M, nbins]
-    npix = float(t * t)
-    clim = jnp.maximum(clip_arr * npix, 1.0)[:, None, None]
-    excess = jnp.sum(jnp.maximum(hists - clim, 0.0), axis=2, keepdims=True)
-    hists = jnp.minimum(hists, clim) + excess / nbins
-    cdf = jnp.cumsum(hists, axis=2)
-    cdf0 = cdf[:, :, :1]
-    total = cdf[:, :, -1:]
-    lut = (cdf - cdf0) / jnp.maximum(total - cdf0, 1e-12)  # [n, M, nbins]
-
-    # 3×3 edge-clamped tile shifts, folded back to [n, 3, 3, nbins, M]
-    lut_t = lut.transpose(0, 2, 1).reshape(n, nbins, gy, gx)
-    lp = jnp.pad(lut_t, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
-    tabs = jnp.stack(
-        [jnp.stack([lp[:, :, r:r + gy, c:c + gx].reshape(n, nbins, m)
-                    for c in range(3)], axis=1)
-         for r in range(3)], axis=1)                       # [n,3,3,nbins,M]
-
-    wr_t = _banded_row_weights(t)                          # [t, 3]
-    wr = jnp.asarray(np.repeat(wr_t, t, axis=0))           # p → py = p//t
-    wc = jnp.asarray(np.tile(wr_t, (t, 1)))                # p → px = p%t
-
-    def _const_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    outf = pl.pallas_call(
-        functools.partial(_clahe_gather_kernel, nbins=nbins, m=m),
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, nbins, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 3, nbins, m), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _const_spec(wr.shape),
-            _const_spec(wc.shape),
-        ],
-        out_specs=pl.BlockSpec((1, nbins, m), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, nbins, m), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
-        interpret=interpret,
-    )(qf, tabs, wr, wc)
-
-    out = outf.reshape(n, t, t, gy, gx).transpose(0, 3, 1, 4, 2)
-    out = out.reshape(n, ph, pw)
-    return out[:, :h, :w]
 
 
 # ---------------------------------------------------------------------------
@@ -1151,20 +862,31 @@ def tv_band_for(h: int) -> int:
 # fixed ±12 support) and amounts arrive in SMEM, so parameter sweeps
 # never recompile.
 
-# pending the hardware A/B (profile_pass --ab unsharp ...)
-_AUTO_UNSHARP_PALLAS = False
+# Measured on hardware (first round-3 tunnel window, 2026-08-18): the
+# whole-image kernel's scoped-VMEM ask at 4×1024² is 114.93M vs the
+# 100M limit ("Ran out of memory in memory space vmem … on stack for
+# unsharp_tpu") — the whole formulation is a ≤512²-class kernel; 1024²
+# and up run the banded kernel (bit-identical output).
+_UNSHARP_WHOLE_LIMIT = 512 * 512
+
+# per-kind measured policy (profile_pass --ab unsharp, 2026-08-18
+# tunnel window): whole 0.84 vs 1.55 ms XLA at 32x512^2 (1.8x),
+# banded 0.40 vs 1.16 ms at 4x1024^2 (2.9x) and 7.13 vs 20.15 ms at
+# 16x2048^2 (2.8x), parity exactly 0.0 in all three
+_AUTO_UNSHARP_PALLAS = {"whole": True, "banded": True}
 
 
-def unsharp_use_pallas(impl: str | None = None) -> bool:
+def unsharp_use_pallas(impl: str | None = None,
+                       kind: str = "whole") -> bool:
     """True when the dense TPU unsharp should run as the fused Pallas
-    kernel instead of the grouped-conv XLA lowering.
+    kernel instead of the grouped-conv XLA lowering.  ``kind`` selects
+    the measured per-formulation policy ("whole" ≤512², "banded" above).
 
-    MDX_UNSHARP_IMPL: auto (measured policy — conv until the hardware
-    A/B runs), pallas | xla force one.  Knob semantics: see
-    :func:`_impl_mode`."""
+    MDX_UNSHARP_IMPL: auto (measured policy), pallas | xla force one.
+    Knob semantics: see :func:`_impl_mode`."""
     mode = _impl_mode("MDX_UNSHARP_IMPL", impl, ("pallas", "xla"))
     if mode == "auto":
-        return _AUTO_UNSHARP_PALLAS
+        return _AUTO_UNSHARP_PALLAS[kind]
     return mode == "pallas"
 
 
@@ -1245,7 +967,10 @@ def unsharp_tpu(
 # Bilateral filter — VMEM-resident unrolled window
 # ---------------------------------------------------------------------------
 
-# pending the hardware A/B (profile_pass --ab bilateral ...)
+# Measured wash (profile_pass --ab bilateral, 2026-08-18 tunnel window):
+# 0.82 vs 0.80 ms XLA at 32x512^2, 0.41 vs 0.44 ms at 4x1024^2 — within
+# run noise both ways; keep the simpler XLA lowering (the kernel stays
+# as a pinned-dispatch option for future shapes).
 _AUTO_BILATERAL_PALLAS = False
 
 
@@ -1253,9 +978,9 @@ def bilateral_use_pallas(impl: str | None = None) -> bool:
     """True when the dense TPU bilateral should run as the fused Pallas
     kernel instead of the unrolled XLA elementwise program.
 
-    MDX_BILATERAL_IMPL: auto (measured policy — XLA until the hardware
-    A/B runs), pallas | xla force one.  Knob semantics: see
-    :func:`_impl_mode`."""
+    MDX_BILATERAL_IMPL: auto (measured policy — XLA; the 2026-08-18
+    hardware A/B was a wash both size classes), pallas | xla force one.
+    Knob semantics: see :func:`_impl_mode`."""
     mode = _impl_mode("MDX_BILATERAL_IMPL", impl, ("pallas", "xla"))
     if mode == "auto":
         return _AUTO_BILATERAL_PALLAS
@@ -1468,21 +1193,21 @@ def _wavelet_denoise_kernel(sigma_ref, soft_ref, x_ref, out_ref, *,
     lo_r = (lo[1], lo[0])  # _analysis_last uses time-reversed taps
     hi_r = (hi[1], hi[0])
 
+    # Column-direction deinterleave/interleave run through the
+    # TRANSPOSE BRIDGE: the real Mosaic backend rejects lane-splitting
+    # reshapes ("infer-vector-layout: unsupported shape cast",
+    # 2026-08-18 window) but 2-D transposes and SUBLANE-direction
+    # reshape-split / stack-interleave all compile (tools/
+    # probe_mosaic.py).  Both column passes of one level are batched
+    # through a single bridge by concatenating the two bands along
+    # sublanes first — 3 transposes per level per direction.  Values
+    # are bit-identical to the lane forms: transposes reorder lanes,
+    # never operands or accumulation order.
+
     def fwd_rows(v, vh, vw):
         vr = v.reshape(vh // 2, 2, vw)
         e, o = vr[:, 0, :], vr[:, 1, :]
         return lo_r[0] * e + lo_r[1] * o, hi_r[0] * e + hi_r[1] * o
-
-    def fwd_cols(v, vh, vw):
-        vr = v.reshape(vh, vw // 2, 2)
-        e, o = vr[:, :, 0], vr[:, :, 1]
-        return lo_r[0] * e + lo_r[1] * o, hi_r[0] * e + hi_r[1] * o
-
-    def syn_cols(a, d, vh, vw2):
-        # out[.., 2q] = lo[1]·a[q] + hi[1]·d[q]; out[.., 2q+1] = lo[0]·a + hi[0]·d
-        even = lo[1] * a + hi[1] * d
-        odd = lo[0] * a + hi[0] * d
-        return jnp.stack([even, odd], axis=-1).reshape(vh, 2 * vw2)
 
     def syn_rows(a, d, vh2, vw):
         even = lo[1] * a + hi[1] * d
@@ -1494,11 +1219,19 @@ def _wavelet_denoise_kernel(sigma_ref, soft_ref, x_ref, out_ref, *,
     vh, vw = h, w
     details = []
     for _ in range(levels):
-        a, d = fwd_rows(ll, vh, vw)
-        ll, lh = fwd_cols(a, vh // 2, vw)
-        hl, hh = fwd_cols(d, vh // 2, vw)
+        a, d = fwd_rows(ll, vh, vw)              # [vh//2, vw] each
+        c = jnp.concatenate([a, d], axis=0)      # [vh, vw]
+        ct = c.T                                 # [vw, vh]
+        cr = ct.reshape(vw // 2, 2, vh)          # sublane split = col pairs
+        e_t, o_t = cr[:, 0, :], cr[:, 1, :]
+        a_t = lo_r[0] * e_t + lo_r[1] * o_t      # [vw//2, vh]
+        d_t = hi_r[0] * e_t + hi_r[1] * o_t
+        acol = a_t.T                             # [vh, vw//2] = [ll ; hl]
+        dcol = d_t.T                             # [lh ; hh]
         vh //= 2
         vw //= 2
+        ll, lh = acol[:vh], dcol[:vh]
+        hl, hh = acol[vh:], dcol[vh:]
         details.append((lh, hl, hh, vh, vw))
 
     # ---- BayesShrink per detail band -----------------------------------
@@ -1511,9 +1244,16 @@ def _wavelet_denoise_kernel(sigma_ref, soft_ref, x_ref, out_ref, *,
 
     # ---- synthesis (idwt2 order: cols then rows) -----------------------
     for lh, hl, hh, vh, vw in reversed(details):
-        a = syn_cols(ll, shrink(lh), vh, vw)
-        d = syn_cols(shrink(hl), shrink(hh), vh, vw)
-        ll = syn_rows(a, d, vh, 2 * vw)
+        # syn_cols of (ll, lh) and (hl, hh) share one bridge: stack the
+        # band pairs along sublanes, interleave columns in transposed
+        # space, split the two synthesised bands after the bridge
+        av = jnp.concatenate([ll, shrink(hl)], axis=0)        # [2vh, vw]
+        dv = jnp.concatenate([shrink(lh), shrink(hh)], axis=0)
+        even = lo[1] * av + hi[1] * dv
+        odd = lo[0] * av + hi[0] * dv
+        st = jnp.stack([even.T, odd.T], axis=1).reshape(2 * vw, 2 * vh)
+        cd = st.T                                 # [2vh, 2vw] = [a ; d]
+        ll = syn_rows(cd[:vh], cd[vh:], vh, 2 * vw)
 
     out_ref[0] = ll
 
@@ -1678,11 +1418,17 @@ def _k_hist(q: jnp.ndarray, h: int, w: int, nbins: int) -> jnp.ndarray:
     """Per-plane histogram of an i32 bin-index plane via chunked
     nibble-one-hot MXU matmuls → [nbins//16, 16] f32 counts.
 
-    Same exactness argument as mdx/ops/hist.py counts_from_indices (0/1
-    bf16 products, f32 accumulation, integers < 2²⁴) — counts are
-    bit-identical to the XLA einsum.  Chunks are static Python slices
-    (lax.dynamic_slice does not lower in Pallas TPU); 64 rows per chunk
-    bounds the live one-hot factors to ~2·64·w·16 bf16."""
+    The pixels-on-one-axis flatten (q[s:s+ln].reshape(ln·w)) is a
+    lane-merging shape cast the real backend rejects
+    (infer-vector-layout; 2026-08-18 bisect) — the probe-verified form
+    is a ROW-BATCHED dot_general (batch ln, contract w → [ln, nh, 16])
+    followed by a sublane reduction.  Same exactness argument as
+    mdx/ops/hist.py counts_from_indices: 0/1 bf16 products, f32
+    accumulation, all partials exact integers < 2²⁴, so counts are
+    bit-identical to the XLA einsum regardless of summation order.
+    Chunks are static Python slices (lax.dynamic_slice does not lower
+    in Pallas TPU); 64 rows per chunk bounds the live one-hot factors
+    to ~2·64·w·16 bf16."""
     nh = nbins // 16
     hist = jnp.zeros((nh, 16), jnp.float32)
     ch = min(64, h)
@@ -1690,14 +1436,15 @@ def _k_hist(q: jnp.ndarray, h: int, w: int, nbins: int) -> jnp.ndarray:
     if h % ch:
         spans.append((h - h % ch, h % ch))
     for s, ln in spans:
-        blk = q[s:s + ln, :].reshape(ln * w)
-        ohh = (blk[:, None] >> 4 == jnp.arange(nh, dtype=jnp.int32)
+        blk = q[s:s + ln, :]
+        ohh = (blk[:, :, None] >> 4 == jnp.arange(nh, dtype=jnp.int32)
                ).astype(jnp.bfloat16)
-        ohl = ((blk[:, None] & 15) == jnp.arange(16, dtype=jnp.int32)
+        ohl = ((blk[:, :, None] & 15) == jnp.arange(16, dtype=jnp.int32)
                ).astype(jnp.bfloat16)
-        hist = hist + jax.lax.dot_general(
-            ohh, ohl, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        per_row = jax.lax.dot_general(
+            ohh, ohl, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [ln, nh, 16]
+        hist = hist + jnp.sum(per_row, axis=0)
     return hist
 
 
@@ -1774,27 +1521,13 @@ def _k_db2_hh(x: jnp.ndarray, h: int, w: int, hi_r: tuple) -> jnp.ndarray:
             d = t if d is None else d + t
         return d, no
 
-    def _ana_hi_cols(v, n):
-        ext = jnp.concatenate(
-            [v[:, 1:2], v[:, 0:1], v, v[:, n - 1:n], v[:, n - 2:n - 1],
-             v[:, n - 3:n - 2]], axis=1)
-        el = ext.shape[1]
-        if el % 2:
-            ext = jnp.concatenate([ext, ext[:, el - 1:el]], axis=1)
-            el += 1
-        er = ext.reshape(ext.shape[0], el // 2, 2)
-        ev, od = er[:, :, 0], er[:, :, 1]
-        no = (n + 3) // 2
-        sls = (ev[:, 0:no], od[:, 0:no], ev[:, 1:no + 1], od[:, 1:no + 1])
-        d = None
-        for i in range(4):
-            t = jnp.float32(hi_r[i]) * sls[i]
-            d = t if d is None else d + t
-        return d, no
-
+    # columns analysis = rows analysis on the transpose (the lane-
+    # splitting reshape er = ext.reshape(h, el//2, 2) fails the real
+    # backend's infer-vector-layout pass; the transpose bridge is
+    # probe-verified and bit-identical — same slices, same order)
     d, _ = _ana_hi_rows(x, h)
-    hh, _ = _ana_hi_cols(d, w)
-    return hh
+    hh_t, _ = _ana_hi_rows(d.T, w)
+    return hh_t.T
 
 
 # image_stats output order (mdx/core/metrics.py METRIC_KEYS + the two

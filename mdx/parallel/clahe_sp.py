@@ -154,66 +154,6 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
     return out.reshape(n, hs, ws)
 
 
-def _remap_ext_gather(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
-                      nbins: int, interpret: bool) -> jnp.ndarray:
-    """Gather-remap of the local block against the halo-extended LUT grid:
-    ``mdx.ops.pallas_kernels._clahe_gather_band_kernel`` unchanged — its
-    (3-row × gx+2-col) window contract is exactly the halo-extended grid
-    (the whole-image banded path gets the same structure from edge-clamped
-    padding; here the halo supplies real neighbour LUTs, so the unclamped
-    hat weights interpolate across shard boundaries).  Requires
-    t·t == nbins."""
-    import functools
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from mdx.ops.pallas_kernels import (
-        _banded_row_weights,
-        _clahe_gather_band_kernel,
-    )
-
-    if t * t != nbins:
-        raise ValueError(f"gather remap needs tile_size²==nbins, "
-                         f"got {t}² != {nbins}")
-    n, hs, ws = xp.shape
-    gy, gx = hs // t, ws // t
-    gxe = gx + 2
-    lut_t = lut_ext.transpose(0, 1, 3, 2)             # [N, gy+2, nbins, gxe]
-    win = jnp.stack([lut_t[:, i:i + gy] for i in range(3)], axis=2)
-
-    q = jnp.minimum((xp * nbins).astype(jnp.int32), nbins - 1)
-    qf = q.reshape(n, gy, t, gx, t).transpose(0, 1, 2, 4, 3)
-    qf = qf.reshape(n, gy, t * t, gx)
-
-    wr_t = _banded_row_weights(t)
-    wr = jnp.asarray(np.repeat(wr_t, t, axis=0))
-    wc = jnp.asarray(np.tile(wr_t, (t, 1)))
-
-    outf = pl.pallas_call(
-        functools.partial(_clahe_gather_band_kernel, nbins=nbins, gx=gx),
-        grid=(n, gy),
-        in_specs=[
-            pl.BlockSpec((1, 1, t * t, gx), lambda i, g: (i, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, nbins, gxe),
-                         lambda i, g: (i, g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t * t, 3), lambda i, g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t * t, 3), lambda i, g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, t * t, gx), lambda i, g: (i, g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, gy, t * t, gx), jnp.float32),
-        interpret=interpret,
-    )(qf, win, wr, wc)
-
-    out = outf.reshape(n, gy, t, t, gx).transpose(0, 1, 2, 4, 3)
-    return out.reshape(n, hs, ws)
-
-
 def clahe_sharded(
     x: jnp.ndarray,
     clip_limit: jnp.ndarray,
@@ -252,9 +192,5 @@ def clahe_sharded(
     else:
         use_pallas = force_pallas
     if use_pallas:
-        from mdx.ops.pallas_kernels import clahe_use_gather
-
-        if clahe_use_gather("sharded", t, nbins):
-            return _remap_ext_gather(xp, lut_ext, t, nbins, interpret)
         return _remap_ext_pallas(xp, lut_ext, t, nbins, interpret)
     return _remap_ext_xla(xp, lut_ext, t, nbins)

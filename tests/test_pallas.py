@@ -51,183 +51,6 @@ class TestClahePallas:
         np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
 
 
-class TestClaheGatherPallas:
-    """Gather-remap formulation (tpu.dynamic_gather; t·t == nbins)."""
-
-    def test_matches_xla_tile16(self, batch):
-        from mdx.ops.pallas_kernels import clahe_gather_tpu
-
-        clip = jnp.asarray([0.02, 0.05], jnp.float32)
-        a = clahe_xla(batch, clip, 16)
-        b = clahe_gather_tpu(batch, clip, 16, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
-
-    def test_matches_matmul_kernel(self, batch):
-        from mdx.ops.pallas_kernels import clahe_gather_tpu
-
-        clip = jnp.asarray([0.03, 0.01], jnp.float32)
-        a = clahe_tpu(batch, clip, 16, interpret=True)
-        b = clahe_gather_tpu(batch, clip, 16, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
-
-    def test_padding_and_refimpl(self, noisy_image):
-        from mdx.ops.pallas_kernels import clahe_gather_tpu
-        from mdx.refimpl.filters_np import clahe as clahe_np
-
-        x = jnp.asarray(noisy_image, jnp.float32)[None, :60, :52]
-        got = clahe_gather_tpu(x, jnp.asarray([0.02]), 16, interpret=True)
-        assert got.shape == x.shape
-        ref = clahe_np(np.asarray(x[0], np.float64), 0.02, 16)
-        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
-
-    def test_rejects_mismatched_bins(self, batch):
-        from mdx.ops.pallas_kernels import clahe_gather_tpu
-
-        with pytest.raises(ValueError):
-            clahe_gather_tpu(batch, jnp.asarray([0.02, 0.02]), 8,
-                             interpret=True)
-
-    def test_banded_gather_matches_xla(self, batch):
-        from mdx.ops.pallas_kernels import clahe_banded_gather_tpu
-
-        clip = jnp.asarray([0.02, 0.05], jnp.float32)
-        a = clahe_xla(batch, clip, 16)
-        b = clahe_banded_gather_tpu(batch, clip, 16, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
-
-    def test_banded_gather_matches_banded_matmul(self, batch):
-        from mdx.ops.pallas_kernels import (
-            _clahe_banded,
-            clahe_banded_gather_tpu,
-        )
-
-        clip = jnp.asarray([0.03, 0.01], jnp.float32)
-        a = _clahe_banded(jnp.clip(batch, 0.0, 1.0), clip, 16, 256,
-                          interpret=True)
-        b = clahe_banded_gather_tpu(batch, clip, 16, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
-
-    def test_tpu_lowering_stays_supported(self, batch):
-        """jax.export(platforms=['tpu']) runs the Pallas→Mosaic lowering
-        CLIENT-side: this catches a jax upgrade dropping or narrowing the
-        dynamic-gather rule (lowering.py `_gather_lowering_rule`) without
-        TPU hardware.  Backend compile/perf is validated separately on
-        the chip."""
-        import jax
-
-        from mdx.ops.pallas_kernels import (
-            clahe_banded_gather_tpu,
-            clahe_gather_tpu,
-        )
-
-        clip = jnp.asarray([0.02, 0.05], jnp.float32)
-        for fn in (clahe_gather_tpu, clahe_banded_gather_tpu):
-            jax.export.export(
-                jax.jit(lambda v, c, _fn=fn: _fn(v, c, 16)),
-                platforms=["tpu"])(batch, clip)
-
-    @pytest.mark.parametrize("h,w", [(16, 16), (48, 80), (100, 36),
-                                     (33, 129)])
-    def test_gather_shape_fuzz(self, h, w):
-        """Both gather formulations match the XLA golden across odd
-        shapes: single-tile (gy=gx=1), single-band, non-multiples padded
-        on both axes — the shape classes the dispatch flip must survive."""
-        from mdx.ops.pallas_kernels import (
-            clahe_banded_gather_tpu,
-            clahe_gather_tpu,
-        )
-
-        r = np.random.default_rng(h * 1000 + w)
-        x = jnp.asarray(r.random((2, h, w), np.float32))
-        clip = jnp.asarray([0.02, 0.04], jnp.float32)
-        want = np.asarray(clahe_xla(x, clip, 16))
-        for fn in (clahe_gather_tpu, clahe_banded_gather_tpu):
-            got = np.asarray(fn(x, clip, 16, interpret=True))
-            np.testing.assert_allclose(got, want, atol=5e-6,
-                                       err_msg=f"{fn.__name__} {h}x{w}")
-
-    def test_impl_knob(self, monkeypatch):
-        """MDX_CLAHE_IMPL selects the remap lowering; auto currently
-        means matmul (pending the hardware A/B, tools/bench_clahe.py);
-        gather falls back to matmul when t² != nbins."""
-        from mdx.ops import pallas_kernels as PK
-
-        monkeypatch.delenv("MDX_CLAHE_IMPL", raising=False)
-        for kind in ("whole", "banded", "sharded"):
-            assert not PK.clahe_use_gather(kind, 16, 256)
-        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
-        for kind in ("whole", "banded", "sharded"):
-            assert PK.clahe_use_gather(kind, 16, 256)
-        assert not PK.clahe_use_gather("whole", 8, 256)  # t² != nbins
-        monkeypatch.setenv("MDX_CLAHE_IMPL", "matmul")
-        assert not PK.clahe_use_gather("whole", 16, 256)
-        # explicit impl= pins the lowering over the env knob
-        assert PK.clahe_use_gather("whole", 16, 256, impl="gather")
-        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
-        assert not PK.clahe_use_gather("whole", 16, 256, impl="matmul")
-        # a typo'd knob must raise, not silently fall back to auto
-        monkeypatch.setenv("MDX_CLAHE_IMPL", "gahter")
-        with pytest.raises(ValueError, match="MDX_CLAHE_IMPL"):
-            PK.clahe_use_gather("whole", 16, 256)
-
-    def test_impl_knob_routes_clahe_tpu(self, batch, monkeypatch):
-        """MDX_CLAHE_IMPL=gather routes clahe_tpu through the gather
-        kernels on BOTH size classes, with unchanged XLA parity."""
-        from mdx.ops import pallas_kernels as PK
-
-        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
-        # other tests compile clahe_tpu at these avals with the default
-        # (matmul) knob — drop those traces so the knob re-traces
-        PK.clahe_tpu.clear_cache()
-        try:
-            clip = jnp.asarray([0.02, 0.05], jnp.float32)
-            want = clahe_xla(batch, clip, 16)
-
-            whole_calls = []
-            real_whole = PK.clahe_gather_tpu
-            monkeypatch.setattr(
-                PK, "clahe_gather_tpu",
-                lambda *a, **k: (whole_calls.append(1),
-                                 real_whole(*a, **k))[1])
-            out = PK.clahe_tpu(batch, clip, 16, interpret=True)
-            assert whole_calls
-            np.testing.assert_allclose(np.asarray(want), np.asarray(out),
-                                       atol=5e-6)
-
-            banded_calls = []
-            real_banded = PK._clahe_banded_gather
-            monkeypatch.setattr(
-                PK, "_clahe_banded_gather",
-                lambda *a, **k: (banded_calls.append(1),
-                                 real_banded(*a, **k))[1])
-            monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)  # force banded
-            # clahe_tpu is jitted (static tile/nbins/interpret): the knob
-            # and the limit are trace-time, so the banded part needs a
-            # fresh aval or the first call's compiled trace is silently
-            # reused.
-            xb = batch[:1, :48, :]
-            out_b = PK.clahe_tpu(xb, clip[:1], 16, interpret=True)
-            assert banded_calls
-            np.testing.assert_allclose(
-                np.asarray(clahe_xla(xb, clip[:1], 16)),
-                np.asarray(out_b), atol=5e-6)
-        finally:
-            # don't leak gather-lowered traces into later tests — even
-            # when an assert above fails (monkeypatch restores the env,
-            # but the jit cache would keep the gather lowering)
-            PK.clahe_tpu.clear_cache()
-
-    def test_banded_gather_padding(self, noisy_image):
-        from mdx.ops.pallas_kernels import clahe_banded_gather_tpu
-        from mdx.refimpl.filters_np import clahe as clahe_np
-
-        x = jnp.asarray(noisy_image, jnp.float32)[None, :60, :52]
-        got = clahe_banded_gather_tpu(x, jnp.asarray([0.02]), 16,
-                                      interpret=True)
-        assert got.shape == x.shape
-        ref = clahe_np(np.asarray(x[0], np.float64), 0.02, 16)
-        np.testing.assert_allclose(np.asarray(got)[0], ref, atol=2e-5)
-
     def test_range_preserved(self, batch):
         out = clahe_tpu(batch, jnp.asarray([0.08, 0.08]), 16,
                         interpret=True)
@@ -445,8 +268,8 @@ class TestUnsharpPallas:
 
     def test_tpu_lowering_stays_supported(self, batch):
         """Client-side Pallas→Mosaic lowering at the aligned product
-        shape and a non-aligned one (same method as the gather CLAHE
-        lowering test)."""
+        shape and a non-aligned one (jax.export(platforms=['tpu'])
+        runs the client-side Mosaic MLIR lowering)."""
         import jax
 
         from mdx.ops.pallas_kernels import unsharp_tpu
@@ -463,7 +286,9 @@ class TestUnsharpPallas:
         from mdx.ops import pallas_kernels as PK
 
         monkeypatch.delenv("MDX_UNSHARP_IMPL", raising=False)
-        assert PK.unsharp_use_pallas() is PK._AUTO_UNSHARP_PALLAS
+        assert PK.unsharp_use_pallas() is PK._AUTO_UNSHARP_PALLAS["whole"]
+        assert (PK.unsharp_use_pallas(kind="banded")
+                is PK._AUTO_UNSHARP_PALLAS["banded"])
         monkeypatch.setenv("MDX_UNSHARP_IMPL", "pallas")
         assert PK.unsharp_use_pallas()
         monkeypatch.setenv("MDX_UNSHARP_IMPL", "xla")
@@ -621,7 +446,7 @@ class TestImplPinNotDispatchable:
         from mdx.ops.filters import unsharp_mask
 
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)
+        monkeypatch.setattr(PK, "_UNSHARP_WHOLE_LIMIT", 0)
         with pytest.raises(ValueError, match="not dispatchable"):
             unsharp_mask(batch[:, :60, :], 1.0, 0.6, impl="pallas")
 
@@ -676,7 +501,7 @@ class TestUnsharpBanded:
 
         want = unsharp_mask(batch, 1.0, 0.6)  # real CPU path first
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(PK, "_WHOLE_IMAGE_LIMIT", 0)
+        monkeypatch.setattr(PK, "_UNSHARP_WHOLE_LIMIT", 0)
         calls = []
         real = PK.unsharp_banded_tpu
         monkeypatch.setattr(

@@ -133,55 +133,3 @@ class TestPallasRemapParity:
         a = _remap_ext_xla(xp, lut_ext, 16, 256)
         b = _remap_ext_pallas(xp, lut_ext, 16, 256, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
-
-    def test_interpret_gather_matches_xla(self):
-        """The gather remap (nine per-lane dynamic gathers on the folded
-        band) against the same halo-extended LUT grid == the XLA
-        virtual-tile remap."""
-        from mdx.parallel.clahe_sp import (
-            _local_luts, _remap_ext_gather, _remap_ext_xla,
-        )
-
-        x = jnp.stack([jnp.asarray(_img(6, 32, 64)),
-                       jnp.asarray(_img(7, 32, 64))])
-        xp = jnp.clip(x, 0, 1)
-        lut = _local_luts(xp, jnp.float32(0.02), 16, 256)
-        lut_ext = jnp.pad(lut, ((0, 0), (1, 1), (0, 0), (0, 0)),
-                          mode="edge")
-        lut_ext = jnp.pad(lut_ext, ((0, 0), (0, 0), (1, 1), (0, 0)),
-                          mode="edge")
-        a = _remap_ext_xla(xp, lut_ext, 16, 256)
-        b = _remap_ext_gather(xp, lut_ext, 16, 256, interpret=True)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
-
-    def test_impl_knob_routes_sharded(self, mesh14, monkeypatch):
-        """MDX_CLAHE_IMPL=gather routes clahe_sharded's Pallas remap
-        through _remap_ext_gather under a real shard_map (interpret
-        mode), with dense-parity intact."""
-        from functools import partial
-
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from mdx.parallel import clahe_sp as CS
-
-        calls = []
-        real = CS._remap_ext_gather
-        monkeypatch.setattr(
-            CS, "_remap_ext_gather",
-            lambda *a, **k: (calls.append(1), real(*a, **k))[1])
-        monkeypatch.setenv("MDX_CLAHE_IMPL", "gather")
-
-        x = jnp.stack([jnp.asarray(_img(0)), jnp.asarray(_img(1))])
-        clip = jnp.asarray([0.02, 0.05], jnp.float32)
-        fn = shard_map(
-            partial(CS.clahe_sharded, tile_size=16, row_axis="space",
-                    force_pallas=True, interpret=True),
-            mesh=mesh14,
-            in_specs=(P("data", "space", None), P()),
-            out_specs=P("data", "space", None), check_vma=False)
-        got = fn(x, clip)
-        assert calls
-        want = clahe_xla(x, clip, tile_size=16)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-6)

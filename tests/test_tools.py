@@ -43,9 +43,8 @@ def test_bench_clahe_interpret_smoke():
 
     rows = json.loads(stdout.strip().splitlines()[-1])
     row = rows[0]
-    # all four formulations timed, parity scalars tiny, sharded pair ran
-    for k in ("ms_matmul-whole", "ms_gather-whole", "ms_matmul-banded",
-              "ms_gather-banded", "ms_remap-matmul", "ms_remap-gather"):
+    # both matmul formulations timed, parity scalars tiny, sharded remap ran
+    for k in ("ms_matmul-whole", "ms_matmul-banded", "ms_remap-matmul"):
         assert k in row, row.keys()
     for k, v in row.items():
         if k.startswith("parity_"):

@@ -1,16 +1,16 @@
-"""Hardware A/B of the CLAHE formulations — matmul vs gather remap.
+"""Hardware timing of the CLAHE formulations at the product shapes.
 
-Times every applicable TPU CLAHE lowering at the product shapes and
-checks hardware parity (device-side max-abs-diff vs ``clahe_xla``,
-scalar fetch) so a Mosaic miscompile cannot hide behind interpret-mode
-tests.  Feeds the dispatch decision for ``clahe_tpu`` and docs/PERF.md.
+Times every applicable TPU CLAHE lowering and checks hardware parity
+(device-side max-abs-diff vs ``clahe_xla``, scalar fetch) so a Mosaic
+miscompile cannot hide behind interpret-mode tests.  Feeds docs/PERF.md.
+The gather-remap candidates were deleted after the 2026-08-18 window
+measured them as a dead end (real backend rejects multi-vreg
+tpu.dynamic_gather; docs/PERF.md).
 
 Formulations (mdx/ops/pallas_kernels.py):
 
   matmul-whole   _clahe_kernel        — the shipped whole-image kernel
   matmul-banded  _clahe_banded        — the shipped >limit banded kernel
-  gather-whole   clahe_gather_tpu     — 9 per-lane dynamic gathers, folded
-  gather-banded  clahe_banded_gather_tpu — per-band gather remap
 
 Usage::
 
@@ -46,10 +46,10 @@ def main() -> None:
                     help="skip the clahe_xla hardware parity pass "
                          "(it is slow on TPU at 2048²)")
     ap.add_argument("--sharded-remap", action="store_true",
-                    help="also time the sharded-CLAHE remap kernels "
-                         "(matmul vs gather) on one shard-sized block "
-                         "per shape (H/8 rows — the 8-way 1-D layout), "
-                         "with a synthetic halo-extended LUT grid")
+                    help="also time the sharded-CLAHE remap kernel on "
+                         "one shard-sized block per shape (H/8 rows — "
+                         "the 8-way 1-D layout), with a synthetic "
+                         "halo-extended LUT grid")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--interpret", action="store_true",
                     help="run the Pallas kernels in interpret mode on the "
@@ -111,20 +111,13 @@ def main() -> None:
                                     interp)
 
         def whole_matmul(v, c):
-            # clahe_tpu below the size limit == the whole-image kernel;
-            # impl="matmul" pins the lowering so an MDX_CLAHE_IMPL in the
-            # environment cannot turn this row into a gather-vs-gather A/B
-            return PK.clahe_tpu(v, c, 16, 256, interpret=interp,
-                                impl="matmul")
+            # clahe_tpu below the size limit == the whole-image kernel
+            return PK.clahe_tpu(v, c, 16, 256, interpret=interp)
 
         cands = {}
         if whole_fits:
             cands["matmul-whole"] = whole_matmul
-            cands["gather-whole"] = lambda v, c: PK.clahe_gather_tpu(
-                v, c, 16, 256, interpret=interp)
         cands["matmul-banded"] = banded_matmul
-        cands["gather-banded"] = lambda v, c: PK.clahe_banded_gather_tpu(
-            v, c, 16, 256, interpret=interp)
 
         row = {"shape": spec.strip(), "rtt_ms": rtt * 1e3}
 
@@ -186,7 +179,7 @@ def main() -> None:
             # the real sharded-path helper, halo rows synthesised by
             # edge-padding (timing-equivalent to ppermuted neighbours)
             from mdx.parallel.clahe_sp import (
-                _local_luts, _remap_ext_gather, _remap_ext_pallas,
+                _local_luts, _remap_ext_pallas,
             )
 
             hs = hw // 8
@@ -200,8 +193,6 @@ def main() -> None:
 
             remaps = {
                 "remap-matmul": lambda v: _remap_ext_pallas(
-                    v, lut_ext, 16, 256, interp),
-                "remap-gather": lambda v: _remap_ext_gather(
                     v, lut_ext, 16, 256, interp),
             }
             for name, fn in remaps.items():

@@ -70,8 +70,6 @@ STEPS: list[tuple[str, list[str], int]] = [
 
 _FLIP_REMINDER = """\
 Measurement done — the flips are manual:
-  * clahe:   set _AUTO_GATHER per size class (mdx/ops/pallas_kernels.py)
-             from the clahe step's winners
   * unsharp/bilateral/wavelet/stats: flip _AUTO_*_PALLAS on wins from
              the ab* steps (check the parity rows FIRST)
 then re-run bench.py (>=3 serial, median) and record movements in
