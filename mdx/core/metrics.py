@@ -91,48 +91,17 @@ def _lv_box_stats(x: jnp.ndarray):
             jnp.std(lv16, axis=-1))
 
 
-def _use_stats_kernel(x: jnp.ndarray, impl: str | None) -> bool:
-    try:
-        from mdx.ops.pallas_kernels import (
-            on_tpu_backend,
-            stats_fits,
-            stats_use_pallas,
-        )
-    except Exception:
-        return False
-    # outside the try: an unrecognised MDX_STATS_IMPL must raise (the
-    # knob is trace-time-only — a typo silently meaning xla would be
-    # invisible, the _impl_mode contract all four sibling knobs share)
-    return (on_tpu_backend() and stats_use_pallas(impl)
-            and stats_fits(x.shape[1], x.shape[2]))
-
-
-def image_stats(x: jnp.ndarray,
-                impl: str | None = None) -> dict[str, jnp.ndarray]:
+def image_stats(x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     """All 16 metrics + ``niqe`` + ``edge_ratio`` per image: [N,H,W] → {[N]}.
 
     Formulas: ref pipeline/metrics.py:42-158 (metrics), :187-210 (NIQE),
     :213-217 (edge ratio).
 
-    On TPU at ≤512² the whole pass can run as ONE fused Pallas kernel
-    (mdx/ops/pallas_kernels.py ``stats_tpu`` — same formulas, exact
-    percentiles, bit-identical histogram counts) behind MDX_STATS_IMPL
-    (auto = the multi-phase XLA program until the hardware A/B).
-    ``impl`` pins one lowering over the env knob (A/B tooling); an
-    explicit 'pallas' pin that cannot dispatch raises rather than
-    silently timing the XLA program."""
-    if _use_stats_kernel(x, impl):
-        from mdx.ops.pallas_kernels import stats_tpu
-
-        return stats_tpu(x)
-    if impl is not None:
-        from mdx.ops.pallas_kernels import stats_fits, stats_use_pallas
-
-        if stats_use_pallas(impl):
-            raise ValueError(
-                f"image_stats impl='pallas' pinned but not dispatchable: "
-                f"shape {x.shape} vs stats_fits "
-                f"{stats_fits(x.shape[1], x.shape[2])}, or non-TPU backend")
+    Runs as one multi-phase XLA program (the local-variance stats inside
+    dispatch to the box-stats Pallas kernel on TPU).  A one-kernel fused
+    Pallas form of the WHOLE pass was built and deleted — it fails the
+    real backend and its best compilable ablation loses to this program
+    outright (measured dead-end record in docs/PERF.md)."""
     n = x.shape[0]
     flatten = lambda a: a.reshape(n, -1)
 

@@ -40,11 +40,11 @@ Kernel index (all interpret-parity-tested in tests/test_pallas.py; the
   (``wavelet_denoise_tpu``); MDX_WAVELET_IMPL, off — fails the real
   backend's vector-layout pass (lane-splitting reshape), reformulation
   lever in docs/PERF.md
-* Fused image_stats — ALL 18 metric outputs (moments, histograms +
-  entropies, exact bitwise-search percentiles, db2-MAD sigma, box-stat
-  local variances, NIQE) from ONE read of the image (``stats_tpu``);
-  MDX_STATS_IMPL, off — same real-backend failure class as the wavelet
-  kernel
+A one-kernel fused image_stats (all 18 metric outputs from one read)
+was built, interpret-verified and DELETED after the 2026-08-19 hardware
+window: the in-kernel histograms fail the real backend two independent
+ways and the best compilable ablation loses to the XLA pass outright —
+measured dead-end record in docs/PERF.md.
 """
 
 from __future__ import annotations
@@ -1304,370 +1304,3 @@ def wavelet_denoise_tpu(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(sigma_arr, soft_arr, x)
-
-
-# ---------------------------------------------------------------------------
-# Fused image_stats — the whole 18-output metric pass in one kernel
-# ---------------------------------------------------------------------------
-# The fused metric pass (mdx/core/metrics.py image_stats, ref
-# pipeline/metrics.py:42-217) lowers as ~20 XLA fusion phases each
-# streaming [N,H,W] intermediates through HBM (≈1.3 GB at batch 32 —
-# roughly a third of the 4.6 ms pass is inter-phase HBM traffic,
-# docs/PERF.md "one-kernel image_stats" lever).  This kernel reads the
-# image ONCE per grid step and emits the 18 per-image scalars: plain
-# moments, Laplacian/Sobel stats, both 256/128-bin histogram entropies
-# (chunked nibble-one-hot MXU matmuls — counts bit-identical to
-# mdx/ops/hist.py), the five exact order statistics (the quantile.py
-# 32-sweep bitwise search, VMEM-resident), the db2-HH MAD sigma
-# (reshape-deinterleave analysis — strided slicing does not lower), and
-# the box-stat local variances (shared _k_sep_box).  Every ingredient
-# was individually export-verified through Mosaic client-side before the
-# kernel was built (u32 bitcast/compare/shift, static-rank searches,
-# i32-domain successor min — u32 REDUCTIONS are unimplemented in Mosaic,
-# so min-above runs on the order-preserving i32 image — unrolled-chunk
-# one-hot matmuls, log2/hypot, odd-extent deinterleave).
-
-_AUTO_STATS_PALLAS = False  # pending the hardware A/B (profile_pass --ab stats)
-
-
-def stats_use_pallas(impl: str | None = None) -> bool:
-    """True when the dense TPU image_stats should run as the fused Pallas
-    kernel instead of the multi-phase XLA program.  Knob semantics: see
-    :func:`_impl_mode` (MDX_STATS_IMPL)."""
-    mode = _impl_mode("MDX_STATS_IMPL", impl, ("pallas", "xla"))
-    if mode == "auto":
-        return _AUTO_STATS_PALLAS
-    return mode == "pallas"
-
-
-def stats_fits(h: int, w: int) -> bool:
-    """Same whole-image VMEM class as the box-stats kernel, plus room for
-    the in-kernel (8,7) symmetric pad's unit-slice concats."""
-    return h * w <= _BOX_WHOLE_IMAGE_LIMIT and min(h, w) >= 16
-
-
-_ORD_SIGN = 0x80000000
-
-
-def _k_to_u32(v: jnp.ndarray) -> jnp.ndarray:
-    """quantile.py's order-preserving f32 → u32 bijection, reused
-    directly — every op in it lowers through Mosaic (export-probed)."""
-    from mdx.ops.quantile import _to_ordered_u32
-
-    return _to_ordered_u32(v)
-
-
-def _k_from_u32(u: jnp.ndarray) -> jnp.ndarray:
-    from mdx.ops.quantile import _from_ordered_u32
-
-    return _from_ordered_u32(u)
-
-
-def _k_bitsearch(u: jnp.ndarray, ranks: tuple) -> jnp.ndarray:
-    """quantile.py _bitsearch on one VMEM-resident 2-D plane: 32 radix-2
-    sweeps, one compare-count per (rank, sweep).  ``ranks`` are STATIC
-    1-indexed ints (Pallas cannot capture host constant arrays, and the
-    ranks are compile-time anyway).  Returns [1, R] ordered-u32 answers
-    — identical integers to the XLA search, so results are bit-exact."""
-    rn = len(ranks)
-
-    def sweep(i, ans):
-        bit = jnp.uint32(1) << (jnp.uint32(31) - jnp.uint32(i))
-        outs = []
-        for j, rk in enumerate(ranks):
-            cand = ans[0, j] | bit
-            cnt = jnp.sum((u < cand).astype(jnp.int32))
-            outs.append(jnp.where(cnt < rk, cand, ans[0, j]))
-        return jnp.stack(outs).reshape(1, rn)
-
-    return jax.lax.fori_loop(0, 32, sweep,
-                             jnp.zeros((1, rn), jnp.uint32))
-
-
-def _k_percentiles(v: jnp.ndarray, ranks: tuple, plan: tuple) -> list:
-    """Exact percentiles (NumPy 'linear' rule) of one 2-D plane.
-
-    ``ranks``/``plan`` come from quantile.py _plan (static per shape):
-    deduped lower ranks + per-q (rank_idx, frac).  The successor pass
-    mirrors percentiles_exact, with the min-above reduction running in
-    the order-preserving i32 domain (u32 reductions are unimplemented in
-    Mosaic; u ^ sign reinterpreted signed preserves order exactly).
-    Returns one traced scalar per plan entry."""
-    sign = jnp.uint32(_ORD_SIGN)
-    u = _k_to_u32(v)
-    ans = _k_bitsearch(u, ranks)
-    af = _k_from_u32(ans)
-    if any(f for _, f in plan):
-        ui = jax.lax.bitcast_convert_type(u ^ sign, jnp.int32)
-        succs = []
-        for j, rk in enumerate(ranks):
-            a = ans[0, j]
-            le = u <= a
-            cnt_le = jnp.sum(le.astype(jnp.int32))
-            min_i = jnp.min(jnp.where(le, jnp.int32(0x7FFFFFFF), ui))
-            min_u = jax.lax.bitcast_convert_type(
-                min_i.reshape(1, 1), jnp.uint32)[0, 0] ^ sign
-            succs.append(jnp.where(cnt_le >= rk + 1, a, min_u))
-        sf = _k_from_u32(jnp.stack(succs).reshape(1, len(ranks)))
-        return [af[0, i] * (1.0 - f) + sf[0, i] * f if f else af[0, i]
-                for i, f in plan]
-    return [af[0, i] for i, _ in plan]
-
-
-def _k_hist(q: jnp.ndarray, h: int, w: int, nbins: int) -> jnp.ndarray:
-    """Per-plane histogram of an i32 bin-index plane via chunked
-    nibble-one-hot MXU matmuls → [nbins//16, 16] f32 counts.
-
-    The pixels-on-one-axis flatten (q[s:s+ln].reshape(ln·w)) is a
-    lane-merging shape cast the real backend rejects
-    (infer-vector-layout; 2026-08-18 bisect) — the probe-verified form
-    is a ROW-BATCHED dot_general (batch ln, contract w → [ln, nh, 16])
-    followed by a sublane reduction.  Same exactness argument as
-    mdx/ops/hist.py counts_from_indices: 0/1 bf16 products, f32
-    accumulation, all partials exact integers < 2²⁴, so counts are
-    bit-identical to the XLA einsum regardless of summation order.
-    Chunks are static Python slices (lax.dynamic_slice does not lower
-    in Pallas TPU); 64 rows per chunk bounds the live one-hot factors
-    to ~2·64·w·16 bf16."""
-    nh = nbins // 16
-    hist = jnp.zeros((nh, 16), jnp.float32)
-    ch = min(64, h)
-    spans = [(s, ch) for s in range(0, h - h % ch, ch)]
-    if h % ch:
-        spans.append((h - h % ch, h % ch))
-    for s, ln in spans:
-        blk = q[s:s + ln, :]
-        ohh = (blk[:, :, None] >> 4 == jnp.arange(nh, dtype=jnp.int32)
-               ).astype(jnp.bfloat16)
-        ohl = ((blk[:, :, None] & 15) == jnp.arange(16, dtype=jnp.int32)
-               ).astype(jnp.bfloat16)
-        per_row = jax.lax.dot_general(
-            ohh, ohl, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)           # [ln, nh, 16]
-        hist = hist + jnp.sum(per_row, axis=0)
-    return hist
-
-
-def _k_entropy(hist: jnp.ndarray) -> jnp.ndarray:
-    """hist.entropy_from_hist, reused on the [nh, 16] count table
-    reshaped to its [1, bins] contract (elementwise + last-axis
-    reductions — all Mosaic-lowerable)."""
-    from mdx.ops.hist import entropy_from_hist
-
-    return entropy_from_hist(hist.reshape(1, -1))[0]
-
-
-def _k_bin_idx01(x: jnp.ndarray, nbins: int) -> jnp.ndarray:
-    """hist.bin_indices(hi=None), reused directly on one plane (the
-    hi=None branch is purely elementwise and shape-agnostic) — the
-    boundary-fixup formula has exactly one home, so the kernel's
-    bit-identical-counts guarantee cannot drift from the XLA path."""
-    from mdx.ops.hist import bin_indices
-
-    return bin_indices(x, nbins)
-
-
-def _k_bin_idx_scaled(x: jnp.ndarray, nbins: int,
-                      hi: jnp.ndarray) -> jnp.ndarray:
-    """hist.bin_indices, reused with its scalar-``hi`` broadcast form
-    (no reshape: merging [h, w] into one row would force a Mosaic
-    relayout; the scalar edge broadcasts over the plane instead)."""
-    from mdx.ops.hist import bin_indices
-
-    return bin_indices(x, nbins, hi)
-
-
-def _k_sympad87(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """jnp.pad(x, (8,7)(8,7), mode='symmetric') built in-kernel from 15
-    unit-row + 15 unit-column concats (mirror slices need reversed
-    strides, which Mosaic does not lower; unit slices are exact copies
-    of the same values).  Keeps the kernel's HBM traffic at ONE read of
-    the unpadded image."""
-    tops = [x[i:i + 1, :] for i in range(7, -1, -1)]
-    bots = [x[h - 1 - k:h - k, :] for k in range(7)]
-    xr = jnp.concatenate(tops + [x] + bots, axis=0)
-    lefts = [xr[:, i:i + 1] for i in range(7, -1, -1)]
-    rights = [xr[:, w - 1 - k:w - k] for k in range(7)]
-    return jnp.concatenate(lefts + [xr] + rights, axis=1)
-
-
-def _k_db2_hh(x: jnp.ndarray, h: int, w: int, hi_r: tuple) -> jnp.ndarray:
-    """Finest HH subband of the db2 dwt2 (rows analysis then columns,
-    matching mdx/ops/wavelet.py dwt2) on one plane.
-
-    The symmetric half-sample extension [x1, x0, x, x_{n-1}, x_{n-2},
-    x_{n-3}] (pad (3,3) then drop-first, wavelet.py _analysis_last) is
-    built from unit slices; the stride-2 tap slices become plain slices
-    of a reshape-deinterleaved even/odd pair (odd extended lengths get
-    one dummy trailing sample, never read: slice i+2·n_out−1 ≤ n+4).
-    Taps are passed time-reversed; tap-ascending accumulation — the
-    arithmetic is element-for-element _analysis_last's."""
-
-    def _ana_hi_rows(v, n):
-        ext = jnp.concatenate(
-            [v[1:2], v[0:1], v, v[n - 1:n], v[n - 2:n - 1],
-             v[n - 3:n - 2]], axis=0)
-        el = ext.shape[0]
-        if el % 2:
-            ext = jnp.concatenate([ext, ext[el - 1:el]], axis=0)
-            el += 1
-        er = ext.reshape(el // 2, 2, ext.shape[1])
-        ev, od = er[:, 0, :], er[:, 1, :]
-        no = (n + 3) // 2
-        sls = (ev[0:no], od[0:no], ev[1:no + 1], od[1:no + 1])
-        d = None
-        for i in range(4):
-            t = jnp.float32(hi_r[i]) * sls[i]
-            d = t if d is None else d + t
-        return d, no
-
-    # columns analysis = rows analysis on the transpose (the lane-
-    # splitting reshape er = ext.reshape(h, el//2, 2) fails the real
-    # backend's infer-vector-layout pass; the transpose bridge is
-    # probe-verified and bit-identical — same slices, same order)
-    d, _ = _ana_hi_rows(x, h)
-    hh_t, _ = _ana_hi_rows(d.T, w)
-    return hh_t.T
-
-
-# image_stats output order (mdx/core/metrics.py METRIC_KEYS + the two
-# NIQE extras) — the kernel's output lane layout
-_STATS_KEYS = (
-    "sigma", "lap_var", "std", "pct_low", "pct_high",
-    "entropy", "edge_density", "gradient_mag_mean", "gradient_mag_std",
-    "snr_proxy", "cnr_proxy", "laplacian_energy", "histogram_spread",
-    "local_contrast_std", "gradient_strength", "gradient_entropy",
-    "niqe", "edge_ratio",
-)
-
-
-def _stats_kernel(x_ref, out_ref, *, h: int, w: int, hi_r: tuple,
-                  mad: float, vranks: tuple, vplan: tuple,
-                  granks: tuple, gplan: tuple, sranks: tuple,
-                  splan: tuple):
-    """One image per grid step: all 18 image_stats outputs from one read.
-
-    Formula-for-formula mdx/core/metrics.py image_stats (ref
-    pipeline/metrics.py:42-217): shared Laplacian/Sobel planes, exact
-    percentiles, bit-identical histogram counts, _k_sep_box local
-    variances, db2-MAD sigma.  Only 18 scalars leave the kernel."""
-    x = x_ref[0]
-    size = jnp.float32(h * w)
-
-    xp = _k_sympad87(x, h, w)                       # [h+15, w+15]
-    xp1 = xp[7:h + 9, 7:w + 9]                      # symmetric-1-pad view
-
-    # ---- Laplacian + Sobel (filters.py cores on the 1-extended view) --
-    lap = (4.0 * x - xp1[:-2, 1:-1] - xp1[2:, 1:-1]
-           - xp1[1:-1, :-2] - xp1[1:-1, 2:])
-    dh = 0.5 * (xp1[2:, :] - xp1[:-2, :])           # [h, w+2]
-    gh = 0.5 * dh[:, :-2] + dh[:, 1:-1] + 0.5 * dh[:, 2:]
-    dv = 0.5 * (xp1[:, 2:] - xp1[:, :-2])           # [h+2, w]
-    gv = 0.5 * dv[:-2, :] + dv[1:-1, :] + 0.5 * dv[2:, :]
-    grad = jnp.hypot(gh, gv)
-
-    # ---- plain moments ------------------------------------------------
-    mean = jnp.sum(x) / size
-    std = jnp.sqrt(jnp.sum(jnp.square(x - mean)) / size)
-    pct_low = jnp.sum((x <= 0.01).astype(jnp.float32)) / size
-    pct_high = jnp.sum((x >= 0.99).astype(jnp.float32)) / size
-
-    lap_mean = jnp.sum(lap) / size
-    lap_var = jnp.sum(jnp.square(lap - lap_mean)) / size
-    lap_energy = jnp.sum(lap * lap) / size
-    lap_abs_mean = jnp.sum(jnp.abs(lap)) / size
-
-    gmean = jnp.sum(grad) / size
-    gstd = jnp.sqrt(jnp.sum(jnp.square(grad - gmean)) / size)
-    gmax = jnp.max(grad)
-    edge_thr = jnp.where(gmax > 0, 0.1 * gmax, 0.0)
-    edge_density = jnp.sum((grad > edge_thr).astype(jnp.float32)) / size
-
-    # ---- exact order statistics (quantile.py bitwise search) ----------
-    p05, p25, p75, p95 = _k_percentiles(x, vranks, vplan)
-    (g90,) = _k_percentiles(grad, granks, gplan)
-
-    strong = (grad >= g90).astype(jnp.float32)
-    cnt = jnp.sum(strong)
-    gradient_strength = jnp.where(
-        cnt > 0, jnp.sum(grad * strong) / jnp.maximum(cnt, 1.0), 0.0)
-
-    # ---- histogram entropies (bit-identical counts) -------------------
-    entropy = _k_entropy(_k_hist(_k_bin_idx01(x, 256), h, w, 256))
-    gradient_entropy = _k_entropy(
-        _k_hist(_k_bin_idx_scaled(grad, 128, gmax + 1e-8), h, w, 128))
-
-    # ---- db2-MAD noise sigma ------------------------------------------
-    hh = _k_db2_hh(x, h, w, hi_r)
-    (med,) = _k_percentiles(jnp.abs(hh), sranks, splan)
-    sigma = med * jnp.float32(mad)
-
-    # ---- box-stat local variances (_box_stats_kernel formulas) --------
-    x2p = xp * xp
-    m7 = _k_sep_box(xp, 7, 5, h, w)
-    m7_2 = _k_sep_box(x2p, 7, 5, h, w)
-    lv7s = jnp.sqrt(jnp.maximum(m7_2 - m7 * m7, 0.0))
-    mu7 = jnp.mean(lv7s)
-    lcs = jnp.sqrt(jnp.mean(jnp.square(lv7s - mu7)))
-    m16 = _k_sep_box(xp, 16, 0, h, w)
-    m16_2 = _k_sep_box(x2p, 16, 0, h, w)
-    lv16 = jnp.maximum(m16_2 - m16 * m16, 0.0)
-    mu16 = jnp.mean(lv16)
-    s16 = jnp.sqrt(jnp.mean(jnp.square(lv16 - mu16)))
-
-    # ---- derived metrics ----------------------------------------------
-    sigma_safe = jnp.maximum(sigma, 1e-8)
-    snr = mean / sigma_safe
-    cnr = (p95 - p05) / sigma_safe
-    edge_ratio = lap_abs_mean / (gmean + 1e-8)
-    niqe = (s16 / (mu16 + 1e-8)
-            + jnp.maximum(edge_ratio - 1.0, 0.0) * 10.0)
-
-    out_ref[...] = jnp.stack([
-        sigma, lap_var, std, pct_low, pct_high,
-        entropy, edge_density, gmean, gstd,
-        snr, cnr, lap_energy, p75 - p25,
-        lcs, gradient_strength, gradient_entropy,
-        niqe, edge_ratio,
-    ]).reshape(1, 1, len(_STATS_KEYS))
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stats_tpu(x: jnp.ndarray,
-              interpret: bool = False) -> dict[str, jnp.ndarray]:
-    """Fused Pallas image_stats of [N,H,W] float32 → the full 18-key
-    metric dict ({[N]} each) of mdx/core/metrics.py image_stats.
-
-    Gate with :func:`stats_fits`; dispatched from image_stats behind
-    MDX_STATS_IMPL (auto = XLA until the hardware A/B)."""
-    from mdx.ops.quantile import _plan
-    from mdx.refimpl.wavelet_np import MAD_TO_SIGMA, qmf_pair
-
-    n, h, w = x.shape
-    m = h * w
-    vranks, vplan = _plan([5.0, 25.0, 75.0, 95.0], m)
-    granks, gplan = _plan([90.0], m)
-    no_h, no_w = (h + 3) // 2, (w + 3) // 2
-    sranks, splan = _plan([50.0], no_h * no_w)
-    _, hi = qmf_pair("db2")
-    hi_r = tuple(float(t) for t in hi[::-1])
-
-    kernel = functools.partial(
-        _stats_kernel, h=h, w=w, hi_r=hi_r, mad=float(MAD_TO_SIGMA),
-        vranks=vranks, vplan=tuple(vplan), granks=granks,
-        gplan=tuple(gplan), sranks=sranks, splan=tuple(splan))
-    out = pl.pallas_call(
-        kernel,
-        grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, len(_STATS_KEYS)),
-                               lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 1, len(_STATS_KEYS)),
-                                       jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
-        interpret=interpret,
-    )(x)
-    return {k: out[:, 0, i] for i, k in enumerate(_STATS_KEYS)}

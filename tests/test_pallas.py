@@ -634,197 +634,3 @@ class TestWaveletDenoisePallas:
                 jax.jit(lambda v, sg, sf, _lv=lv:
                         wavelet_denoise_tpu(v, sg, sf, _lv)),
                 platforms=["tpu"])(x, s, s)
-
-
-class TestStatsKernel:
-    """Fused image_stats kernel (pallas_kernels.stats_tpu): one read of
-    the image → all 18 metric outputs."""
-
-    SHAPES = ((3, 128, 128), (2, 96, 80), (1, 101, 67))
-
-    @staticmethod
-    def _mk(shape, seed=0):
-        r = np.random.default_rng(seed)
-        x = np.clip(r.normal(0.5, 0.18, shape), 0, 1).astype(np.float32)
-        x[0, :10, :10] = 0.0   # exercise pct_low
-        x[0, -8:, -8:] = 1.0   # exercise pct_high
-        return jnp.asarray(x)
-
-    @pytest.mark.parametrize("shape", SHAPES)
-    def test_parity_vs_image_stats(self, shape):
-        """All 18 outputs vs the multi-phase XLA program.  Percentile-
-        and histogram-based outputs are exact by construction (same
-        integer counts / same searched order statistics); moments agree
-        to fp association.  local_contrast_std is looser vs the XLA
-        CPU path only because the kernel reproduces box_stats_tpu's
-        association order — the TPU-dispatch semantics (bit-exactness
-        asserted separately below)."""
-        from mdx.core.metrics import image_stats
-        from mdx.ops.pallas_kernels import stats_tpu
-
-        x = self._mk(shape)
-        want = image_stats(x)
-        got = stats_tpu(x, interpret=True)
-        assert set(got) == set(want)
-        for k in want:
-            rtol = 5e-4 if k == "local_contrast_std" else 2e-5
-            np.testing.assert_allclose(
-                np.asarray(got[k]), np.asarray(want[k]),
-                rtol=rtol, atol=1e-6, err_msg=f"{k} @ {shape}")
-
-    def test_lcs_bitexact_vs_box_kernel(self):
-        """The kernel's local-variance stats ARE box_stats_tpu's (shared
-        _k_sep_box, same reduction order) — bit-exact."""
-        from mdx.ops.pallas_kernels import box_stats_tpu, stats_tpu
-
-        x = self._mk((2, 96, 80), seed=3)
-        lcs, _, _ = box_stats_tpu(x, interpret=True)
-        got = stats_tpu(x, interpret=True)
-        np.testing.assert_array_equal(np.asarray(lcs),
-                                      np.asarray(got["local_contrast_std"]))
-
-    def test_matches_refimpl(self, noisy_image):
-        """Float64 oracle cross-check on the 16-metric contract."""
-        from mdx.ops.pallas_kernels import stats_tpu
-        from mdx.refimpl.pipeline_np import compute_metrics as ref_metrics
-
-        x = jnp.asarray(noisy_image, jnp.float32)[None]
-        got = stats_tpu(x, interpret=True)
-        ref = ref_metrics(np.asarray(noisy_image, np.float64))
-        for k, v in ref.items():
-            if k not in got:
-                continue
-            np.testing.assert_allclose(
-                float(got[k][0]), v, rtol=5e-4, atol=5e-5, err_msg=k)
-
-    def test_tpu_lowering_stays_supported(self):
-        """Client-side Pallas→Mosaic lowering: the kernel leans on the
-        riskiest rules in the repo (u32 bitcast/compare/shift searches,
-        i32-domain min reductions, in-kernel bf16 one-hot matmuls,
-        odd-extent deinterleave) — a jax upgrade narrowing any of them
-        must fail here, not in a tunnel window."""
-        import jax
-
-        from mdx.ops.pallas_kernels import stats_tpu
-
-        for shape in ((2, 512, 512), (2, 96, 80), (1, 101, 67)):
-            x = jnp.zeros(shape, jnp.float32)
-            jax.export.export(
-                jax.jit(lambda v: stats_tpu(v)["sigma"]),
-                platforms=["tpu"])(x)
-
-    def test_impl_knob(self, monkeypatch):
-        from mdx.ops import pallas_kernels as PK
-
-        monkeypatch.delenv("MDX_STATS_IMPL", raising=False)
-        assert PK.stats_use_pallas() is PK._AUTO_STATS_PALLAS
-        monkeypatch.setenv("MDX_STATS_IMPL", "pallas")
-        assert PK.stats_use_pallas()
-        monkeypatch.setenv("MDX_STATS_IMPL", "xla")
-        assert not PK.stats_use_pallas()
-        monkeypatch.setenv("MDX_STATS_IMPL", "bogus")
-        with pytest.raises(ValueError, match="MDX_STATS_IMPL"):
-            PK.stats_use_pallas()
-
-    def test_pin_raises_off_tpu(self):
-        from mdx.core.metrics import image_stats
-
-        with pytest.raises(ValueError, match="not dispatchable"):
-            image_stats(self._mk((1, 64, 64)), impl="pallas")
-
-    def test_dispatch_routing(self, monkeypatch):
-        """With a TPU-claiming backend and the pallas pin, image_stats
-        routes to stats_tpu (recorder swaps in the interpret kernel)."""
-        import jax
-
-        from mdx.core.metrics import image_stats
-        from mdx.ops import pallas_kernels as PK
-
-        x = self._mk((2, 96, 80), seed=7)
-        want = image_stats(x)   # real CPU path first
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        calls = []
-        real = PK.stats_tpu
-        monkeypatch.setattr(
-            PK, "stats_tpu",
-            lambda v: (calls.append(v.shape),
-                       real(v, interpret=True))[1])
-        got = image_stats(x, impl="pallas")
-        assert calls == [(2, 96, 80)]
-        for k in want:
-            rtol = 5e-4 if k == "local_contrast_std" else 2e-5
-            np.testing.assert_allclose(
-                np.asarray(got[k]), np.asarray(want[k]),
-                rtol=rtol, atol=1e-6, err_msg=k)
-
-    def test_fits_gate(self):
-        from mdx.ops.pallas_kernels import stats_fits
-
-        assert stats_fits(512, 512)
-        assert not stats_fits(1024, 1024)
-        assert not stats_fits(8, 4096)
-
-    def test_env_typo_raises_on_tpu_backend(self, monkeypatch):
-        """An unrecognised MDX_STATS_IMPL must raise from the dispatch
-        gate on a TPU backend (regression: an `except Exception` around
-        the gate once swallowed it into a silent XLA fallback)."""
-        import jax
-
-        from mdx.core.metrics import image_stats
-
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setenv("MDX_STATS_IMPL", "pallsa")
-        with pytest.raises(ValueError, match="MDX_STATS_IMPL"):
-            image_stats(self._mk((1, 64, 64)))
-
-    def test_qa_pass_integration_with_kernel(self, monkeypatch):
-        """The FULL deterministic QA program (metrics → detect → chain →
-        guards → validation → score) with the stats kernel dispatched:
-        catches jit-nesting / sub-batching integration breaks the
-        image_stats-level routing test cannot."""
-        import jax
-
-        from mdx.core import metrics as M
-        from mdx.core.qa import qa_deterministic
-        from mdx.ops import pallas_kernels as PK
-
-        x = self._mk((2, 96, 80), seed=11)
-        want = qa_deterministic(x)   # real CPU path first
-        # flip ONLY the stats gate (a faked TPU backend would dispatch
-        # the CLAHE/TV kernels non-interpret on CPU too)
-        monkeypatch.setattr(M, "_use_stats_kernel", lambda v, impl: True)
-        real = PK.stats_tpu
-        monkeypatch.setattr(PK, "stats_tpu",
-                            lambda v: real(v, interpret=True))
-        jax.clear_caches()   # same avals already traced with the XLA path
-        try:
-            got = qa_deterministic(x)
-        finally:
-            jax.clear_caches()  # don't leak kernel traces to later tests
-        w_enh, w_stats = want[0], want[1]
-        g_enh, g_stats = got[0], got[1]
-        np.testing.assert_allclose(np.asarray(g_enh), np.asarray(w_enh),
-                                   rtol=1e-4, atol=1e-5)
-        for k in w_stats:
-            rtol = 5e-4 if k == "local_contrast_std" else 2e-5
-            np.testing.assert_allclose(
-                np.asarray(g_stats[k]), np.asarray(w_stats[k]),
-                rtol=rtol, atol=1e-6, err_msg=k)
-
-    @pytest.mark.parametrize("shape", [(1, 16, 1024), (1, 1024, 16),
-                                       (2, 512, 512)])
-    def test_parity_extreme_aspect_and_full_size(self, shape):
-        """The fits-gate extremes: minimum-height/width planes (db2
-        analysis down to 9 output rows, single hist chunk) and the full
-        512² product shape."""
-        from mdx.core.metrics import image_stats
-        from mdx.ops.pallas_kernels import stats_tpu
-
-        x = self._mk(shape, seed=sum(shape))
-        want = image_stats(x)
-        got = stats_tpu(x, interpret=True)
-        for k in want:
-            rtol = 5e-4 if k == "local_contrast_std" else 2e-5
-            np.testing.assert_allclose(
-                np.asarray(got[k]), np.asarray(want[k]),
-                rtol=rtol, atol=1e-6, err_msg=f"{k} @ {shape}")

@@ -54,11 +54,11 @@ def test_bench_clahe_interpret_smoke():
 def test_profile_pass_ab_only_smoke():
     stdout = _run_tool("tools/profile_pass.py",
                        ["--batch", "1", "--hw", "64", "--reps", "1",
-                        "--ab", "unsharp,bilateral,wavelet,stats",
+                        "--ab", "unsharp,bilateral,wavelet",
                         "--ab-only"])
     lines = stdout.strip().splitlines()
-    # four parity rows + eight timing rows, no regular profile blocks
-    for op in ("unsharp", "bilateral", "wavelet", "stats"):
+    # three parity rows + six timing rows, no regular profile blocks
+    for op in ("unsharp", "bilateral", "wavelet"):
         assert any(f"{op} parity" in ln for ln in lines), lines
         assert any(ln.startswith(f"{op}:xla") for ln in lines), lines
         assert any(ln.startswith(f"{op}:pallas") for ln in lines), lines
@@ -91,7 +91,7 @@ def test_tunnel_window_plan_contract():
     assert "--sharded-remap" in steps["clahe"]["argv"]
     for ab in ("ab512", "ab1024", "ab2048"):
         argv = steps[ab]["argv"]
-        assert "unsharp,bilateral,wavelet,stats" in argv
+        assert "unsharp,bilateral,wavelet" in argv
         assert "--ab-only" in argv
     assert steps["ab2048"]["argv"][-2:] == ["--hw", "2048"]
     assert sum(1 for n in steps if n.startswith("bench")) == 3

@@ -53,10 +53,9 @@ def main() -> None:
                     help="comma-separated block-name substrings to run")
     ap.add_argument("--ab", type=str, default="",
                     help="comma-separated ops to A/B "
-                         "(unsharp,bilateral,wavelet,stats): times the "
+                         "(unsharp,bilateral,wavelet): times the "
                          "xla vs pallas lowering with a device-side "
-                         "parity scalar (max-abs-diff; max-REL-diff for "
-                         "stats, whose 18 outputs span magnitudes); "
+                         "parity scalar (max-abs-diff); "
                          "each candidate PINS its lowering (immune to "
                          "the MDX_*_IMPL env).  On a CPU backend the "
                          "pallas candidate runs in interpret mode (tool "
@@ -222,31 +221,12 @@ def main() -> None:
                 "pallas": (lambda v: W.denoise_wavelet(v, impl="pallas"))
                 if on_tpu else _wav_pallas_interp,
             }
-        if "stats" in args.ab:
-            def _stats_stack(v, impl):
-                s = M.image_stats(v, impl=impl)
-                return jnp.stack([s[k] for k in PK._STATS_KEYS])
-
-            def _stats_interp(v):
-                s = PK.stats_tpu(v, interpret=True)
-                return jnp.stack([s[k] for k in PK._STATS_KEYS])
-
-            ab_pairs["stats"] = {
-                "xla": lambda v: _stats_stack(v, "xla"),
-                "pallas": (lambda v: _stats_stack(v, "pallas"))
-                if on_tpu else _stats_interp,
-            }
-        # stats outputs span magnitudes (snr can be 1e7) — relative parity
-        rel_parity = {"stats"}
         for op, pair in ab_pairs.items():
-            rel = op in rel_parity
             try:
                 pj = jax.jit(
-                    lambda v, _a=pair["xla"], _b=pair["pallas"], _r=rel:
-                    jnp.max(jnp.abs(_a(v) - _b(v))
-                            / ((jnp.abs(_a(v)) + 1e-6) if _r else 1.0)))
-                kind = "maxrel" if rel else "max"
-                print(f"{op + f' parity {kind}|xla-pallas|':34s} "
+                    lambda v, _a=pair["xla"], _b=pair["pallas"]:
+                    jnp.max(jnp.abs(_a(v) - _b(v))))
+                print(f"{op + ' parity max|xla-pallas|':34s} "
                       f"{float(pj(x)):8.2e}")
             except Exception as exc:  # noqa: BLE001
                 # a pinned 'pallas' that cannot dispatch at this shape

@@ -10,11 +10,11 @@ the window closes mid-sequence:
 
   1. probe    — bounded ``jax.devices()`` (abort early if still down)
   2. clahe    — ``bench_clahe.py --sharded-remap --json``
-  3. ab512    — ``profile_pass.py --ab unsharp,bilateral,wavelet,stats
+  3. ab512    — ``profile_pass.py --ab unsharp,bilateral,wavelet
                  --ab-only`` at 32x512^2
   4. ab1024   — same at 4x1024^2
-  5. ab2048   — same at 16x2048^2 (banded unsharp class; stats/bilateral
-                 skip themselves)
+  5. ab2048   — same at 16x2048^2 (banded unsharp class; bilateral
+                 skips itself)
   6. bench    — ``bench.py`` x3 serial (same-build noise is +/-1.4%)
   7. config3  — ``examples/bench_config3.py``
 
@@ -43,7 +43,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_AB = "unsharp,bilateral,wavelet,stats"
+_AB = "unsharp,bilateral,wavelet"
 
 # (name, argv, timeout_s).  Cold compiles through the tunnel run many
 # minutes (config-5-class programs measured ~22 min) — timeouts are
@@ -70,7 +70,7 @@ STEPS: list[tuple[str, list[str], int]] = [
 
 _FLIP_REMINDER = """\
 Measurement done — the flips are manual:
-  * unsharp/bilateral/wavelet/stats: flip _AUTO_*_PALLAS on wins from
+  * unsharp/bilateral/wavelet: flip _AUTO_*_PALLAS on wins from
              the ab* steps (check the parity rows FIRST)
 then re-run bench.py (>=3 serial, median) and record movements in
 docs/PERF.md lever entries + README's table."""
