@@ -7,11 +7,15 @@ Supports the transfer syntaxes that cover CT/CXR/MR/US exports:
 * Deflated Explicit VR LE          1.2.840.10008.1.2.1.99  (zlib raw inflate)
 * Explicit VR Big Endian (retired) 1.2.840.10008.1.2.2
 * RLE Lossless                     1.2.840.10008.1.2.5     (mdx.io.rle)
+* JPEG Lossless (Process 14)       1.2.840.10008.1.2.4.57  (mdx.io.jpegll)
+* JPEG Lossless SV1 (14, pred 1)   1.2.840.10008.1.2.4.70  (mdx.io.jpegll)
 
 plus headerless "raw" datasets (no preamble, implicit VR) that some tools
-emit.  The reference decodes the two compressed syntaxes via plain pydicom
-(reference pipeline/dicom_io.py:29-45); mdx implements them directly.
-Other encapsulated syntaxes (JPEG family) raise :class:`DicomError`.
+emit.  The reference decodes the RLE/Deflated syntaxes via plain pydicom
+(reference pipeline/dicom_io.py:29-45); mdx implements them directly.  The
+two JPEG Lossless syntaxes are an EXTENSION over the reference (plain
+pydicom needs a plugin its requirements.txt does not install).  Lossy
+JPEG-family syntaxes raise :class:`DicomError`.
 
 Behavioural contract mirrored from the reference (pipeline/dicom_io.py:29-57):
 modality rescale (slope/intercept), MONOCHROME1 inversion, grayscale /
@@ -46,8 +50,11 @@ TS_EXPLICIT_LE = "1.2.840.10008.1.2.1"
 TS_DEFLATED_LE = "1.2.840.10008.1.2.1.99"
 TS_EXPLICIT_BE = "1.2.840.10008.1.2.2"
 TS_RLE = "1.2.840.10008.1.2.5"
+TS_JPEG_LL = "1.2.840.10008.1.2.4.57"
+TS_JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"
+_ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LL, TS_JPEG_LL_SV1}
 _SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
-                 TS_EXPLICIT_BE, TS_RLE}
+                 TS_EXPLICIT_BE} | _ENCAPSULATED_TS
 
 # VRs with the 2-byte-VR + 2-reserved + 4-byte-length layout
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OD", b"OL", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -193,7 +200,7 @@ def read_dataset(path: str) -> DicomDataset:
             ts = TS_IMPLICIT_LE
         if ts not in _SUPPORTED_TS:
             raise DicomError(f"Unsupported transfer syntax {ts!r} "
-                             "(JPEG-family encapsulated pixel data).")
+                             "(lossy JPEG-family encapsulated pixel data).")
         if ts == TS_DEFLATED_LE:
             # PS3.5 A.5: everything after the (uncompressed) file meta is
             # one raw-deflate stream of an Explicit VR LE dataset.
@@ -213,7 +220,7 @@ def read_dataset(path: str) -> DicomDataset:
         big_endian = ts == TS_EXPLICIT_BE
         ds = DicomDataset(transfer_syntax=ts)
         _parse_body(body, ds, explicit, big_endian,
-                    encapsulated=(ts == TS_RLE))
+                    encapsulated=(ts in _ENCAPSULATED_TS))
         return ds
 
 
@@ -231,7 +238,7 @@ def _parse_body(f: BinaryIO, ds: DicomDataset, explicit: bool,
                 continue
             if encapsulated:
                 raise DicomError(
-                    "RLE transfer syntax requires encapsulated "
+                    "This transfer syntax requires encapsulated "
                     "(undefined-length) PixelData.")
             ds.pixel_bytes = _read_exact(f, length)
             continue
@@ -324,18 +331,23 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
 
     expect = rows * cols * samples * frames
     if ds.fragments is not None:
-        from mdx.io import rle
+        if ds.transfer_syntax in (TS_JPEG_LL, TS_JPEG_LL_SV1):
+            arr = _decode_jpegll(ds.fragments, rows, cols, samples, frames,
+                                 bits, signed)
+        else:
+            from mdx.io import rle
 
-        if len(ds.fragments) != frames:
-            raise DicomError(
-                f"RLE PixelData has {len(ds.fragments)} frame fragments, "
-                f"NumberOfFrames says {frames}.")
-        try:
-            decoded = [rle.decode_frame(frag, rows, cols, samples, bits // 8)
-                       for frag in ds.fragments]
-        except rle.RleError as exc:
-            raise DicomError(f"Corrupt RLE pixel data: {exc}") from exc
-        arr = np.concatenate(decoded).view(dtype)
+            if len(ds.fragments) != frames:
+                raise DicomError(
+                    f"RLE PixelData has {len(ds.fragments)} frame "
+                    f"fragments, NumberOfFrames says {frames}.")
+            try:
+                decoded = [rle.decode_frame(frag, rows, cols, samples,
+                                            bits // 8)
+                           for frag in ds.fragments]
+            except rle.RleError as exc:
+                raise DicomError(f"Corrupt RLE pixel data: {exc}") from exc
+            arr = np.concatenate(decoded).view(dtype)
     else:
         arr = np.frombuffer(ds.pixel_bytes, dtype=dtype, count=-1)
     if arr.size < expect:
@@ -350,6 +362,66 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
     else:
         arr = arr.reshape(rows, cols)
     return arr
+
+
+def _decode_jpegll(fragments: list, rows: int, cols: int, samples: int,
+                   frames: int, bits: int, signed: bool) -> np.ndarray:
+    """JPEG Lossless fragments → flat pixel array in the stored dtype.
+
+    Fragment → frame grouping (PS3.5 A.4 allows a frame to span
+    fragments): one-fragment-per-frame when the counts match, otherwise
+    a single frame owns every fragment, otherwise fragments are grouped
+    on their SOI prefix (each codestream starts FF D8).  Signed data is
+    sign-extended from the codestream's own precision P — the encoder
+    codes the unsigned two's-complement representation and the mod-2^16
+    arithmetic makes the round trip exact.
+    """
+    from mdx.io import jpegll
+
+    if bits not in (8, 16):
+        raise DicomError(
+            f"JPEG Lossless carries at most 16 bits (BitsAllocated={bits}).")
+    if len(fragments) == frames:
+        streams = [bytes(f) for f in fragments]
+    elif frames == 1:
+        streams = [b"".join(fragments)]
+    else:
+        streams, cur = [], []
+        for frag in fragments:
+            if frag[:2] == b"\xff\xd8" and cur:
+                streams.append(b"".join(cur))
+                cur = []
+            cur.append(frag)
+        if cur:
+            streams.append(b"".join(cur))
+        if len(streams) != frames:
+            raise DicomError(
+                f"JPEG Lossless PixelData groups into {len(streams)} "
+                f"codestreams, NumberOfFrames says {frames}.")
+    out = []
+    for stream in streams:
+        try:
+            img, p = jpegll.decode(stream)
+        except jpegll.JpegLLError as exc:
+            raise DicomError(
+                f"Corrupt JPEG Lossless pixel data: {exc}") from exc
+        shape = img.shape if img.ndim == 3 else img.shape + (1,)
+        if shape != (rows, cols, samples):
+            raise DicomError(
+                f"JPEG Lossless frame is {shape}, dataset says "
+                f"({rows}, {cols}, {samples}).")
+        a = img.reshape(-1).astype(np.int64)   # composite (interleaved) order
+        if signed:
+            a = np.where(a >= (1 << (p - 1)), a - (1 << p), a)
+        out.append(a)
+    flat = np.concatenate(out)
+    base = {8: np.int8 if signed else np.uint8,
+            16: np.int16 if signed else np.uint16}[bits]
+    lo, hi = np.iinfo(base).min, np.iinfo(base).max
+    if flat.size and (int(flat.min()) < lo or int(flat.max()) > hi):
+        raise DicomError(
+            f"JPEG Lossless sample out of range for BitsAllocated={bits}.")
+    return flat.astype(base)
 
 
 def _rescale(image: np.ndarray, ds: DicomDataset) -> np.ndarray:

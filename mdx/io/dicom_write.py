@@ -3,8 +3,10 @@
 Produces standard part-10 files (preamble + DICM + file meta) carrying
 MONOCHROME1/2 pixel data, readable by :mod:`mdx.io.dicom` and by any
 standard DICOM toolkit.  Transfer syntaxes: Explicit VR Little Endian
-(default), RLE Lossless (encapsulated, ``mdx.io.rle``), and Deflated
-Explicit VR LE (zlib raw deflate of the post-meta stream, PS3.5 A.5).
+(default), RLE Lossless (encapsulated, ``mdx.io.rle``), JPEG Lossless
+SV1 ``1.2.840.10008.1.2.4.70`` (encapsulated, ``mdx.io.jpegll``), and
+Deflated Explicit VR LE (zlib raw deflate of the post-meta stream,
+PS3.5 A.5).
 """
 
 from __future__ import annotations
@@ -14,7 +16,8 @@ import zlib
 
 import numpy as np
 
-from mdx.io.dicom import TS_DEFLATED_LE, TS_EXPLICIT_LE, TS_RLE
+from mdx.io.dicom import (TS_DEFLATED_LE, TS_EXPLICIT_LE, TS_JPEG_LL_SV1,
+                          TS_RLE)
 
 _SOP_CLASS_SC = "1.2.840.10008.5.1.4.1.1.7"  # Secondary Capture
 
@@ -52,7 +55,8 @@ def write_dicom(
     transfer_syntax: str = TS_EXPLICIT_LE,
 ) -> str:
     """Write ``pixels`` (uint8/uint16/int16 2-D or [F,H,W] 3-D) to *path*."""
-    if transfer_syntax not in (TS_EXPLICIT_LE, TS_RLE, TS_DEFLATED_LE):
+    if transfer_syntax not in (TS_EXPLICIT_LE, TS_RLE, TS_DEFLATED_LE,
+                               TS_JPEG_LL_SV1):
         raise ValueError(f"unsupported transfer syntax {transfer_syntax!r}")
     pixels = np.ascontiguousarray(pixels)
     if pixels.dtype == np.uint8:
@@ -99,6 +103,8 @@ def write_dicom(
         body += _el(0x0028, 0x1053, b"DS", _txt(f"{rescale_slope:g}"))
     if transfer_syntax == TS_RLE:
         body += _encapsulated_rle(pixels.reshape(frames, rows, cols))
+    elif transfer_syntax == TS_JPEG_LL_SV1:
+        body += _encapsulated_jpegll(pixels.reshape(frames, rows, cols), bits)
     else:
         pixel_bytes = pixels.astype(pixels.dtype.newbyteorder("<")).tobytes()
         body += _el(0x7FE0, 0x0010, b"OW" if bits == 16 else b"OB",
@@ -134,6 +140,27 @@ def _encapsulated_rle(frames_arr: np.ndarray) -> bytes:
            struct.pack("<HHI", 0xFFFE, 0xE000, 0)]  # empty offset table
     for frame in frames_arr:
         frag = rle.encode_frame(frame)
+        if len(frag) % 2:
+            frag += b"\x00"
+        out.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag)
+    out.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    return b"".join(out)
+
+
+def _encapsulated_jpegll(frames_arr: np.ndarray, bits: int) -> bytes:
+    """[F, H, W] → encapsulated JPEG Lossless SV1 PixelData element bytes.
+
+    Signed data is coded as its unsigned two's-complement representation
+    at full container precision; the reader sign-extends from the
+    codestream precision (see mdx/io/dicom.py:_decode_jpegll).
+    """
+    from mdx.io import jpegll
+
+    out = [struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF),
+           struct.pack("<HHI", 0xFFFE, 0xE000, 0)]  # empty offset table
+    for frame in frames_arr:
+        u = (frame.astype(np.int64) & ((1 << bits) - 1)).astype(np.uint16)
+        frag = jpegll.encode(u, precision=bits, predictor=1)
         if len(frag) % 2:
             frag += b"\x00"
         out.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag)

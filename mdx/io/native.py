@@ -102,6 +102,11 @@ def _load() -> ctypes.CDLL:
             lib.mdxio_packbits_encode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
             lib.mdxio_packbits_encode.restype = ctypes.c_int64
+            lib.mdxio_jpegll_diffs.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p]
+            lib.mdxio_jpegll_diffs.restype = ctypes.c_int64
         except AttributeError as exc:
             # stale library from an older source revision (and no
             # toolchain to rebuild it) — degrade to the Python paths
@@ -181,6 +186,25 @@ def packbits_decode(data: bytes, expected: int) -> tuple[int, bytes]:
         src.ctypes.data_as(ctypes.c_void_p), src.size,
         out.ctypes.data_as(ctypes.c_void_p), expected)
     return int(rc), out[:expected].tobytes()
+
+
+def jpegll_diffs(seg: bytes, counts: np.ndarray, values: np.ndarray,
+                 count: int) -> tuple[int, np.ndarray]:
+    """Native JPEG Lossless entropy decode (destuffed scan bytes →
+    int32 diffs).  Returns ``(rc, diffs)``: rc == count on success,
+    -1 truncated, -2 invalid code — the caller (mdx/io/jpegll.py) maps
+    rc to the same JpegLLError taxonomy as the Python loop."""
+    lib = _load()
+    src = np.frombuffer(seg, np.uint8)
+    c = np.ascontiguousarray(counts, dtype=np.uint8)
+    v = np.ascontiguousarray(values, dtype=np.uint8)
+    out = np.empty(max(count, 1), np.int32)
+    rc = lib.mdxio_jpegll_diffs(
+        src.ctypes.data_as(ctypes.c_void_p), src.size,
+        c.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p), v.size,
+        count, out.ctypes.data_as(ctypes.c_void_p))
+    return int(rc), out[:count]
 
 
 def packbits_encode(data: bytes) -> bytes:

@@ -12,6 +12,8 @@
 //   mdxio_minmax_f32         : min/max of a float32 buffer
 //   mdxio_normalize_f32      : in-place (x - lo) / (hi - lo)
 //   mdxio_rescale_norm_<src> : fused rescale + per-call min-max normalise
+//   mdxio_packbits_{decode,encode} : DICOM RLE PackBits (PS3.5 Annex G)
+//   mdxio_jpegll_diffs       : JPEG Lossless entropy decode (T.81 H/F.2)
 //
 // Build: make -C native  (g++ -O3 -march=native -fopenmp -shared -fPIC)
 
@@ -149,6 +151,78 @@ int64_t mdxio_packbits_decode(const uint8_t *src, int64_t n, uint8_t *out,
 // all literal blocks).  Returns bytes written.  Identical run/literal
 // boundaries to the Python encoder (replicate runs >=3, literals <=128,
 // literal scan stops before the next >=3 replicate run).
+// ---------------------------------------------------------------------------
+// JPEG Lossless (ITU-T T.81 process 14) entropy decode — the serial hot
+// loop of mdx/io/jpegll.py: destuffed scan bytes → per-sample signed
+// differences (Huffman per F.2.2.3 + DC magnitude-category extend, with
+// SSSS=16 meaning +32768 and no extra bits).  Prediction/undifferencing
+// stays on the vectorised NumPy side.  Identical control flow and error
+// taxonomy to _scan_diffs_py (bit-identical diffs, fuzz-asserted in
+// tests/test_dicom_jpegll.py): returns `count` on success, -1 truncated
+// input, -2 invalid code/symbol, -3 table mismatch.
+// ---------------------------------------------------------------------------
+
+int64_t mdxio_jpegll_diffs(const uint8_t *seg, int64_t n,
+                           const uint8_t *counts /* 16 */,
+                           const uint8_t *values, int64_t n_values,
+                           int64_t count, int32_t *out) {
+  int32_t mincode[17], maxcode[17], valptr[17];
+  int code = 0, k = 0;
+  for (int L = 1; L <= 16; ++L) {
+    const int c = counts[L - 1];
+    maxcode[L] = -1;
+    valptr[L] = 0;
+    mincode[L] = 0;
+    if (c) {
+      valptr[L] = k;
+      mincode[L] = code;
+      code += c;
+      maxcode[L] = code - 1;
+      k += c;
+    }
+    code <<= 1;
+  }
+  if (k != n_values) return -3;
+  int64_t i = 0;  // byte cursor; bitpos counts consumed MSB-first bits
+  int bitpos = 0;
+  for (int64_t m = 0; m < count; ++m) {
+    int c = 0, L = 0;
+    for (;;) {
+      if (i >= n) return -1;
+      const int bit = (seg[i] >> (7 - bitpos)) & 1;
+      if (++bitpos == 8) {
+        bitpos = 0;
+        ++i;
+      }
+      c = (c << 1) | bit;
+      if (++L > 16) return -2;
+      if (maxcode[L] >= c) break;
+    }
+    const int s = values[valptr[L] + c - mincode[L]];
+    int32_t d;
+    if (s == 0) {
+      d = 0;
+    } else if (s == 16) {
+      d = 32768;
+    } else if (s > 16) {
+      return -2;
+    } else {
+      int v = 0;
+      for (int b = 0; b < s; ++b) {
+        if (i >= n) return -1;
+        v = (v << 1) | ((seg[i] >> (7 - bitpos)) & 1);
+        if (++bitpos == 8) {
+          bitpos = 0;
+          ++i;
+        }
+      }
+      d = (v >= (1 << (s - 1))) ? v : v - (1 << s) + 1;
+    }
+    out[m] = d;
+  }
+  return count;
+}
+
 int64_t mdxio_packbits_encode(const uint8_t *src, int64_t n, uint8_t *out) {
   int64_t i = 0, o = 0;
   while (i < n) {
