@@ -561,6 +561,21 @@ def _diff_symbols(d: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _pack_segment(ssss, extra_bits, extra_val, code_of, len_of) -> bytes:
+    """Bit-pack one restart interval, 1-padded to a byte, 0xFF-stuffed.
+
+    Native fast path (the per-bit fan-out below materialises ~8 int64
+    elements per output bit, the encoder's hot loop); the NumPy packer
+    is the fallback and parity oracle.
+    """
+    try:
+        from mdx.io import native as _native
+
+        return _native.jpegll_pack(ssss, extra_val, code_of, len_of)
+    except _NativeUnavailable:
+        return _pack_segment_py(ssss, extra_bits, extra_val, code_of, len_of)
+
+
+def _pack_segment_py(ssss, extra_bits, extra_val, code_of, len_of) -> bytes:
     """Vectorised bit packing of one restart interval, 1-padded to a byte."""
     flat_s = ssss.ravel()
     codes = code_of[flat_s]

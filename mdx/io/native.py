@@ -107,6 +107,10 @@ def _load() -> ctypes.CDLL:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p]
             lib.mdxio_jpegll_diffs.restype = ctypes.c_int64
+            lib.mdxio_jpegll_pack.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.mdxio_jpegll_pack.restype = ctypes.c_int64
         except AttributeError as exc:
             # stale library from an older source revision (and no
             # toolchain to rebuild it) — degrade to the Python paths
@@ -205,6 +209,26 @@ def jpegll_diffs(seg: bytes, counts: np.ndarray, values: np.ndarray,
         v.ctypes.data_as(ctypes.c_void_p), v.size,
         count, out.ctypes.data_as(ctypes.c_void_p))
     return int(rc), out[:count]
+
+
+def jpegll_pack(ssss: np.ndarray, evals: np.ndarray, code_of: np.ndarray,
+                len_of: np.ndarray) -> bytes:
+    """Native JPEG Lossless bit packer — bit-identical to the NumPy
+    packer in mdx/io/jpegll.py (codes MSB-first, 1-padded to a byte,
+    0xFF stuffed)."""
+    lib = _load()
+    s = np.ascontiguousarray(ssss.ravel(), dtype=np.uint8)
+    v = np.ascontiguousarray(evals.ravel(), dtype=np.int64)
+    c = np.ascontiguousarray(code_of, dtype=np.int64)
+    ln = np.ascontiguousarray(len_of, dtype=np.int64)
+    out = np.empty(s.size * 8 + 2, np.uint8)
+    n = lib.mdxio_jpegll_pack(
+        s.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p), s.size,
+        c.ctypes.data_as(ctypes.c_void_p),
+        ln.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out[:n].tobytes()
 
 
 def packbits_encode(data: bytes) -> bytes:

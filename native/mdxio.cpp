@@ -14,6 +14,7 @@
 //   mdxio_rescale_norm_<src> : fused rescale + per-call min-max normalise
 //   mdxio_packbits_{decode,encode} : DICOM RLE PackBits (PS3.5 Annex G)
 //   mdxio_jpegll_diffs       : JPEG Lossless entropy decode (T.81 H/F.2)
+//   mdxio_jpegll_pack        : JPEG Lossless entropy encode bit packer
 //
 // Build: make -C native  (g++ -O3 -march=native -fopenmp -shared -fPIC)
 
@@ -243,6 +244,48 @@ int64_t mdxio_packbits_encode(const uint8_t *src, int64_t n, uint8_t *out) {
     out[o++] = static_cast<uint8_t>(j - i - 1);
     for (int64_t k = i; k < j; ++k) out[o++] = src[k];
     i = j;
+  }
+  return o;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG Lossless entropy ENCODE bit packer — the serial hot loop of
+// mdx/io/jpegll.py _pack_segment: per-sample (Huffman code, extra bits)
+// → MSB-first bit stream, 1-padded to a byte, 0xFF byte-stuffed inline.
+// Bit-identical to the NumPy packer (fuzz-asserted in
+// tests/test_dicom_jpegll.py).  `ssss` are the per-sample categories
+// (0..16), `evals` the pre-adjusted extra-bit values; `code_of`/`len_of`
+// index by category.  `out` needs capacity >= count*8 + 2 (<=32 bits per
+// sample, doubled by worst-case stuffing).  Returns bytes written.
+// ---------------------------------------------------------------------------
+
+int64_t mdxio_jpegll_pack(const uint8_t *ssss, const int64_t *evals,
+                          int64_t count, const int64_t *code_of,
+                          const int64_t *len_of, uint8_t *out) {
+  int64_t o = 0;
+  uint64_t acc = 0;  // low `nacc` bits are the pending bit stream tail
+  int nacc = 0;
+  for (int64_t m = 0; m < count; ++m) {
+    const int s = ssss[m];
+    const int eb = (s == 0 || s == 16) ? 0 : s;
+    const int nb = static_cast<int>(len_of[s]) + eb;
+    acc = (acc << nb) |
+          ((static_cast<uint64_t>(code_of[s]) << eb) |
+           static_cast<uint64_t>(evals[m]));
+    nacc += nb;
+    while (nacc >= 8) {
+      const uint8_t b = static_cast<uint8_t>(acc >> (nacc - 8));
+      out[o++] = b;
+      if (b == 0xFF) out[o++] = 0x00;
+      nacc -= 8;
+      acc &= (uint64_t(1) << nacc) - 1;
+    }
+  }
+  if (nacc) {
+    const uint8_t b = static_cast<uint8_t>(
+        (acc << (8 - nacc)) | ((uint64_t(1) << (8 - nacc)) - 1));
+    out[o++] = b;
+    if (b == 0xFF) out[o++] = 0x00;
   }
   return o;
 }

@@ -156,6 +156,46 @@ class TestNativeParity:
         d_python, _ = self._forced_python_decode(monkeypatch, enc)
         np.testing.assert_array_equal(d_native, d_python)
 
+    def test_encode_pack_parity(self, monkeypatch):
+        """Native bit packer emits byte-identical streams to the NumPy
+        packer (codes MSB-first, 1-padding, 0xFF stuffing)."""
+        from mdx.io import native
+        try:
+            native._load()
+        except native.NativeUnavailable:
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(5)
+        for trial in range(15):
+            h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+            prec = int(rng.integers(2, 17))
+            pred = int(rng.integers(1, 8))
+            rr = int(rng.integers(0, 3))
+            im = rng.integers(0, 1 << prec, (h, w)).astype(np.uint16)
+            e_native = jpegll.encode(im, precision=prec, predictor=pred,
+                                     restart_rows=rr)
+            with monkeypatch.context() as mp:
+                mp.setattr(jpegll, "_pack_segment", jpegll._pack_segment_py)
+                e_python = jpegll.encode(im, precision=prec, predictor=pred,
+                                         restart_rows=rr)
+            assert e_native == e_python, f"trial {trial}"
+
+    def test_pack_parity_ssss16_and_ff_stuffing(self, monkeypatch):
+        # extremes: SSSS=16 symbols (no extra bits) and dense 0xFF bytes
+        from mdx.io import native
+        try:
+            native._load()
+        except native.NativeUnavailable:
+            pytest.skip("native library not built")
+        img = np.zeros((9, 11), np.uint16)
+        img[::2] = 65535                      # ±32768 diffs everywhere
+        e_native = jpegll.encode(img, precision=16)
+        with monkeypatch.context() as mp:
+            mp.setattr(jpegll, "_pack_segment", jpegll._pack_segment_py)
+            e_python = jpegll.encode(img, precision=16)
+        assert e_native == e_python
+        dec, _ = jpegll.decode(e_native)
+        np.testing.assert_array_equal(dec, img)
+
     def test_error_taxonomy_parity(self, monkeypatch):
         from mdx.io import native
         try:
