@@ -234,8 +234,15 @@ def run_genai_pipeline(
                         sum(r["score"] is not None
                             for r in iteration_records),
                         f"score={s}")
-            except Exception:
-                pass
+            except Exception as exc:
+                # A malformed tool result must not kill the tuning run, but
+                # silently dropping the IterationRecord hides the exact
+                # fix-forward data this observer exists to capture — leave a
+                # trace entry so the loss shows up in agent_logs.
+                trace.log_info(
+                    "tuning",
+                    f"dropped iteration record for {tool}: "
+                    f"{type(exc).__name__}: {exc}")
 
         best_plan = plan
         r2 = run_agent(

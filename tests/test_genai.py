@@ -344,6 +344,31 @@ class TestOrchestration:
         # apply-result metrics landed on the records
         assert r.iterations[0].metrics.get("sigma") is not None
 
+    def test_malformed_tool_result_logged_not_swallowed(self, noisy_image):
+        """A tool result the iteration observer can't parse must leave a
+        trace entry (phase "tuning") naming the exception instead of
+        silently dropping the IterationRecord — the observer exists to
+        capture exactly that data (VERDICT r3 weak #5)."""
+        bad_score_call = {"id": "b1", "function": {
+            "name": "tool_score_plan",
+            # validation_json is NOT valid JSON: the tool itself returns an
+            # error payload and the observer's json.loads raises
+            "arguments": json.dumps({"validation_json": "{not json"})}}
+        tr = ScriptedTransport([
+            _msg(_plan_json()),               # planner
+            _msg(None, [bad_score_call]),     # tuning turn 1
+            _msg(_plan_json()),               # tuning final
+            llm.LLMError("no expl"), llm.LLMError("no expl fb"),
+        ])
+        r = self._run(noisy_image, tr)
+        assert not r.fell_back_to_deterministic   # run survives
+        drops = [t for t in r.agent_traces
+                 if t["phase"] == "tuning" and
+                 "dropped iteration record" in t.get("detail", "")]
+        assert len(drops) == 1
+        assert "tool_score_plan" in drops[0]["detail"]
+        assert "JSONDecodeError" in drops[0]["detail"]
+
     def test_cost_guard_limits_calls(self, noisy_image, monkeypatch):
         """An agent that never stops calling tools hits the LLM budget."""
         loop_call = {"id": "c", "function": {
