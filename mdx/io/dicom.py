@@ -9,13 +9,15 @@ Supports the transfer syntaxes that cover CT/CXR/MR/US exports:
 * RLE Lossless                     1.2.840.10008.1.2.5     (mdx.io.rle)
 * JPEG Lossless (Process 14)       1.2.840.10008.1.2.4.57  (mdx.io.jpegll)
 * JPEG Lossless SV1 (14, pred 1)   1.2.840.10008.1.2.4.70  (mdx.io.jpegll)
+* JPEG-LS Lossless                 1.2.840.10008.1.2.4.80  (mdx.io.jpegls)
+* JPEG-LS Near-Lossless            1.2.840.10008.1.2.4.81  (mdx.io.jpegls)
 
 plus headerless "raw" datasets (no preamble, implicit VR) that some tools
 emit.  The reference decodes the RLE/Deflated syntaxes via plain pydicom
 (reference pipeline/dicom_io.py:29-45); mdx implements them directly.  The
-two JPEG Lossless syntaxes are an EXTENSION over the reference (plain
-pydicom needs a plugin its requirements.txt does not install).  Lossy
-JPEG-family syntaxes raise :class:`DicomError`.
+JPEG Lossless and JPEG-LS syntaxes are an EXTENSION over the reference
+(plain pydicom needs a plugin its requirements.txt does not install).
+Lossy DCT JPEG-family syntaxes raise :class:`DicomError`.
 
 Behavioural contract mirrored from the reference (pipeline/dicom_io.py:29-57):
 modality rescale (slope/intercept), MONOCHROME1 inversion, grayscale /
@@ -52,7 +54,10 @@ TS_EXPLICIT_BE = "1.2.840.10008.1.2.2"
 TS_RLE = "1.2.840.10008.1.2.5"
 TS_JPEG_LL = "1.2.840.10008.1.2.4.57"
 TS_JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"
-_ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LL, TS_JPEG_LL_SV1}
+TS_JPEG_LS = "1.2.840.10008.1.2.4.80"
+TS_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+_ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LL, TS_JPEG_LL_SV1,
+                    TS_JPEG_LS, TS_JPEG_LS_NEAR}
 _SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                  TS_EXPLICIT_BE} | _ENCAPSULATED_TS
 
@@ -334,6 +339,9 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
         if ds.transfer_syntax in (TS_JPEG_LL, TS_JPEG_LL_SV1):
             arr = _decode_jpegll(ds.fragments, rows, cols, samples, frames,
                                  bits, signed)
+        elif ds.transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
+            arr = _decode_jpegls(ds.fragments, rows, cols, samples, frames,
+                                 bits, signed)
         else:
             from mdx.io import rle
 
@@ -381,23 +389,7 @@ def _decode_jpegll(fragments: list, rows: int, cols: int, samples: int,
     if bits not in (8, 16):
         raise DicomError(
             f"JPEG Lossless carries at most 16 bits (BitsAllocated={bits}).")
-    if len(fragments) == frames:
-        streams = [bytes(f) for f in fragments]
-    elif frames == 1:
-        streams = [b"".join(fragments)]
-    else:
-        streams, cur = [], []
-        for frag in fragments:
-            if frag[:2] == b"\xff\xd8" and cur:
-                streams.append(b"".join(cur))
-                cur = []
-            cur.append(frag)
-        if cur:
-            streams.append(b"".join(cur))
-        if len(streams) != frames:
-            raise DicomError(
-                f"JPEG Lossless PixelData groups into {len(streams)} "
-                f"codestreams, NumberOfFrames says {frames}.")
+    streams = _group_frame_streams(fragments, frames, "JPEG Lossless")
     out = []
     for stream in streams:
         try:
@@ -421,6 +413,74 @@ def _decode_jpegll(fragments: list, rows: int, cols: int, samples: int,
     if flat.size and (int(flat.min()) < lo or int(flat.max()) > hi):
         raise DicomError(
             f"JPEG Lossless sample out of range for BitsAllocated={bits}.")
+    return flat.astype(base)
+
+
+def _group_frame_streams(fragments: list, frames: int,
+                         codec: str) -> list:
+    """Fragment → frame grouping (PS3.5 A.4: a frame may span fragments):
+    one-fragment-per-frame when the counts match, otherwise a single
+    frame owns every fragment, otherwise fragments are grouped on their
+    SOI prefix (every JPEG-family codestream starts FF D8)."""
+    if len(fragments) == frames:
+        return [bytes(f) for f in fragments]
+    if frames == 1:
+        return [b"".join(fragments)]
+    streams, cur = [], []
+    for frag in fragments:
+        if frag[:2] == b"\xff\xd8" and cur:
+            streams.append(b"".join(cur))
+            cur = []
+        cur.append(frag)
+    if cur:
+        streams.append(b"".join(cur))
+    if len(streams) != frames:
+        raise DicomError(
+            f"{codec} PixelData groups into {len(streams)} "
+            f"codestreams, NumberOfFrames says {frames}.")
+    return streams
+
+
+def _decode_jpegls(fragments: list, rows: int, cols: int, samples: int,
+                   frames: int, bits: int, signed: bool) -> np.ndarray:
+    """JPEG-LS fragments → flat pixel array in the stored dtype.
+
+    Same frame grouping and signed-container handling as
+    :func:`_decode_jpegll`: signed data is sign-extended from the
+    codestream's own precision P (the encoder codes the unsigned
+    two's-complement representation).  For the near-lossless syntax the
+    codec's NEAR parameter comes from the codestream itself; values are
+    reconstructed within ±NEAR per T.87.
+    """
+    from mdx.io import jpegls
+
+    if bits not in (8, 16):
+        raise DicomError(
+            f"JPEG-LS carries at most 16 bits (BitsAllocated={bits}).")
+    streams = _group_frame_streams(fragments, frames, "JPEG-LS")
+    out = []
+    for stream in streams:
+        try:
+            img, p, _near = jpegls.decode(stream)
+        except jpegls.JpegLSError as exc:
+            raise DicomError(
+                f"Corrupt JPEG-LS pixel data: {exc}") from exc
+        shape = img.shape if img.ndim == 3 else img.shape + (1,)
+        if shape != (rows, cols, samples):
+            raise DicomError(
+                f"JPEG-LS frame is {shape}, dataset says "
+                f"({rows}, {cols}, {samples}).")
+        a = img.reshape(-1).astype(np.int64)   # composite order
+        if signed:
+            a = np.where(a >= (1 << (p - 1)), a - (1 << p), a)
+        out.append(a)
+    flat = np.concatenate(out)
+    base = {8: np.int8 if signed else np.uint8,
+            16: np.int16 if signed else np.uint16}[bits]
+    lo, hi = np.iinfo(base).min, np.iinfo(base).max
+    if flat.size and (int(flat.min()) < lo or int(flat.max()) > hi):
+        raise DicomError(
+            f"JPEG-LS sample out of range for BitsAllocated={bits}.")
     return flat.astype(base)
 
 

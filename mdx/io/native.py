@@ -111,6 +111,21 @@ def _load() -> ctypes.CDLL:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.mdxio_jpegll_pack.restype = ctypes.c_int64
+            lib.mdxio_jpegls_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+            lib.mdxio_jpegls_decode.restype = ctypes.c_int64
+            lib.mdxio_jpegls_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64]
+            lib.mdxio_jpegls_encode.restype = ctypes.c_int64
         except AttributeError as exc:
             # stale library from an older source revision (and no
             # toolchain to rebuild it) — degrade to the Python paths
@@ -239,4 +254,57 @@ def packbits_encode(data: bytes) -> bytes:
     rc = lib.mdxio_packbits_encode(
         src.ctypes.data_as(ctypes.c_void_p), src.size,
         out.ctypes.data_as(ctypes.c_void_p))
+    return out[:int(rc)].tobytes()
+
+
+_JPEGLS_ERRORS = {
+    -1: "Truncated JPEG-LS entropy segment.",
+    -2: "Corrupt Golomb code (unary overflow).",
+    -3: "Run length exceeds the line.",
+    -4: "Entropy segment ended at a marker mid-symbol (truncated scan).",
+    -5: "JPEG-LS encode output overflow.",
+}
+
+
+def _jpegls_raise(rc: int):
+    from mdx.io.jpegls import JpegLSError
+
+    raise JpegLSError(_JPEGLS_ERRORS.get(rc, f"native error {rc}"))
+
+
+def jpegls_decode(buf: bytes, pos: int, width: int, height: int,
+                  params) -> tuple[np.ndarray, int]:
+    """Native JPEG-LS scan decode — bit-identical to the Python coder in
+    mdx/io/jpegls.py (same clause-A control flow, same error taxonomy).
+    Returns ``(plane int64 [H, W], end_offset)``."""
+    lib = _load()
+    src = np.frombuffer(buf, np.uint8)
+    out = np.empty((height, width), np.int32)
+    end = ctypes.c_int64(0)
+    rc = lib.mdxio_jpegls_decode(
+        src.ctypes.data_as(ctypes.c_void_p), src.size, pos,
+        width, height, params.maxval, params.near,
+        params.t1, params.t2, params.t3, params.reset,
+        params.range, params.limit, params.qbpp, params.a_init,
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(end))
+    if rc != 0:
+        _jpegls_raise(int(rc))
+    return out.astype(np.int64), int(end.value)
+
+
+def jpegls_encode(plane: np.ndarray, params) -> bytes:
+    """Native JPEG-LS scan encode — bit-identical to the Python coder."""
+    lib = _load()
+    img = np.ascontiguousarray(plane, dtype=np.int32)
+    height, width = img.shape
+    # worst case ≈ LIMIT bits/sample (≤ 64) + stuffing; 10 B/sample is safe
+    cap = img.size * 10 + 64
+    out = np.empty(cap, np.uint8)
+    rc = lib.mdxio_jpegls_encode(
+        img.ctypes.data_as(ctypes.c_void_p), width, height,
+        params.maxval, params.near, params.t1, params.t2, params.t3,
+        params.reset, params.range, params.limit, params.qbpp,
+        params.a_init, out.ctypes.data_as(ctypes.c_void_p), cap)
+    if rc < 0:
+        _jpegls_raise(int(rc))
     return out[:int(rc)].tobytes()
