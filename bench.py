@@ -9,13 +9,30 @@ AND runs the full 7-op enhancement chain with its three safeguards
 (ref pipeline/enhancement.py:235-369) on a device batch of 512×512 slices.
 
 Baseline: the reference is pure NumPy/scikit-image on CPU with no published
-numbers (BASELINE.md).  Its cost is reproduced by ``mdx.refimpl`` — a
-NumPy float64 implementation of the same formulas (golden-tested against
-the JAX path in tests/test_ops_golden.py) — timed here on one 512² image,
-single-threaded, as images/sec.  ``vs_baseline`` = TPU throughput / that.
+numbers (BASELINE.md).  The denominator for ``vs_baseline`` is, in order of
+preference (provenance reported in ``baseline_kind``):
+
+1. ``MDX_BASELINE_IPS`` env var — an explicitly injected measured number;
+2. ``BASELINE_REF.json`` — the REAL reference path measured by
+   ``tools/bench_reference.py`` (skimage/PyWavelets where installed — the
+   CI baseline job records it; see BASELINE.md "Measured reference");
+3. live measurement of ``mdx.refimpl`` — the NumPy float64 re-derivation
+   of the same formulas (golden-tested in tests/test_ops_golden.py), timed
+   on one 512² image, single-threaded.  Per the measured per-component
+   bound (tools/baseline_bias.py; BASELINE.md) this can overstate the
+   ratio by up to ~2.3×; the kind field says so explicitly.
+
+The committed BASELINE_REF.json carries the bound-corrected denominator
+(``refimpl-f32-bound``, 2.63 img/s on the bench host) so ``vs_baseline``
+is a defensible LOWER bound on the true ratio until a real skimage-path
+measurement replaces it.
+
+The JSON line also carries ``vpu_util`` — estimated total ops / elapsed /
+VPU peak for the measured pass (docs/PERF.md roofline; op counts ±30%) —
+so rounds are judged on an efficiency figure, not just throughput.
 
 Env knobs: MDX_BENCH_BATCH (default 32), MDX_BENCH_REPS (default 10),
-MDX_BENCH_SKIP_BASELINE=1 reuses the last recorded baseline value.
+MDX_BENCH_SKIP_BASELINE=1 reuses the last recorded refimpl value.
 """
 
 from __future__ import annotations
@@ -34,6 +51,14 @@ import numpy as np
 os.environ.setdefault("MDX_COMPILE_CACHE", "/tmp/mdx_jax_cache")
 
 _BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+_BASELINE_REF = os.path.join(os.path.dirname(__file__), "BASELINE_REF.json")
+
+# Estimated VPU ops per pixel for the headline pass (16 metrics + 7-op chain
+# + 3 safeguards).  Hand-summed from the docs/PERF.md roofline table
+# (TV ~2580 + percentiles 256 + CLAHE ~830 + wavelet ~43 + bilateral ~100 +
+# p90 cut 64 + unsharp ~100 + local_variance ~70), ±30% like its source.
+_EST_OPS_PER_PX = 4040.0
+_VPU_PEAK_OPS = 3.9e12  # v5e f32 VPU peak (docs/PERF.md roofline)
 
 # The benched plan: all seven ops active with mid-range parameters
 # (ref pipeline/schemas.py PARAM_BOUNDS midpoints, bilateral d=5).
@@ -188,6 +213,40 @@ def main() -> None:
     batch = _make_batch(batch_n)
     value = _measure_tpu(batch, reps)
 
+    baseline, kind = _resolve_baseline(batch)
+
+    print(json.dumps({
+        "metric": "images/sec/chip, 16-metric + 7-step enhance pass, 512^2",
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+        "baseline_kind": kind,
+        "baseline_ips": round(baseline, 4),
+        # MFU-style efficiency aggregate: est. total ops / elapsed / VPU peak
+        "vpu_util": round(value * 512 * 512 * _EST_OPS_PER_PX
+                          / _VPU_PEAK_OPS, 3),
+    }))
+
+
+def _resolve_baseline(batch: np.ndarray) -> tuple[float, str]:
+    """Measured-reference denominator with explicit provenance."""
+    env = os.environ.get("MDX_BASELINE_IPS")
+    if env:
+        return float(env), "env MDX_BASELINE_IPS (externally measured)"
+    try:
+        with open(_BASELINE_REF) as f:
+            rec = json.load(f)
+        impl = rec.get("impl", "?")
+        if impl in ("reference", "skimage"):
+            kind = f"measured reference ({impl} path, BASELINE_REF.json)"
+        else:
+            kind = (f"{impl} (BASELINE_REF.json): measured upper bound on "
+                    "the real reference's speed — conservative for us; "
+                    "see BASELINE.md")
+        return float(rec["images_per_sec"]), kind
+    except (OSError, ValueError, KeyError):
+        pass
+
     cached = None
     if os.path.exists(_BASELINE_CACHE):
         try:
@@ -206,13 +265,9 @@ def main() -> None:
                 json.dump({"baseline_images_per_sec": baseline}, f)
         except OSError:
             pass
-
-    print(json.dumps({
-        "metric": "images/sec/chip, 16-metric + 7-step enhance pass, 512^2",
-        "value": round(value, 3),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(value / baseline, 2),
-    }))
+    return baseline, ("refimpl float64 oracle (measured bias bound: may "
+                      "overstate the ratio up to ~2.3x vs the real skimage "
+                      "path — tools/baseline_bias.py, BASELINE.md)")
 
 
 if __name__ == "__main__":
