@@ -41,21 +41,30 @@ def bilateral(
     n, h, w = x.shape
     from mdx.ops.pallas_kernels import (
         _WHOLE_IMAGE_LIMIT,
+        bilateral_banded_tpu,
         bilateral_tpu,
         bilateral_use_pallas,
         on_tpu_backend,
+        tv_band_for,
     )
 
     on_tpu = on_tpu_backend()
-    if on_tpu and h * w <= _WHOLE_IMAGE_LIMIT and bilateral_use_pallas(impl):
-        return bilateral_tpu(x, d, sigma_color, sigma_space)
-    if impl is not None and bilateral_use_pallas(impl):
+    whole = h * w <= _WHOLE_IMAGE_LIMIT
+    band = 0 if whole else tv_band_for(h)
+    kind = "whole" if whole else "banded"
+    if on_tpu and bilateral_use_pallas(impl, kind):
+        if whole:
+            return bilateral_tpu(x, d, sigma_color, sigma_space)
+        if band and h % band == 0:
+            return bilateral_banded_tpu(x, d, sigma_color, sigma_space,
+                                        band=band)
+    if impl is not None and bilateral_use_pallas(impl, kind):
         # an explicitly pinned 'pallas' that cannot dispatch must raise —
         # silently timing the XLA lowering would corrupt an A/B
         raise ValueError(
             f"bilateral impl='pallas' pinned but not dispatchable: "
             f"backend {'tpu' if on_tpu else 'non-tpu'}, "
-            f"h*w {h * w} vs limit {_WHOLE_IMAGE_LIMIT}")
+            f"h {h} not divisible by band {band}")
     sc = jnp.asarray(sigma_color, x.dtype)
     ss = jnp.asarray(sigma_space, x.dtype)
     if sc.ndim == 1:

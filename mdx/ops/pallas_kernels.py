@@ -971,19 +971,24 @@ def unsharp_tpu(
 # 0.82 vs 0.80 ms XLA at 32x512^2, 0.41 vs 0.44 ms at 4x1024^2 — within
 # run noise both ways; keep the simpler XLA lowering (the kernel stays
 # as a pinned-dispatch option for future shapes).
-_AUTO_BILATERAL_PALLAS = False
+# Per-formulation policy, unsharp-style: whole-image kernel ≤1024²,
+# banded kernel above.  Whole = measured wash (2026-08-18 A/B) → XLA;
+# banded = pending its hardware A/B (profile_pass --ab bilateral at
+# 2048² no longer skips the pair).
+_AUTO_BILATERAL_PALLAS = {"whole": False, "banded": False}
 
 
-def bilateral_use_pallas(impl: str | None = None) -> bool:
+def bilateral_use_pallas(impl: str | None = None,
+                         kind: str = "whole") -> bool:
     """True when the dense TPU bilateral should run as the fused Pallas
-    kernel instead of the unrolled XLA elementwise program.
+    kernel (``kind`` ∈ whole|banded) instead of the unrolled XLA
+    elementwise program.
 
-    MDX_BILATERAL_IMPL: auto (measured policy — XLA; the 2026-08-18
-    hardware A/B was a wash both size classes), pallas | xla force one.
-    Knob semantics: see :func:`_impl_mode`."""
+    MDX_BILATERAL_IMPL: auto (measured per-formulation policy),
+    pallas | xla force one.  Knob semantics: see :func:`_impl_mode`."""
     mode = _impl_mode("MDX_BILATERAL_IMPL", impl, ("pallas", "xla"))
     if mode == "auto":
-        return _AUTO_BILATERAL_PALLAS
+        return _AUTO_BILATERAL_PALLAS[kind]
     return mode == "pallas"
 
 
@@ -1056,6 +1061,89 @@ def bilateral_tpu(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
     )(sc, ss, xp)
+
+
+def _bilateral_band_kernel(sc_ref, ss_ref, xs_ref, out_ref, *,
+                           band: int, w: int, r: int, d: int):
+    """One (image, row-band) per grid step — the >1024² class where the
+    whole-image kernel's VMEM state does not fit.
+
+    xs_ref: [1, 1, band+2r, w+2r] — the reflect-padded image's rows
+    [b·band, b·band + band + 2r) (snapshot built in XLA: reflect needs
+    reversed slices, which Mosaic does not lower, and overlapping row
+    windows cannot be expressed as Pallas block indexing — same pattern
+    as the banded TV/unsharp kernels).  The d² shifted exp-weight MACs
+    are element-for-element the whole-image kernel's ops
+    (window-ascending dy, dx), so values match it and the XLA lowering
+    to fp noise."""
+    i = pl.program_id(0)
+    xs = xs_ref[0, 0]                              # [band+2r, w+2r]
+    x = xs[r:r + band, r:r + w]
+    sc = sc_ref[i]
+    ss = ss_ref[i]
+    inv_2sc2 = 1.0 / (2.0 * sc * sc)
+    inv_2ss2d2 = 1.0 / (2.0 * ss * ss * float(d * d))
+    num = None
+    den = None
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            shifted = xs[dy:dy + band, dx:dx + w]
+            ddy, ddx = dy - r, dx - r
+            sw = jnp.exp(-float(ddy * ddy + ddx * ddx) * inv_2ss2d2)
+            iw = jnp.exp(-jnp.square(x - shifted) * inv_2sc2)
+            wgt = sw * iw
+            t_num = wgt * shifted
+            num = t_num if num is None else num + t_num
+            den = wgt if den is None else den + wgt
+    out_ref[0, 0] = num / (den + 1e-10)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "band", "interpret"))
+def bilateral_banded_tpu(
+    x: jnp.ndarray,
+    d: int,
+    sigma_color: jnp.ndarray,
+    sigma_space: jnp.ndarray,
+    band: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded fused Pallas bilateral of [N,H,W] (``band`` must divide H);
+    static pre-normalised odd ``d``, traced per-image sigmas.  HBM
+    traffic is the ~1.1× row snapshot + one read + one write instead of
+    the XLA lowering's d² streamed num/den accumulator round trips."""
+    n, h, w = x.shape
+    r = d // 2
+    if h % band:
+        raise ValueError(f"band {band} does not divide H {h}")
+    nb = h // band
+    sc = jnp.broadcast_to(
+        jnp.asarray(sigma_color, jnp.float32).reshape(-1), (n,))
+    ss = jnp.broadcast_to(
+        jnp.asarray(sigma_space, jnp.float32).reshape(-1), (n,))
+    xp = jnp.pad(x, ((0, 0), (r, r), (r, r)), mode="reflect")
+    # [n, nb, band+2r, w+2r] overlapping row snapshot of the padded image
+    xs = jnp.stack([xp[:, b * band:b * band + band + 2 * r, :]
+                    for b in range(nb)], axis=1)
+    kernel = functools.partial(_bilateral_band_kernel, band=band, w=w,
+                               r=r, d=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, band + 2 * r, w + 2 * r),
+                         lambda i, b: (i, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, band, w), lambda i, b: (i, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, nb, band, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
+        interpret=interpret,
+    )(sc, ss, xs)
+    return out.reshape(n, h, w)
 
 
 # ---------------------------------------------------------------------------

@@ -160,7 +160,55 @@ def _probes(interpret):
         o = jnp.dot(v, s_o, preferred_element_type=jnp.float32)
         out_ref[...] = e + o
 
+    def split_lut_256_select(src_ref, out_ref):
+        # The round-4 CLAHE question (VERDICT r3 weak #6): a 256-entry
+        # LUT gathered as TWO single-vreg 128-lane halves + hi-bit
+        # select.  Each half stays within one source vreg along the
+        # gather dim (the probed-ok shape); the index/output span 4
+        # vregs.  If this compiles, the banded split-LUT remap replaces
+        # the ~830 ops/px matmul remap.
+        lut = src_ref[...]                  # [8, 256] per-row LUTs
+        lo, hi = lut[:, :128], lut[:, 128:]
+        q = jax.lax.broadcasted_iota(jnp.int32, (8, 512), 1) % 256
+        ql = q & 127
+        a = jnp.take_along_axis(lo, ql, axis=1)
+        b = jnp.take_along_axis(hi, ql, axis=1)
+        out_ref[...] = jnp.where(q >= 128, b, a)
+
+    def gather_narrow_idx(src_ref, out_ref):
+        # idx SUB-vreg (16 lanes), src one vreg: the banded split-LUT
+        # remap's per-tile-column shape.  Output padded to 128 lanes via
+        # concat so the out block stays vreg-shaped.
+        src = src_ref[...]                     # [8, 128]
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (8, 16), 1) * 7) % 128
+        g = jnp.take_along_axis(src, idx, axis=1)   # [8, 16]
+        out_ref[...] = jnp.concatenate(
+            [g] * 8, axis=1)                   # [8, 128]
+
+    def gather_many_sublane_vregs(src_ref, out_ref):
+        # src [256, 128]: 32 vregs along SUBLANES, one along lanes
+        # (per-row tables differ) — the banded remap's row structure.
+        src = src_ref[...]                     # [256, 128] of x512
+        idx = (127 - jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1))
+        out_ref[...] = jnp.take_along_axis(src, idx, axis=1)
+
     probes = {
+        "gather_narrow_idx_16lane": (
+            gather_narrow_idx, (8, 128), (x128,),
+            lambda o: np.array_equal(
+                o, np.tile(np.asarray(x128)[
+                    np.arange(8)[:, None],
+                    (np.arange(16)[None, :] * 7) % 128], (1, 8)))),
+        "gather_many_sublane_vregs": (
+            gather_many_sublane_vregs, (256, 128), (x512[:, :128],),
+            lambda o: np.array_equal(
+                o, np.asarray(x512[:, :128])[:, ::-1])),
+        "split_lut_256_select": (
+            split_lut_256_select, (8, 512), (x256[:8],),
+            lambda o: np.array_equal(
+                o, np.asarray(x256[:8])[
+                    np.arange(8)[:, None],
+                    np.arange(512)[None, :] % 256])),
         "gather_lanes_within_vreg": (
             gather_lanes_within, (8, 128), (x128,),
             lambda o: np.array_equal(o, np.asarray(x128)[:, ::-1])),

@@ -230,10 +230,10 @@ def main() -> None:
                       f"{float(pj(x)):8.2e}")
             except Exception as exc:  # noqa: BLE001
                 # a pinned 'pallas' that cannot dispatch at this shape
-                # (e.g. bilateral above 1024² has no banded kernel), or
-                # one that fails the REAL backend compile (Mosaic passes
-                # the client-side export check does not run) — skip the
-                # pair instead of crashing the tunnel window
+                # (h not divisible by any band), or one that fails the
+                # REAL backend compile (Mosaic passes the client-side
+                # export check does not run) — skip the pair instead of
+                # crashing the tunnel window
                 print(f"{op}: skipped ({str(exc).splitlines()[0][:200]})")
                 continue
             for variant, fn in pair.items():
