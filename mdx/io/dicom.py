@@ -350,9 +350,10 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
                     f"RLE PixelData has {len(ds.fragments)} frame "
                     f"fragments, NumberOfFrames says {frames}.")
             try:
-                decoded = [rle.decode_frame(frag, rows, cols, samples,
-                                            bits // 8)
-                           for frag in ds.fragments]
+                decoded = _map_frames(
+                    lambda frag: rle.decode_frame(frag, rows, cols,
+                                                  samples, bits // 8),
+                    list(ds.fragments))
             except rle.RleError as exc:
                 raise DicomError(f"Corrupt RLE pixel data: {exc}") from exc
             arr = np.concatenate(decoded).view(dtype)
@@ -390,8 +391,8 @@ def _decode_jpegll(fragments: list, rows: int, cols: int, samples: int,
         raise DicomError(
             f"JPEG Lossless carries at most 16 bits (BitsAllocated={bits}).")
     streams = _group_frame_streams(fragments, frames, "JPEG Lossless")
-    out = []
-    for stream in streams:
+
+    def _one(stream: bytes) -> np.ndarray:
         try:
             img, p = jpegll.decode(stream)
         except jpegll.JpegLLError as exc:
@@ -405,8 +406,9 @@ def _decode_jpegll(fragments: list, rows: int, cols: int, samples: int,
         a = img.reshape(-1).astype(np.int64)   # composite (interleaved) order
         if signed:
             a = np.where(a >= (1 << (p - 1)), a - (1 << p), a)
-        out.append(a)
-    flat = np.concatenate(out)
+        return a
+
+    flat = np.concatenate(_map_frames(_one, streams))
     base = {8: np.int8 if signed else np.uint8,
             16: np.int16 if signed else np.uint16}[bits]
     lo, hi = np.iinfo(base).min, np.iinfo(base).max
@@ -414,6 +416,29 @@ def _decode_jpegll(fragments: list, rows: int, cols: int, samples: int,
         raise DicomError(
             f"JPEG Lossless sample out of range for BitsAllocated={bits}.")
     return flat.astype(base)
+
+
+def _map_frames(fn, items: list) -> list:
+    """Order-preserving map over per-frame decode work, fanned out over a
+    thread pool when there are multiple frames and cores.
+
+    The compressed codecs' hot loops (``mdx.io.native``) run in C with
+    the GIL released for the duration of the ctypes call, so frame-level
+    threads scale near-linearly on multi-core product hosts; the pure-
+    Python fallbacks still overlap their native-free portions.  Serial
+    path (no pool, identical exception propagation) for single-frame
+    input, single-core hosts, or ``MDX_IO_THREADS=1``/``0``.
+    ``MDX_IO_THREADS=N`` caps the pool.
+    """
+    env = os.environ.get("MDX_IO_THREADS")
+    limit = int(env) if env else (os.cpu_count() or 1)
+    workers = min(len(items), limit, 16)
+    if workers <= 1:
+        return [fn(it) for it in items]
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(fn, items))
 
 
 def _group_frame_streams(fragments: list, frames: int,
@@ -458,8 +483,8 @@ def _decode_jpegls(fragments: list, rows: int, cols: int, samples: int,
         raise DicomError(
             f"JPEG-LS carries at most 16 bits (BitsAllocated={bits}).")
     streams = _group_frame_streams(fragments, frames, "JPEG-LS")
-    out = []
-    for stream in streams:
+
+    def _one(stream: bytes) -> np.ndarray:
         try:
             img, p, _near = jpegls.decode(stream)
         except jpegls.JpegLSError as exc:
@@ -473,8 +498,9 @@ def _decode_jpegls(fragments: list, rows: int, cols: int, samples: int,
         a = img.reshape(-1).astype(np.int64)   # composite order
         if signed:
             a = np.where(a >= (1 << (p - 1)), a - (1 << p), a)
-        out.append(a)
-    flat = np.concatenate(out)
+        return a
+
+    flat = np.concatenate(_map_frames(_one, streams))
     base = {8: np.int8 if signed else np.uint8,
             16: np.int16 if signed else np.uint16}[bits]
     lo, hi = np.iinfo(base).min, np.iinfo(base).max

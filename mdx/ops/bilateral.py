@@ -3,10 +3,11 @@
 The reference's single biggest hot spot: a Python double loop over d² window
 offsets.  Here the d² shifted multiply-accumulates are unrolled at trace
 time into one fused XLA elementwise program (the diameter is static; the
-sigmas are traced, optionally per-image).  A fused VMEM-resident Pallas
-variant (``mdx.ops.pallas_kernels.bilateral_tpu``) is dispatched on TPU at
-≤1024² behind ``MDX_BILATERAL_IMPL`` (auto = XLA until the hardware A/B
-runs).
+sigmas are traced, optionally per-image).  Fused VMEM-resident Pallas
+variants are dispatched on TPU behind ``MDX_BILATERAL_IMPL``:
+whole-image (``bilateral_tpu``, ≤1024² — measured wash, auto=XLA) and
+banded (``bilateral_banded_tpu``, >1024² — measured 1.9× at 4×2048²,
+auto=ON; docs/PERF.md).
 """
 
 from __future__ import annotations

@@ -972,10 +972,11 @@ def unsharp_tpu(
 # run noise both ways; keep the simpler XLA lowering (the kernel stays
 # as a pinned-dispatch option for future shapes).
 # Per-formulation policy, unsharp-style: whole-image kernel ≤1024²,
-# banded kernel above.  Whole = measured wash (2026-08-18 A/B) → XLA;
-# banded = pending its hardware A/B (profile_pass --ab bilateral at
-# 2048² no longer skips the pair).
-_AUTO_BILATERAL_PALLAS = {"whole": False, "banded": False}
+# banded kernel above.  Whole = measured wash (re-confirmed 2026-08-20:
+# 0.87 xla vs 0.90 pallas ms at 8×1024²) → XLA.  Banded = measured WIN
+# (2026-08-20 A/B, tools/ab_bilateral_banded.py: 0.76 vs 1.45 ms at
+# 4×2048², parity 1.79e-07) → ON.
+_AUTO_BILATERAL_PALLAS = {"whole": False, "banded": True}
 
 
 def bilateral_use_pallas(impl: str | None = None,

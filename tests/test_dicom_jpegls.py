@@ -379,6 +379,37 @@ class TestDicomIntegration:
         _ = _s  # silence linters about the unused import pattern
 
 
+class TestParallelFrameDecode:
+    """Multi-frame compressed series decode fans out over frame threads
+    (the native loops release the GIL); results and errors must be
+    identical to the serial path."""
+
+    def test_threads_match_serial(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(21)
+        pix = rng.integers(0, 4096, (6, 24, 24)).astype(np.uint16)
+        p = str(tmp_path / "mf.dcm")
+        write_dicom(p, pix, transfer_syntax=TS_JPEG_LS)
+        monkeypatch.setenv("MDX_IO_THREADS", "1")
+        serial = decode_pixels(read_dataset(p))
+        monkeypatch.setenv("MDX_IO_THREADS", "4")
+        threaded = decode_pixels(read_dataset(p))
+        np.testing.assert_array_equal(serial, threaded)
+        np.testing.assert_array_equal(threaded, pix)
+
+    def test_error_propagates_through_pool(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(22)
+        pix = rng.integers(0, 4096, (4, 24, 24)).astype(np.uint16)
+        p = str(tmp_path / "mf.dcm")
+        write_dicom(p, pix, transfer_syntax=TS_JPEG_LS)
+        ds = read_dataset(p)
+        frags = list(ds.fragments)
+        frags[2] = frags[2][:30]  # corrupt the third frame
+        ds.fragments = frags
+        monkeypatch.setenv("MDX_IO_THREADS", "4")
+        with pytest.raises(DicomError, match="JPEG-LS"):
+            decode_pixels(ds)
+
+
 class TestErrors:
     def test_not_a_jpeg(self):
         with pytest.raises(JpegLSError, match="SOI"):
