@@ -56,8 +56,11 @@ TS_JPEG_LL = "1.2.840.10008.1.2.4.57"
 TS_JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"
 TS_JPEG_LS = "1.2.840.10008.1.2.4.80"
 TS_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+TS_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
 _ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LL, TS_JPEG_LL_SV1,
-                    TS_JPEG_LS, TS_JPEG_LS_NEAR}
+                    TS_JPEG_LS, TS_JPEG_LS_NEAR,
+                    TS_JPEG_BASELINE, TS_JPEG_EXTENDED}
 _SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                  TS_EXPLICIT_BE} | _ENCAPSULATED_TS
 
@@ -342,6 +345,9 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
         elif ds.transfer_syntax in (TS_JPEG_LS, TS_JPEG_LS_NEAR):
             arr = _decode_jpegls(ds.fragments, rows, cols, samples, frames,
                                  bits, signed)
+        elif ds.transfer_syntax in (TS_JPEG_BASELINE, TS_JPEG_EXTENDED):
+            arr = _decode_jpegdct(ds.fragments, rows, cols, samples,
+                                  frames, bits, signed)
         else:
             from mdx.io import rle
 
@@ -510,6 +516,46 @@ def _decode_jpegls(fragments: list, rows: int, cols: int, samples: int,
     return flat.astype(base)
 
 
+def _decode_jpegdct(fragments: list, rows: int, cols: int, samples: int,
+                    frames: int, bits: int, signed: bool) -> np.ndarray:
+    """JPEG Baseline/Extended (lossy DCT) fragments → flat pixel array.
+
+    Same frame grouping as the lossless codecs.  Lossy JPEG samples are
+    unsigned by construction (level-shifted DCT); a signed container
+    (PixelRepresentation=1) is not meaningful for these syntaxes and
+    raises.  Color output stays in the STORED color space (YBR for
+    `.4.50` ultrasound) — the grayscale path takes the Y plane
+    (see ``_pixels``)."""
+    from mdx.io import jpegdct
+
+    if signed:
+        raise DicomError(
+            "Signed pixel data is not defined for lossy JPEG syntaxes.")
+    if bits not in (8, 16):
+        raise DicomError(
+            f"JPEG (DCT) carries 8/12-bit samples (BitsAllocated={bits}).")
+    streams = _group_frame_streams(fragments, frames, "JPEG")
+
+    def _one(stream: bytes) -> np.ndarray:
+        try:
+            img, p = jpegdct.decode(stream)
+        except jpegdct.JpegDctError as exc:
+            raise DicomError(f"Corrupt JPEG pixel data: {exc}") from exc
+        if p == 12 and bits == 8:
+            raise DicomError(
+                "12-bit JPEG codestream in an 8-bit container.")
+        shape = img.shape if img.ndim == 3 else img.shape + (1,)
+        if shape != (rows, cols, samples):
+            raise DicomError(
+                f"JPEG frame is {shape}, dataset says "
+                f"({rows}, {cols}, {samples}).")
+        return img.reshape(-1).astype(np.int64)
+
+    flat = np.concatenate(_map_frames(_one, streams))
+    base = np.uint8 if bits == 8 else np.uint16
+    return flat.astype(base)
+
+
 def _rescale(image: np.ndarray, ds: DicomDataset) -> np.ndarray:
     """Modality rescale (slope/intercept), float32."""
     slope = ds.get("RescaleSlope", 1.0) or 1.0
@@ -551,7 +597,16 @@ def _pixels(ds: DicomDataset, window: bool) -> np.ndarray:
     With ``window=True`` the output is always in [0, 1]: files without a
     stored window fall back to min-max normalisation, so windowed batch
     paths never feed raw modality-scale intensities to QA."""
-    image = _rescale(decode_pixels(ds), ds)
+    raw = decode_pixels(ds)
+    photometric = str(ds.get("PhotometricInterpretation", "") or "")
+    if photometric.startswith("YBR") and raw.ndim >= 3 and \
+            raw.shape[-1] == 3:
+        # YCbCr (`.4.50` ultrasound et al.): Y IS BT.601 luma — exactly
+        # the reduction to_grayscale's RGB weights approximate.  Taking
+        # the Y plane here keeps the luma math correct (weighting YCbCr
+        # channels as if RGB would be wrong).
+        raw = raw[..., 0]
+    image = _rescale(raw, ds)
     windowed = False
     if window:
         image, windowed = apply_window(image, ds)

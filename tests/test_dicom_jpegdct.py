@@ -1,0 +1,262 @@
+"""JPEG Baseline/Extended (lossy DCT) transfer syntaxes — `.4.50`/`.4.51`.
+
+`.4.50` is the dominant ultrasound / secondary-capture archive syntax;
+the reference cannot read it (plain pydicom, no plugins — ref
+pipeline/dicom_io.py:29-45).  ``mdx.io.jpegdct`` is decode-only (writing
+lossy medical images is deliberately unsupported).  Contract tested:
+
+* decode matches Pillow's independent decoder within IDCT/upsampling
+  tolerance (±2 gray / ±3 subsampled chroma) across quality levels,
+  subsampling modes, restart intervals and shapes — PIL is a genuinely
+  independent implementation, installed locally, so this is NOT
+  CI-gated self-consistency;
+* a hand-built single-block stream pins the 12-bit (`.4.51`) path
+  against a directly computed IDCT;
+* DICOM integration: encapsulated `.4.50` frames decode, YBR color is
+  reduced to the Y plane for the grayscale QA path, errors are specific.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from mdx.io import jpegdct
+from mdx.io.dicom import (
+    TS_EXPLICIT_LE,
+    TS_JPEG_BASELINE,
+    DicomError,
+    decode_pixels,
+    load_dicom,
+    read_dataset,
+)
+from mdx.io.dicom_write import write_dicom
+from mdx.io.jpegdct import JpegDctError
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+def _pil_jpeg(arr: np.ndarray, mode: str, **kw) -> bytes:
+    b = io.BytesIO()
+    PIL.fromarray(arr, mode).save(b, "JPEG", **kw)
+    return b.getvalue()
+
+
+def _pil_decode(stream: bytes) -> np.ndarray:
+    return np.asarray(PIL.open(io.BytesIO(stream)))
+
+
+def _gray(seed=0, shape=(64, 80)):
+    rng = np.random.default_rng(seed)
+    h, w = shape
+    base = 128 + 40 * np.sin(np.arange(h * w).reshape(h, w) / 9.0)
+    return np.clip(base + rng.normal(0, 8, shape), 0, 255).astype(np.uint8)
+
+
+def _ycc_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.stack([r, g, b], -1).round(), 0, 255)
+
+
+class TestAgainstPillow:
+    @pytest.mark.parametrize("quality", [95, 85, 50, 20])
+    def test_grayscale(self, quality):
+        g = _gray(seed=quality)
+        s = _pil_jpeg(g, "L", quality=quality)
+        dec, p = jpegdct.decode(s)
+        assert p == 8 and dec.dtype == np.uint8
+        diff = np.abs(dec.astype(int) - _pil_decode(s).astype(int))
+        assert diff.max() <= 2
+
+    @pytest.mark.parametrize("shape", [(8, 8), (9, 13), (64, 65), (1, 1),
+                                       (17, 128)])
+    def test_odd_shapes(self, shape):
+        rng = np.random.default_rng(sum(shape))
+        g = rng.integers(0, 256, shape).astype(np.uint8)
+        s = _pil_jpeg(g, "L", quality=90)
+        dec, _ = jpegdct.decode(s)
+        assert dec.shape == shape
+        diff = np.abs(dec.astype(int) - _pil_decode(s).astype(int))
+        assert diff.max() <= 2
+
+    @pytest.mark.parametrize("subsampling,name", [(0, "444"), (1, "422"),
+                                                  (2, "420")])
+    def test_color_subsampling(self, subsampling, name):
+        g = _gray(seed=3)
+        rgb = np.stack([g, np.roll(g, 5, 0), 255 - g], axis=-1)
+        s = _pil_jpeg(rgb, "RGB", quality=85, subsampling=subsampling)
+        dec, _ = jpegdct.decode(s)
+        assert dec.shape == rgb.shape
+        ours = _ycc_to_rgb(dec)
+        ref = _pil_decode(s).astype(np.float64)
+        diff = np.abs(ours - ref)
+        assert diff.max() <= 3, name
+        assert diff.mean() < 0.5, name
+
+    def test_restart_intervals(self):
+        g = _gray(seed=4, shape=(48, 48))
+        s = _pil_jpeg(g, "L", quality=85, restart_marker_blocks=2)
+        assert b"\xff\xdd" in s  # DRI present
+        dec, _ = jpegdct.decode(s)
+        diff = np.abs(dec.astype(int) - _pil_decode(s).astype(int))
+        assert diff.max() <= 2
+
+    def test_high_frequency_content(self):
+        rng = np.random.default_rng(5)
+        g = (rng.integers(0, 2, (40, 40)) * 255).astype(np.uint8)
+        s = _pil_jpeg(g, "L", quality=95)
+        dec, _ = jpegdct.decode(s)
+        diff = np.abs(dec.astype(int) - _pil_decode(s).astype(int))
+        assert diff.max() <= 2
+
+
+class Test12Bit:
+    def _single_block_stream(self, dc: int) -> bytes:
+        """Minimal SOF1 12-bit stream: one 8×8 block, flat DC value."""
+        out = bytearray(b"\xff\xd8")
+        # DQT: table 0, all ones (no quantisation)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        # SOF1: P=12, 8×8, one component
+        out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, 8, 8, 1)
+        out += bytes((1, 0x11, 0))
+        # DHT DC table 0: one code of length 2 for category `cat`;
+        # AC table 0: one code of length 2 for EOB (0x00)
+        cat = max(dc.bit_length(), 0)
+        counts_dc = [0] * 16
+        counts_dc[1] = 1  # one 2-bit... use length 2 → index 1
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 1, 0x00)
+        out += bytes(counts_dc) + bytes([cat])
+        counts_ac = [0] * 16
+        counts_ac[1] = 1
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 1, 0x10)
+        out += bytes(counts_ac) + bytes([0x00])
+        # SOS
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00))
+        out += bytes((0, 63, 0))
+        # entropy: DC code '00' + cat bits of dc, AC EOB code '00', pad 1s
+        bits = "00" + format(dc, f"0{cat}b") + "00"
+        bits += "1" * ((8 - len(bits) % 8) % 8)
+        out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def test_flat_block_known_answer(self):
+        # DC coefficient d with q=1 → spatial value d/8 + 2048 everywhere
+        for dc in (0, 8, 800):
+            stream = self._single_block_stream(dc)
+            dec, p = jpegdct.decode(stream)
+            assert p == 12 and dec.dtype == np.uint16
+            expect = int(round(dc / 8.0)) + 2048
+            assert dec.shape == (8, 8)
+            np.testing.assert_array_equal(dec, np.full((8, 8), expect))
+
+    def test_baseline_rejects_12bit(self):
+        s = bytearray(self._single_block_stream(8))
+        s[s.find(b"\xff\xc1") + 1] = 0xC0  # claim SOF0
+        with pytest.raises(JpegDctError, match="P=8"):
+            jpegdct.decode(bytes(s))
+
+
+class TestDicomIntegration:
+    def _encapsulate(self, tmp_path, pix_uncompressed, frags, ts,
+                     photometric=None, samples=1):
+        p = str(tmp_path / "x.dcm")
+        write_dicom(p, pix_uncompressed, transfer_syntax=TS_EXPLICIT_LE)
+        ds = read_dataset(p)
+        ds.transfer_syntax = ts
+        ds.pixel_bytes = b""
+        ds.fragments = [f + (b"\x00" if len(f) % 2 else b"") for f in frags]
+        if photometric:
+            ds.attrs["PhotometricInterpretation"] = photometric
+            ds.attrs["SamplesPerPixel"] = samples
+        return ds
+
+    def test_grayscale_frame(self, tmp_path):
+        g = _gray(seed=10, shape=(64, 64))
+        ds = self._encapsulate(tmp_path, g, [_pil_jpeg(g, "L", quality=95)],
+                               TS_JPEG_BASELINE)
+        out = decode_pixels(ds)
+        assert out.dtype == np.uint8
+        assert np.abs(out.astype(int) - g.astype(int)).mean() < 3
+
+    def test_multiframe(self, tmp_path):
+        frames = [_gray(seed=s, shape=(32, 32)) for s in (1, 2, 3)]
+        ds = self._encapsulate(
+            tmp_path, np.stack(frames),
+            [_pil_jpeg(f, "L", quality=95) for f in frames],
+            TS_JPEG_BASELINE)
+        out = decode_pixels(ds)
+        assert out.shape == (3, 32, 32)
+
+    def test_ybr_grayscale_path_takes_y_plane(self, tmp_path):
+        """An `.4.50` ultrasound-style YBR dataset: load_dicom's
+        grayscale image must be the Y plane, not RGB-luma of YCbCr."""
+        g = _gray(seed=11, shape=(64, 64))
+        rgb = np.stack([g, np.full_like(g, 90), np.full_like(g, 160)], -1)
+        stream = _pil_jpeg(rgb, "RGB", quality=95, subsampling=0)
+        raw = np.zeros((64, 64), np.uint8)
+        ds = self._encapsulate(tmp_path, raw, [stream], TS_JPEG_BASELINE,
+                               photometric="YBR_FULL_422", samples=3)
+        stored = decode_pixels(ds)          # stored YBR samples
+        assert stored.shape == (64, 64, 3)
+        # drive the grayscale path via _pixels
+        from mdx.io.dicom import _pixels
+
+        img = _pixels(ds, window=False)
+        assert img.ndim == 2
+        # the Y plane of the decoded stream, modulo codec loss
+        y = jpegdct.decode(stream)[0][..., 0]
+        assert np.abs(img - y.astype(np.float32)).max() <= 2.0
+
+    def test_corrupt_stream_raises_dicom_error(self, tmp_path):
+        g = _gray(seed=12, shape=(32, 32))
+        frag = _pil_jpeg(g, "L")[:40]
+        ds = self._encapsulate(tmp_path, g, [frag], TS_JPEG_BASELINE)
+        with pytest.raises(DicomError, match="JPEG"):
+            decode_pixels(ds)
+
+    def test_signed_container_rejected(self, tmp_path):
+        g = _gray(seed=13, shape=(32, 32))
+        ds = self._encapsulate(tmp_path, g, [_pil_jpeg(g, "L")],
+                               TS_JPEG_BASELINE)
+        ds.attrs["PixelRepresentation"] = 1
+        with pytest.raises(DicomError, match="[Ss]igned"):
+            decode_pixels(ds)
+
+
+class TestErrors:
+    def test_not_a_jpeg(self):
+        with pytest.raises(JpegDctError, match="SOI"):
+            jpegdct.decode(b"\x12\x34")
+
+    def test_progressive_rejected(self):
+        g = _gray(seed=14, shape=(32, 32))
+        s = _pil_jpeg(g, "L", quality=85, progressive=True)
+        with pytest.raises(JpegDctError, match="progressive"):
+            jpegdct.decode(s)
+
+    def test_lossless_stream_names_right_codec(self):
+        from mdx.io import jpegll
+
+        enc = jpegll.encode(np.ones((4, 4), np.uint16), precision=12,
+                            predictor=1)
+        with pytest.raises(JpegDctError, match="jpegll"):
+            jpegdct.decode(enc)
+
+    def test_jpegls_stream_names_right_codec(self):
+        from mdx.io import jpegls
+
+        enc = jpegls.encode(np.ones((4, 4), np.uint8), precision=8)
+        with pytest.raises(JpegDctError, match="jpegls"):
+            jpegdct.decode(enc)
+
+    def test_truncated(self):
+        s = _pil_jpeg(_gray(seed=15), "L")
+        with pytest.raises(JpegDctError):
+            jpegdct.decode(s[:len(s) // 2])
