@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--groups", type=int, default=0,
                     help="0 = product group_limit(); N pins the group")
+    ap.add_argument("--bare", action="store_true",
+                    help="time the bare 3-op chain (no safeguards) — the "
+                         "chain-cost figure; default times apply_plan, "
+                         "the shipping guarded path")
     args = ap.parse_args()
 
     init_done = _init_watchdog("bench_config2.py")
@@ -74,6 +78,15 @@ def main() -> None:
     @partial(jax.jit, static_argnames=("s", "n", "g"))
     def fused_loop(v, s, d, n, g):
         def chain(c, dd):
+            if args.bare:
+                import jax.numpy as jnp2
+
+                nimg = c.shape[0]
+                masks = {op: jnp2.ones((nimg,), bool) for op in s.ops}
+                amount = jnp2.broadcast_to(
+                    jnp2.float32(dd.unsharp_amount), (nimg,))
+                out = E._run_chain(c, s.order(), s, dd, masks, amount)
+                return out, {"none": jnp2.zeros((nimg,), bool)}
             out, flags = E.apply_plan(c, s, dd, niqe_before=None)
             return out, flags
 

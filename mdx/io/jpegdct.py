@@ -409,11 +409,63 @@ def _decode_scan(buf: bytes, pos: int, scan_comps: List[_Component],
             raise JpegDctError(
                 f"Scan uses undefined Huffman table (DC {c.td}/AC {c.ta}).")
 
-    pred = {c.cid: 0 for c in scan_comps}
-    seg, pos = _destuff(buf, pos)
-    br = _BitReader(seg)
+    # per-restart-interval segments: full coder reset each, so every
+    # destuffed segment decodes independently (native or Python)
+    mcu0 = 0
     expect_rst = 0
-    since_restart = 0
+    while mcu0 < mcus:
+        cnt = min(restart_interval, mcus - mcu0) if restart_interval \
+            else mcus - mcu0
+        seg, pos = _destuff(buf, pos)
+        _decode_segment(seg, scan_comps, dc_tabs, ac_tabs, grids, coeffs,
+                        mcu0, cnt, interleaved, mcus_x)
+        mcu0 += cnt
+        if mcu0 < mcus:
+            if pos + 2 > len(buf) or buf[pos] != 0xFF or \
+                    not (0xD0 <= buf[pos + 1] <= 0xD7):
+                raise JpegDctError("Missing restart marker.")
+            if buf[pos + 1] - _RST0 != expect_rst:
+                raise JpegDctError("Restart marker out of sequence.")
+            expect_rst = (expect_rst + 1) & 7
+            pos += 2
+    return pos
+
+
+def _native():
+    """The native kernel module, or None — availability failures only."""
+    try:
+        from mdx.io import native
+
+        if native.available() and hasattr(native, "jpegdct_segment"):
+            return native
+    except Exception:
+        return None
+    return None
+
+
+def _decode_segment(seg: bytes, scan_comps: List[_Component],
+                    dc_tabs: Dict[int, _Huff], ac_tabs: Dict[int, _Huff],
+                    grids: Dict[int, Tuple[int, int]],
+                    coeffs: Dict[int, np.ndarray], mcu0: int, cnt: int,
+                    interleaved: bool, mcus_x: int) -> None:
+    nat = _native()
+    if nat is not None:
+        nat.jpegdct_segment(seg, scan_comps, dc_tabs, ac_tabs, grids,
+                            coeffs, mcu0, cnt, interleaved, mcus_x)
+        return
+    _decode_segment_py(seg, scan_comps, dc_tabs, ac_tabs, grids, coeffs,
+                       mcu0, cnt, interleaved, mcus_x)
+
+
+def _decode_segment_py(seg: bytes, scan_comps: List[_Component],
+                       dc_tabs: Dict[int, _Huff],
+                       ac_tabs: Dict[int, _Huff],
+                       grids: Dict[int, Tuple[int, int]],
+                       coeffs: Dict[int, np.ndarray], mcu0: int, cnt: int,
+                       interleaved: bool, mcus_x: int) -> None:
+    """Pure-Python segment decode (the native parity oracle)."""
+    br = _BitReader(seg)
+    pred = {c.cid: 0 for c in scan_comps}
 
     def _one_block(c: _Component, row: int, col: int) -> None:
         blk = coeffs[c.cid][row, col]
@@ -438,22 +490,7 @@ def _decode_scan(buf: bytes, pos: int, scan_comps: List[_Component],
             blk[k] = _extend(br.read_bits(s), s)
             k += 1
 
-    for m in range(mcus):
-        if restart_interval and since_restart == restart_interval:
-            # byte-align, expect RSTn in the ORIGINAL buffer: the destuff
-            # stopped at it, so re-destuff the next segment
-            if pos + 2 > len(buf) or buf[pos] != 0xFF or \
-                    not (0xD0 <= buf[pos + 1] <= 0xD7):
-                raise JpegDctError("Missing restart marker.")
-            if buf[pos + 1] - _RST0 != expect_rst:
-                raise JpegDctError("Restart marker out of sequence.")
-            expect_rst = (expect_rst + 1) & 7
-            pos += 2
-            seg, pos = _destuff(buf, pos)
-            br = _BitReader(seg)
-            pred = {c.cid: 0 for c in scan_comps}
-            since_restart = 0
-        since_restart += 1
+    for m in range(mcu0, mcu0 + cnt):
         if interleaved:
             my, mx = divmod(m, mcus_x)
             for c in scan_comps:
@@ -464,7 +501,6 @@ def _decode_scan(buf: bytes, pos: int, scan_comps: List[_Component],
             c = scan_comps[0]
             row, col = divmod(m, grids[c.cid][1])
             _one_block(c, row, col)
-    return pos
 
 
 def _upsample2x(plane: np.ndarray, axis: int) -> np.ndarray:

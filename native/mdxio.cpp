@@ -295,6 +295,159 @@ int64_t mdxio_jpegll_pack(const uint8_t *ssss, const int64_t *evals,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// JPEG Baseline/Extended (T.81 sequential DCT) entropy decode — the serial
+// hot loop of mdx/io/jpegdct.py::_decode_segment_py.  One restart segment
+// (destuffed bytes, DC predictors reset) per call; Huffman per F.2.2.3,
+// DC category + EXTEND, AC run/size with ZRL/EOB.  Bit-identical
+// coefficients and error taxonomy: -1 truncated, -2 invalid Huffman code,
+// -3 AC run overflow, -4 invalid DC category.
+// ---------------------------------------------------------------------------
+
+namespace jdct {
+
+struct Huff {
+  int32_t mincode[17], maxcode[17], valptr[17];
+  const uint8_t *values;
+};
+
+static void build(const uint8_t *counts, const uint8_t *values, Huff *h) {
+  int32_t code = 0, k = 0;
+  for (int L = 1; L <= 16; ++L) {
+    const int c = counts[L - 1];
+    h->maxcode[L] = -1;
+    h->valptr[L] = 0;
+    h->mincode[L] = 0;
+    if (c) {
+      h->valptr[L] = k;
+      h->mincode[L] = code;
+      code += c;
+      h->maxcode[L] = code - 1;
+      k += c;
+    }
+    code <<= 1;
+  }
+  h->values = values;
+}
+
+struct Bits {
+  const uint8_t *buf;
+  int64_t n, pos;
+  uint32_t cache;
+  int32_t nbits;
+};
+
+static inline int read_bit(Bits *b, int64_t *err) {
+  if (b->nbits == 0) {
+    if (b->pos >= b->n) {
+      *err = -1;
+      return 0;
+    }
+    b->cache = b->buf[b->pos++];
+    b->nbits = 8;
+  }
+  b->nbits--;
+  return (b->cache >> b->nbits) & 1;
+}
+
+static inline int32_t read_bits(Bits *b, int32_t k, int64_t *err) {
+  int32_t v = 0;
+  for (int32_t i = 0; i < k; ++i) v = (v << 1) | read_bit(b, err);
+  return v;
+}
+
+static inline int32_t decode_symbol(Bits *b, const Huff *h, int64_t *err) {
+  int32_t code = 0;
+  for (int L = 1; L <= 16; ++L) {
+    code = (code << 1) | read_bit(b, err);
+    if (*err) return 0;
+    if (h->maxcode[L] >= code)
+      return h->values[h->valptr[L] + code - h->mincode[L]];
+  }
+  *err = -2;
+  return 0;
+}
+
+static inline int32_t extend(int32_t v, int32_t t) {
+  if (t == 0) return 0;
+  return (v >= (1 << (t - 1))) ? v : v - (1 << t) + 1;
+}
+
+}  // namespace jdct
+
+extern "C" {
+
+// Decode `cnt` MCUs starting at MCU index `mcu0` from a destuffed
+// segment.  Per scan component i (ncomp <= 4): sampling h[i], v[i],
+// block-grid width bx[i], int32 coefficient base out[i] (layout
+// [by, bx, 64] zigzag).  Huffman tables arrive flattened per component:
+// dc_counts/ac_counts 16 bytes each, dc_values/ac_values 256 bytes each.
+int64_t mdxio_jpegdct_segment(
+    const uint8_t *seg, int64_t n, int32_t ncomp, const int32_t *hs,
+    const int32_t *vs, const int32_t *bxs, int32_t **outs,
+    const uint8_t *dc_counts, const uint8_t *dc_values,
+    const uint8_t *ac_counts, const uint8_t *ac_values, int64_t mcu0,
+    int64_t cnt, int32_t interleaved, int32_t mcus_x) {
+  jdct::Huff dc[4], ac[4];
+  for (int32_t i = 0; i < ncomp; ++i) {
+    jdct::build(dc_counts + 16 * i, dc_values + 256 * i, &dc[i]);
+    jdct::build(ac_counts + 16 * i, ac_values + 256 * i, &ac[i]);
+  }
+  jdct::Bits bits{seg, n, 0, 0, 0};
+  int64_t err = 0;
+  int32_t pred[4] = {0, 0, 0, 0};
+
+  for (int64_t m = mcu0; m < mcu0 + cnt; ++m) {
+    for (int32_t i = 0; i < ncomp; ++i) {
+      int32_t nv = interleaved ? vs[i] : 1;
+      int32_t nh = interleaved ? hs[i] : 1;
+      for (int32_t dv = 0; dv < nv; ++dv) {
+        for (int32_t dh = 0; dh < nh; ++dh) {
+          int64_t row, col;
+          if (interleaved) {
+            const int64_t my = m / mcus_x, mx = m % mcus_x;
+            row = my * vs[i] + dv;
+            col = mx * hs[i] + dh;
+          } else {
+            row = m / bxs[i];
+            col = m % bxs[i];
+          }
+          int32_t *blk = outs[i] + (row * bxs[i] + col) * 64;
+          const int32_t t = jdct::decode_symbol(&bits, &dc[i], &err);
+          if (err) return err;
+          if (t > 15) return -4;
+          const int32_t d =
+              t ? jdct::extend(jdct::read_bits(&bits, t, &err), t) : 0;
+          if (err) return err;
+          pred[i] += d;
+          blk[0] = pred[i];
+          int32_t k = 1;
+          while (k < 64) {
+            const int32_t rs = jdct::decode_symbol(&bits, &ac[i], &err);
+            if (err) return err;
+            const int32_t r = rs >> 4, s = rs & 0x0F;
+            if (s == 0) {
+              if (r == 15) {
+                k += 16;
+                continue;
+              }
+              break;
+            }
+            k += r;
+            if (k > 63) return -3;
+            blk[k] = jdct::extend(jdct::read_bits(&bits, s, &err), s);
+            if (err) return err;
+            ++k;
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // JPEG-LS (ITU-T T.87) scan codec — the serial hot loops of
 // mdx/io/jpegls.py.  LOCO-I is adaptive in BOTH directions (every sample
 // updates the contexts coding the next), so unlike JPEG-LL neither side

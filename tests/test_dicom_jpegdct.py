@@ -163,6 +163,50 @@ class Test12Bit:
             jpegdct.decode(bytes(s))
 
 
+class TestNativeParity:
+    """The C segment entropy decoder is bit-identical to the Python
+    oracle, with the same error taxonomy."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        pytest.importorskip("mdx.io.native")
+        from mdx.io import native
+        try:
+            native._load()
+        except native.NativeUnavailable:
+            pytest.skip("native library not built")
+
+    def _decode_forced_python(self, monkeypatch, stream):
+        monkeypatch.setattr(jpegdct, "_native", lambda: None)
+        try:
+            return jpegdct.decode(stream)
+        finally:
+            monkeypatch.undo()
+
+    @pytest.mark.parametrize("kind", ["gray", "rgb444", "rgb420", "rst"])
+    def test_bit_parity(self, monkeypatch, kind):
+        g = _gray(seed=40, shape=(56, 72))
+        if kind == "gray":
+            s = _pil_jpeg(g, "L", quality=85)
+        elif kind == "rst":
+            s = _pil_jpeg(g, "L", quality=85, restart_marker_blocks=2)
+        else:
+            rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+            s = _pil_jpeg(rgb, "RGB", quality=85,
+                          subsampling=0 if kind == "rgb444" else 2)
+        nat, _ = jpegdct.decode(s)
+        py, _ = self._decode_forced_python(monkeypatch, s)
+        np.testing.assert_array_equal(nat, py)
+
+    def test_error_taxonomy_parity(self, monkeypatch):
+        s = _pil_jpeg(_gray(seed=41), "L", quality=85)
+        cut = s[:len(s) * 2 // 3]
+        with pytest.raises(JpegDctError):
+            jpegdct.decode(cut)
+        with pytest.raises(JpegDctError):
+            self._decode_forced_python(monkeypatch, cut)
+
+
 class TestDicomIntegration:
     def _encapsulate(self, tmp_path, pix_uncompressed, frags, ts,
                      photometric=None, samples=1):
