@@ -13,8 +13,8 @@ medical images is deliberately unsupported.
 
 Implemented from the standard:
 
-* Marker layer: SOI / SOF0 / SOF1 / DHT / DQT / DRI / SOS / RSTn / EOI,
-  APPn + COM skipped.  SOF2 (progressive), arithmetic-coded SOFs, and
+* Marker layer: SOI / SOF0 / SOF1 / SOF2 / DHT / DQT / DRI / SOS /
+  RSTn / EOI, APPn + COM skipped.  Arithmetic-coded SOFs and
   hierarchical processes raise specific errors rather than wrong pixels.
 * Annex F.2.2.3 canonical Huffman decoding (mincode/maxcode/valptr, the
   same construction as ``mdx.io.jpegll``), DC category + EXTEND, AC
@@ -23,6 +23,12 @@ Implemented from the standard:
   4:2:0 — everything DICOM emits); restart intervals with modulo-8
   marker sequence check; single- and multi-scan (non-interleaved)
   frames.
+* Progressive (SOF2, Annex G Huffman): spectral-selection DC/AC scans,
+  successive-approximation first + refinement passes with EOB runs —
+  control flow mirrors libjpeg's jdphuff so refinement matches the
+  ecosystem bit-for-bit.  Strictly a conformance extension: DICOM
+  specifies sequential processes for `.4.50`/`.4.51`, but web re-exports
+  smuggle progressive streams into archives.
 * Dequantisation + inverse zigzag + 8×8 IDCT vectorised over ALL blocks
   at once (the separable DCT-III basis as two einsums — the per-sample
   work is NumPy, only the entropy pass is serial); level shift 2^(P−1),
@@ -58,8 +64,8 @@ _SOI, _EOI = 0xD8, 0xD9
 _SOF0, _SOF1 = 0xC0, 0xC1
 _DHT, _DQT, _DRI, _SOS, _COM = 0xC4, 0xDB, 0xDD, 0xDA, 0xFE
 _RST0 = 0xD0
+_SOF2 = 0xC2
 _UNSUPPORTED_SOF = {
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3) — use mdx.io.jpegll",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -218,6 +224,7 @@ def decode(stream: bytes) -> Tuple[np.ndarray, int]:
         raise JpegDctError("Not a JPEG stream (missing SOI).")
     pos = 2
     precision = 0
+    progressive = False
     height = width = 0
     comps: List[_Component] = []
     qtables: Dict[int, np.ndarray] = {}
@@ -242,8 +249,9 @@ def decode(stream: bytes) -> Tuple[np.ndarray, int]:
         if marker in _UNSUPPORTED_SOF:
             raise JpegDctError(
                 f"Unsupported JPEG process: {_UNSUPPORTED_SOF[marker]}.")
-        if marker in (_SOF0, _SOF1):
+        if marker in (_SOF0, _SOF1, _SOF2):
             length = _seg_len(buf, pos)
+            progressive = marker == _SOF2
             precision = buf[pos + 2]
             height = _u16(buf, pos + 3)
             width = _u16(buf, pos + 5)
@@ -333,13 +341,28 @@ def decode(stream: bytes) -> Tuple[np.ndarray, int]:
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(comp)
             ss, se = buf[pos + 3 + 2 * ns], buf[pos + 4 + 2 * ns]
-            if (ss, se) != (0, 63):
-                raise JpegDctError(
-                    "Spectral selection outside 0..63 (progressive?).")
+            ahl = buf[pos + 5 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0x0F
             pos += length
-            pos = _decode_scan(buf, pos, scan_comps, dc_tabs, ac_tabs,
-                               width, height, hmax, vmax,
-                               restart_interval, coeffs)
+            if progressive:
+                if ss == 0 and se == 0:
+                    pass                      # DC scan (may interleave)
+                elif 1 <= ss <= se <= 63 and ns == 1:
+                    pass                      # AC scan (single component)
+                else:
+                    raise JpegDctError(
+                        "Invalid progressive spectral selection.")
+                pos = _decode_scan_prog(buf, pos, scan_comps, dc_tabs,
+                                        ac_tabs, width, height, hmax,
+                                        vmax, restart_interval, coeffs,
+                                        ss, se, ah, al)
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise JpegDctError(
+                        "Sequential scan with progressive parameters.")
+                pos = _decode_scan(buf, pos, scan_comps, dc_tabs, ac_tabs,
+                                   width, height, hmax, vmax,
+                                   restart_interval, coeffs)
             continue
         if 0xD0 <= marker <= 0xD7:
             raise JpegDctError("Restart marker outside an entropy segment.")
@@ -501,6 +524,186 @@ def _decode_segment_py(seg: bytes, scan_comps: List[_Component],
             c = scan_comps[0]
             row, col = divmod(m, grids[c.cid][1])
             _one_block(c, row, col)
+
+
+def _decode_scan_prog(buf: bytes, pos: int, scan_comps: List[_Component],
+                      dc_tabs: Dict[int, _Huff],
+                      ac_tabs: Dict[int, _Huff], width: int, height: int,
+                      hmax: int, vmax: int, restart_interval: int,
+                      coeffs: Dict[int, np.ndarray], ss: int, se: int,
+                      ah: int, al: int) -> int:
+    """One progressive scan (T.81 Annex G, Huffman).  Coefficients
+    accumulate across scans in ``coeffs``; control flow mirrors the
+    de-facto reference decoder (libjpeg jdphuff.c) so successive-
+    approximation refinement matches the ecosystem bit-for-bit.
+    """
+    dc_scan = ss == 0
+    interleaved = dc_scan and len(scan_comps) > 1
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    grids = {}
+    for c in scan_comps:
+        if interleaved:
+            bx, by = mcus_x * c.h, mcus_y * c.v
+        else:
+            cw = -(-width * c.h // hmax)
+            ch = -(-height * c.v // vmax)
+            bx, by = -(-cw // 8), -(-ch // 8)
+        grids[c.cid] = (by, bx)
+        if c.cid not in coeffs:
+            coeffs[c.cid] = np.zeros((by, bx, 64), np.int32)
+    if interleaved:
+        mcus = mcus_y * mcus_x
+    else:
+        by, bx = grids[scan_comps[0].cid]
+        mcus = by * bx
+
+    if dc_scan and ah == 0:
+        for c in scan_comps:
+            if c.td not in dc_tabs:
+                raise JpegDctError(
+                    f"Progressive DC scan uses undefined table {c.td}.")
+    if not dc_scan and ah == 0 or (not dc_scan and ah > 0):
+        c = scan_comps[0]
+        if c.ta not in ac_tabs:
+            raise JpegDctError(
+                f"Progressive AC scan uses undefined table {c.ta}.")
+
+    mcu0 = 0
+    expect_rst = 0
+    while mcu0 < mcus:
+        cnt = min(restart_interval, mcus - mcu0) if restart_interval \
+            else mcus - mcu0
+        seg, pos = _destuff(buf, pos)
+        _decode_prog_segment(seg, scan_comps, dc_tabs, ac_tabs, grids,
+                             coeffs, mcu0, cnt, interleaved, mcus_x,
+                             ss, se, ah, al, dc_scan)
+        mcu0 += cnt
+        if mcu0 < mcus:
+            if pos + 2 > len(buf) or buf[pos] != 0xFF or \
+                    not (0xD0 <= buf[pos + 1] <= 0xD7):
+                raise JpegDctError("Missing restart marker.")
+            if buf[pos + 1] - _RST0 != expect_rst:
+                raise JpegDctError("Restart marker out of sequence.")
+            expect_rst = (expect_rst + 1) & 7
+            pos += 2
+    return pos
+
+
+def _decode_prog_segment(seg: bytes, scan_comps: List[_Component],
+                         dc_tabs: Dict[int, _Huff],
+                         ac_tabs: Dict[int, _Huff],
+                         grids: Dict[int, Tuple[int, int]],
+                         coeffs: Dict[int, np.ndarray], mcu0: int,
+                         cnt: int, interleaved: bool, mcus_x: int,
+                         ss: int, se: int, ah: int, al: int,
+                         dc_scan: bool) -> None:
+    br = _BitReader(seg)
+    pred = {c.cid: 0 for c in scan_comps}
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def _dc_first(c: _Component, blk: np.ndarray) -> None:
+        t = br.decode_symbol(dc_tabs[c.td])
+        if t > 15:
+            raise JpegDctError("Invalid DC category.")
+        diff = _extend(br.read_bits(t), t) if t else 0
+        pred[c.cid] += diff
+        blk[0] = pred[c.cid] << al
+
+    def _dc_refine(blk: np.ndarray) -> None:
+        # (v>>1<<1) | bit == v in two's complement for either sign
+        if br.read_bit():
+            blk[0] = int(blk[0]) | p1
+
+    def _ac_first(c: _Component, blk: np.ndarray) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_symbol(ac_tabs[c.ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    raise JpegDctError("AC run overflows the band.")
+                blk[k] = _extend(br.read_bits(s), s) << al
+                k += 1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    eobrun -= 1  # this block ends here
+                    return
+                k += 16  # ZRL
+
+    def _ac_refine(c: _Component, blk: np.ndarray) -> None:
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_symbol(ac_tabs[c.ta])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    # ZRL: r == 15, skip 15 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise JpegDctError(
+                            "Invalid refinement magnitude (s != 1).")
+                    s = p1 if br.read_bit() else m1
+                # advance over r zero-history coeffs, consuming
+                # correction bits for the nonzero-history ones
+                while k <= se:
+                    coef = int(blk[k])
+                    if coef != 0:
+                        if br.read_bit() and (coef & p1) == 0:
+                            blk[k] = coef + (p1 if coef >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise JpegDctError(
+                            "Refinement coefficient outside the band.")
+                    blk[k] = s
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                coef = int(blk[k])
+                if coef != 0 and br.read_bit() and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    for m in range(mcu0, mcu0 + cnt):
+        if interleaved:
+            my, mx = divmod(m, mcus_x)
+            for c in scan_comps:
+                for dv in range(c.v):
+                    for dh in range(c.h):
+                        blk = coeffs[c.cid][my * c.v + dv, mx * c.h + dh]
+                        _dc_first(c, blk) if ah == 0 else _dc_refine(blk)
+        else:
+            c = scan_comps[0]
+            row, col = divmod(m, grids[c.cid][1])
+            blk = coeffs[c.cid][row, col]
+            if dc_scan:
+                _dc_first(c, blk) if ah == 0 else _dc_refine(blk)
+            elif ah == 0:
+                _ac_first(c, blk)
+            else:
+                _ac_refine(c, blk)
 
 
 def _upsample2x(plane: np.ndarray, axis: int) -> np.ndarray:

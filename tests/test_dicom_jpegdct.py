@@ -99,6 +99,40 @@ class TestAgainstPillow:
         assert diff.max() <= 3, name
         assert diff.mean() < 0.5, name
 
+    @pytest.mark.parametrize("quality", [95, 85, 50])
+    def test_progressive_grayscale(self, quality):
+        """SOF2 successive-approximation scans (Annex G) — conformance
+        extension beyond the sequential DICOM processes."""
+        g = _gray(seed=quality + 60, shape=(96, 112))
+        s = _pil_jpeg(g, "L", quality=quality, progressive=True)
+        assert b"\xff\xc2" in s  # really progressive
+        dec, _ = jpegdct.decode(s)
+        diff = np.abs(dec.astype(int) - _pil_decode(s).astype(int))
+        assert diff.max() <= 2
+
+    @pytest.mark.parametrize("subsampling", [0, 2])
+    def test_progressive_color(self, subsampling):
+        g = _gray(seed=61)
+        rgb = np.stack([g, np.roll(g, 5, 0), 255 - g], axis=-1)
+        s = _pil_jpeg(rgb, "RGB", quality=85, progressive=True,
+                      subsampling=subsampling)
+        dec, _ = jpegdct.decode(s)
+        ours = _ycc_to_rgb(dec)
+        diff = np.abs(ours - _pil_decode(s).astype(np.float64))
+        assert diff.max() <= 4
+        assert diff.mean() < 0.6
+
+    def test_progressive_matches_sequential_pixels(self):
+        """The same source encoded sequential vs progressive at the same
+        quality decodes to near-identical pixels (same coefficients,
+        different scan order)."""
+        g = _gray(seed=62, shape=(40, 56))
+        seq = _pil_jpeg(g, "L", quality=90)
+        pro = _pil_jpeg(g, "L", quality=90, progressive=True)
+        a, _ = jpegdct.decode(seq)
+        b, _ = jpegdct.decode(pro)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
     def test_restart_intervals(self):
         g = _gray(seed=4, shape=(48, 48))
         s = _pil_jpeg(g, "L", quality=85, restart_marker_blocks=2)
@@ -279,11 +313,12 @@ class TestErrors:
         with pytest.raises(JpegDctError, match="SOI"):
             jpegdct.decode(b"\x12\x34")
 
-    def test_progressive_rejected(self):
+    def test_arithmetic_sof_rejected(self):
         g = _gray(seed=14, shape=(32, 32))
-        s = _pil_jpeg(g, "L", quality=85, progressive=True)
-        with pytest.raises(JpegDctError, match="progressive"):
-            jpegdct.decode(s)
+        s = bytearray(_pil_jpeg(g, "L", quality=85))
+        s[s.find(b"\xff\xc0") + 1] = 0xC9  # claim arithmetic sequential
+        with pytest.raises(JpegDctError, match="arithmetic"):
+            jpegdct.decode(bytes(s))
 
     def test_lossless_stream_names_right_codec(self):
         from mdx.io import jpegll
