@@ -228,6 +228,47 @@ class TestCodecRoundtrip:
                 assert np.abs(dec - img).max() <= near
 
 
+class TestMultiComponent:
+    def test_ilv0_two_component_stream(self):
+        """Nf>1 in ILV 0 (component-sequential scans, fresh coder state
+        each) decodes to a stacked [H, W, C] plane set — hand-built
+        stream since the encoder (DICOM grayscale) emits Nf=1."""
+        import struct
+
+        rng = np.random.default_rng(5)
+        h, w, p = 16, 20, 8
+        maxv = (1 << p) - 1
+        planes = [rng.integers(0, maxv + 1, (h, w)).astype(np.int64)
+                  for _ in range(2)]
+        params = _params_for(maxv, 0)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3 * 2, p, h, w, 2)
+        out += bytes((1, 0x11, 0)) + bytes((2, 0x11, 0))
+        for ci, plane in enumerate(planes, start=1):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes((ci, 0)) + bytes((0, 0, 0))
+            out += _encode_scan_python(plane, params)
+        out += b"\xff\xd9"
+        img, pp, near = jpegls.decode(bytes(out))
+        assert img.shape == (h, w, 2) and (pp, near) == (p, 0)
+        np.testing.assert_array_equal(img[..., 0], planes[0])
+        np.testing.assert_array_equal(img[..., 1], planes[1])
+
+    def test_missing_component_scan_raises(self):
+        import struct
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xf7" + struct.pack(">HBHHB", 8 + 3 * 2, 8, 4, 4, 2)
+        out += bytes((1, 0x11, 0)) + bytes((2, 0x11, 0))
+        params = _params_for(255, 0)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes((1, 0)) + bytes((0, 0, 0))
+        out += _encode_scan_python(np.zeros((4, 4), np.int64), params)
+        out += b"\xff\xd9"  # second component's scan missing
+        with pytest.raises(JpegLSError, match="component scans"):
+            jpegls.decode(bytes(out))
+
+
 class TestNativeParity:
     """The C scan coder is bit-identical to the Python clause-A oracle in
     BOTH directions, with the same error taxonomy."""
