@@ -150,7 +150,119 @@ class TestAgainstPillow:
         assert diff.max() <= 2
 
 
+def _encode_sequential_12bit(img: np.ndarray) -> bytes:
+    """Test-only SOF1 12-bit encoder: forward 8×8 DCT, q=1, one shared
+    Huffman table pair covering every category — enough to synthesize
+    valid multi-block 12-bit streams (no 12-bit encoder exists in any
+    installable package, and the product stance is decode-only)."""
+    import struct
+
+    from mdx.io.jpegdct import _IDCT_C, _ZIGZAG
+
+    h, w = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    by, bx = h // 8, w // 8
+    shifted = img.astype(np.float64) - 2048.0
+    blocks = shifted.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    # forward DCT: B[u,v] = Σ C[u,x]·b[x,y]·C[v,y]
+    coefs = np.einsum("ux,ijxy,vy->ijuv", _IDCT_C * 2, blocks,
+                      _IDCT_C * 2) / 4.0
+    # zigzag index k holds the raster coefficient at _ZIGZAG[k]
+    # (the decoder inverts with blocks[:, :, _ZIGZAG] = deq)
+    zz = np.take(np.round(coefs).reshape(by, bx, 64), _ZIGZAG,
+                 axis=2).astype(np.int64)
+
+    # Huffman: category t coded as t 1-bits then 0?  Use canonical
+    # tables: one code per symbol, lengths = uniform 8 bits for
+    # simplicity (max 256 symbols fits).  DC symbols 0..15, AC all rs.
+    def _canonical(symbols):
+        counts = [0] * 16
+        counts[7] = len(symbols)  # all length 8
+        return bytes(counts), bytes(symbols), {
+            s: (i, 8) for i, s in enumerate(symbols)}
+
+    dc_counts, dc_vals, dc_code = _canonical(list(range(16)))
+    ac_syms = sorted({0x00, 0xF0} | {
+        (r << 4) | s for r in range(16) for s in range(1, 15)})
+    ac_counts, ac_vals, ac_code = _canonical(ac_syms)
+
+    bits: list = []
+
+    def put(code, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    pred = 0
+    for yb in range(by):
+        for xb in range(bx):
+            blk = zz[yb, xb]
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            t = abs(diff).bit_length()
+            c, ln = dc_code[t]
+            put(c, ln)
+            if t:
+                put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and blk[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    c, ln = ac_code[0x00]
+                    put(c, ln)
+                    break
+                while run > 15:
+                    c, ln = ac_code[0xF0]
+                    put(c, ln)
+                    run -= 16
+                v = int(blk[k])
+                s = abs(v).bit_length()
+                c, ln = ac_code[(run << 4) | s]
+                put(c, ln)
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+                k += 1
+    while len(bits) % 8:
+        bits.append(1)
+    payload = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int("".join(map(str, bits[i:i + 8])), 2)
+        payload.append(b)
+        if b == 0xFF:
+            payload.append(0x00)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10)
+    out += b"".join(struct.pack(">H", 1) for _ in range(64))
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1)
+    out += bytes((1, 0x11, 0))
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 1 + 16 + len(dc_vals), 0x00) + dc_counts + dc_vals
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 1 + 16 + len(ac_vals), 0x10) + ac_counts + ac_vals
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00))
+    out += bytes((0, 63, 0))
+    out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class Test12Bit:
+    def test_multiblock_12bit_roundtrip(self):
+        """A synthesized multi-block SOF1 12-bit stream (q=1) decodes to
+        IDCT∘round∘DCT of the source — within the ±1 coefficient
+        rounding bound."""
+        rng = np.random.default_rng(70)
+        img = np.clip(2048 + 600 * np.sin(
+            np.arange(32 * 40).reshape(32, 40) / 5.0)
+            + rng.normal(0, 50, (32, 40)), 0, 4095).astype(np.uint16)
+        stream = _encode_sequential_12bit(img)
+        dec, p = jpegdct.decode(stream)
+        assert p == 12 and dec.dtype == np.uint16
+        assert dec.shape == img.shape
+        # q=1: error bounded by DCT coefficient rounding (≤ ~4 LSB)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
     def _single_block_stream(self, dc: int) -> bytes:
         """Minimal SOF1 12-bit stream: one 8×8 block, flat DC value."""
         out = bytearray(b"\xff\xd8")
