@@ -351,13 +351,16 @@ class TestErrors:
         with pytest.raises(JpegLLError, match="Subsampled"):
             jpegll.decode(bytes(enc))
 
-    def test_unsupported_lossy_ts_message(self, tmp_path):
+    def test_unsupported_ts_message(self, tmp_path):
+        """A genuinely unreadable syntax still gets the clear error.
+        (JPEG Baseline used to be the example here until round 4 made it
+        decodable — mdx/io/jpegdct.py; J2K remains unsupported.)"""
         p = str(tmp_path / "lossy.dcm")
         write_dicom(p, _img(shape=(8, 8)), transfer_syntax=TS_JPEG_LL_SV1)
         raw = open(p, "rb").read()
-        # JPEG Baseline (Process 1) is 22 chars too: 1.2.840.10008.1.2.4.50
+        # JPEG 2000 Lossless is 22 chars too: 1.2.840.10008.1.2.4.90
         lossy = raw.replace(TS_JPEG_LL_SV1.encode(),
-                            b"1.2.840.10008.1.2.4.50")
+                            b"1.2.840.10008.1.2.4.90")
         p2 = str(tmp_path / "l2.dcm")
         open(p2, "wb").write(lossy)
         with pytest.raises(DicomError, match="Unsupported transfer syntax"):
