@@ -598,6 +598,27 @@ def _decode_prog_segment(seg: bytes, scan_comps: List[_Component],
                          cnt: int, interleaved: bool, mcus_x: int,
                          ss: int, se: int, ah: int, al: int,
                          dc_scan: bool) -> None:
+    nat = _native()
+    if nat is not None and hasattr(nat, "jpegdct_prog_segment"):
+        nat.jpegdct_prog_segment(seg, scan_comps, dc_tabs, ac_tabs,
+                                 grids, coeffs, mcu0, cnt, interleaved,
+                                 mcus_x, ss, se, ah, al, dc_scan)
+        return
+    _decode_prog_segment_py(seg, scan_comps, dc_tabs, ac_tabs, grids,
+                            coeffs, mcu0, cnt, interleaved, mcus_x,
+                            ss, se, ah, al, dc_scan)
+
+
+def _decode_prog_segment_py(seg: bytes, scan_comps: List[_Component],
+                            dc_tabs: Dict[int, _Huff],
+                            ac_tabs: Dict[int, _Huff],
+                            grids: Dict[int, Tuple[int, int]],
+                            coeffs: Dict[int, np.ndarray], mcu0: int,
+                            cnt: int, interleaved: bool, mcus_x: int,
+                            ss: int, se: int, ah: int, al: int,
+                            dc_scan: bool) -> None:
+    """Pure-Python progressive segment decode (the native parity
+    oracle)."""
     br = _BitReader(seg)
     pred = {c.cid: 0 for c in scan_comps}
     eobrun = 0

@@ -134,6 +134,16 @@ def _load() -> ctypes.CDLL:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32]
             lib.mdxio_jpegdct_segment.restype = ctypes.c_int64
+            lib.mdxio_jpegdct_prog_segment.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32]
+            lib.mdxio_jpegdct_prog_segment.restype = ctypes.c_int64
         except AttributeError as exc:
             # stale library from an older source revision (and no
             # toolchain to rebuild it) — degrade to the Python paths
@@ -323,7 +333,42 @@ _JPEGDCT_ERRORS = {
     -2: "Invalid Huffman code in scan data.",
     -3: "AC run overflows the block.",
     -4: "Invalid DC category.",
+    -5: "Invalid progressive refinement symbol.",
 }
+
+
+def _jpegdct_marshal(seg, scan_comps, dc_tabs, ac_tabs, grids, coeffs):
+    """Common ctypes marshaling for both DCT segment decoders: flattened
+    per-component Huffman tables + sampling/grid arrays + output
+    pointers.  Returns positional args through `mcus_x`-exclusive."""
+    ncomp = len(scan_comps)
+    hs = np.array([c.h for c in scan_comps], np.int32)
+    vs = np.array([c.v for c in scan_comps], np.int32)
+    bxs = np.array([grids[c.cid][1] for c in scan_comps], np.int32)
+    dc_counts = np.zeros((ncomp, 16), np.uint8)
+    dc_values = np.zeros((ncomp, 256), np.uint8)
+    ac_counts = np.zeros((ncomp, 16), np.uint8)
+    ac_values = np.zeros((ncomp, 256), np.uint8)
+    outs = (ctypes.c_void_p * ncomp)()
+    for i, c in enumerate(scan_comps):
+        d = dc_tabs.get(c.td)
+        a = ac_tabs.get(c.ta)
+        for tab, counts, values in ((d, dc_counts, dc_values),
+                                    (a, ac_counts, ac_values)):
+            if tab is None:
+                continue  # scan mode that never touches this table
+            counts[i, :] = [
+                tab.maxcode[L] - tab.mincode[L] + 1
+                if tab.maxcode[L] >= 0 else 0 for L in range(1, 17)]
+            values[i, :len(tab.values)] = np.frombuffer(
+                bytes(tab.values), np.uint8)
+        arr = coeffs[c.cid]
+        assert arr.dtype == np.int32 and arr.flags.c_contiguous
+        outs[i] = arr.ctypes.data
+    src = np.frombuffer(seg, np.uint8)
+    # keep every array alive through the call via the returned tuple
+    return (src, ncomp, hs, vs, bxs, outs,
+            dc_counts, dc_values, ac_counts, ac_values)
 
 
 def jpegdct_segment(seg: bytes, scan_comps, dc_tabs, ac_tabs, grids,
@@ -335,41 +380,45 @@ def jpegdct_segment(seg: bytes, scan_comps, dc_tabs, ac_tabs, grids,
     from mdx.io.jpegdct import JpegDctError
 
     lib = _load()
-    ncomp = len(scan_comps)
-    hs = np.array([c.h for c in scan_comps], np.int32)
-    vs = np.array([c.v for c in scan_comps], np.int32)
-    bxs = np.array([grids[c.cid][1] for c in scan_comps], np.int32)
-    dc_counts = np.zeros((ncomp, 16), np.uint8)
-    dc_values = np.zeros((ncomp, 256), np.uint8)
-    ac_counts = np.zeros((ncomp, 16), np.uint8)
-    ac_values = np.zeros((ncomp, 256), np.uint8)
-    outs = (ctypes.c_void_p * ncomp)()
-    for i, c in enumerate(scan_comps):
-        d, a = dc_tabs[c.td], ac_tabs[c.ta]
-        dcnt = [d.maxcode[L] - d.mincode[L] + 1 if d.maxcode[L] >= 0 else 0
-                for L in range(1, 17)]
-        acnt = [a.maxcode[L] - a.mincode[L] + 1 if a.maxcode[L] >= 0 else 0
-                for L in range(1, 17)]
-        dc_counts[i, :] = dcnt
-        dc_values[i, :len(d.values)] = np.frombuffer(
-            bytes(d.values), np.uint8)
-        ac_counts[i, :] = acnt
-        ac_values[i, :len(a.values)] = np.frombuffer(
-            bytes(a.values), np.uint8)
-        arr = coeffs[c.cid]
-        assert arr.dtype == np.int32 and arr.flags.c_contiguous
-        outs[i] = arr.ctypes.data
-    src = np.frombuffer(seg, np.uint8)
+    (src, ncomp, hs, vs, bxs, outs, dcc, dcv, acc, acv) = \
+        _jpegdct_marshal(seg, scan_comps, dc_tabs, ac_tabs, grids, coeffs)
     rc = lib.mdxio_jpegdct_segment(
         src.ctypes.data_as(ctypes.c_void_p), src.size, ncomp,
         hs.ctypes.data_as(ctypes.c_void_p),
         vs.ctypes.data_as(ctypes.c_void_p),
         bxs.ctypes.data_as(ctypes.c_void_p), outs,
-        dc_counts.ctypes.data_as(ctypes.c_void_p),
-        dc_values.ctypes.data_as(ctypes.c_void_p),
-        ac_counts.ctypes.data_as(ctypes.c_void_p),
-        ac_values.ctypes.data_as(ctypes.c_void_p),
+        dcc.ctypes.data_as(ctypes.c_void_p),
+        dcv.ctypes.data_as(ctypes.c_void_p),
+        acc.ctypes.data_as(ctypes.c_void_p),
+        acv.ctypes.data_as(ctypes.c_void_p),
         mcu0, cnt, int(interleaved), mcus_x)
+    if rc != 0:
+        raise JpegDctError(_JPEGDCT_ERRORS.get(int(rc),
+                                               f"native error {rc}"))
+
+
+def jpegdct_prog_segment(seg: bytes, scan_comps, dc_tabs, ac_tabs, grids,
+                         coeffs, mcu0: int, cnt: int, interleaved: bool,
+                         mcus_x: int, ss: int, se: int, ah: int, al: int,
+                         dc_scan: bool) -> None:
+    """Native progressive (Annex G) restart-segment decode — bit-identical
+    to _decode_prog_segment_py (mdx/io/jpegdct.py)."""
+    from mdx.io.jpegdct import JpegDctError
+
+    lib = _load()
+    (src, ncomp, hs, vs, bxs, outs, dcc, dcv, acc, acv) = \
+        _jpegdct_marshal(seg, scan_comps, dc_tabs, ac_tabs, grids, coeffs)
+    rc = lib.mdxio_jpegdct_prog_segment(
+        src.ctypes.data_as(ctypes.c_void_p), src.size, ncomp,
+        hs.ctypes.data_as(ctypes.c_void_p),
+        vs.ctypes.data_as(ctypes.c_void_p),
+        bxs.ctypes.data_as(ctypes.c_void_p), outs,
+        dcc.ctypes.data_as(ctypes.c_void_p),
+        dcv.ctypes.data_as(ctypes.c_void_p),
+        acc.ctypes.data_as(ctypes.c_void_p),
+        acv.ctypes.data_as(ctypes.c_void_p),
+        mcu0, cnt, int(interleaved), mcus_x, ss, se, ah, al,
+        int(dc_scan))
     if rc != 0:
         raise JpegDctError(_JPEGDCT_ERRORS.get(int(rc),
                                                f"native error {rc}"))

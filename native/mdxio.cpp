@@ -445,6 +445,153 @@ int64_t mdxio_jpegdct_segment(
   return 0;
 }
 
+// Progressive (T.81 Annex G, Huffman) restart-segment decode — the four
+// scan modes of mdx/io/jpegdct.py::_decode_prog_segment: DC first
+// (dc_scan, ah==0, may interleave), DC refinement (one raw bit), AC
+// first with EOB runs, AC refinement with correction bits.  Bit-identical
+// coefficients, same error taxonomy plus -5 invalid refinement
+// magnitude / band overflow.
+int64_t mdxio_jpegdct_prog_segment(
+    const uint8_t *seg, int64_t n, int32_t ncomp, const int32_t *hs,
+    const int32_t *vs, const int32_t *bxs, int32_t **outs,
+    const uint8_t *dc_counts, const uint8_t *dc_values,
+    const uint8_t *ac_counts, const uint8_t *ac_values, int64_t mcu0,
+    int64_t cnt, int32_t interleaved, int32_t mcus_x, int32_t ss,
+    int32_t se, int32_t ah, int32_t al, int32_t dc_scan) {
+  jdct::Huff dc[4], ac[4];
+  for (int32_t i = 0; i < ncomp; ++i) {
+    jdct::build(dc_counts + 16 * i, dc_values + 256 * i, &dc[i]);
+    jdct::build(ac_counts + 16 * i, ac_values + 256 * i, &ac[i]);
+  }
+  jdct::Bits bits{seg, n, 0, 0, 0};
+  int64_t err = 0;
+  int32_t pred[4] = {0, 0, 0, 0};
+  int64_t eobrun = 0;
+  const int32_t p1 = 1 << al;
+  const int32_t m1 = -(1 << al);
+
+  for (int64_t m = mcu0; m < mcu0 + cnt; ++m) {
+    const int32_t nci = interleaved ? ncomp : 1;
+    for (int32_t i = 0; i < nci; ++i) {
+      const int32_t nv = interleaved ? vs[i] : 1;
+      const int32_t nh = interleaved ? hs[i] : 1;
+      for (int32_t dv = 0; dv < nv; ++dv) {
+        for (int32_t dh = 0; dh < nh; ++dh) {
+          int64_t row, col;
+          if (interleaved) {
+            const int64_t my = m / mcus_x, mx = m % mcus_x;
+            row = my * vs[i] + dv;
+            col = mx * hs[i] + dh;
+          } else {
+            row = m / bxs[i];
+            col = m % bxs[i];
+          }
+          int32_t *blk = outs[i] + (row * bxs[i] + col) * 64;
+          if (dc_scan) {
+            if (ah == 0) {
+              const int32_t t = jdct::decode_symbol(&bits, &dc[i], &err);
+              if (err) return err;
+              if (t > 15) return -4;
+              const int32_t d =
+                  t ? jdct::extend(jdct::read_bits(&bits, t, &err), t) : 0;
+              if (err) return err;
+              pred[i] += d;
+              blk[0] = pred[i] << al;
+            } else {
+              if (jdct::read_bit(&bits, &err)) blk[0] |= p1;
+              if (err) return err;
+            }
+          } else if (ah == 0) {  // AC first
+            if (eobrun > 0) {
+              --eobrun;
+              continue;
+            }
+            int32_t k = ss;
+            while (k <= se) {
+              const int32_t rs = jdct::decode_symbol(&bits, &ac[i], &err);
+              if (err) return err;
+              const int32_t r = rs >> 4, s = rs & 0x0F;
+              if (s) {
+                k += r;
+                if (k > se) return -3;
+                blk[k] = jdct::extend(jdct::read_bits(&bits, s, &err), s)
+                         << al;
+                if (err) return err;
+                ++k;
+              } else {
+                if (r != 15) {
+                  eobrun = int64_t(1) << r;
+                  if (r) eobrun += jdct::read_bits(&bits, r, &err);
+                  if (err) return err;
+                  --eobrun;
+                  break;
+                }
+                k += 16;
+              }
+            }
+          } else {  // AC refinement
+            int32_t k = ss;
+            if (eobrun == 0) {
+              while (k <= se) {
+                const int32_t rs =
+                    jdct::decode_symbol(&bits, &ac[i], &err);
+                if (err) return err;
+                int32_t r = rs >> 4;
+                int32_t s = rs & 0x0F;
+                int32_t newval = 0;
+                if (s == 0) {
+                  if (r != 15) {
+                    eobrun = int64_t(1) << r;
+                    if (r) eobrun += jdct::read_bits(&bits, r, &err);
+                    if (err) return err;
+                    break;
+                  }
+                } else {
+                  if (s != 1) return -5;
+                  newval = jdct::read_bit(&bits, &err) ? p1 : m1;
+                  if (err) return err;
+                }
+                while (k <= se) {
+                  const int32_t coef = blk[k];
+                  if (coef != 0) {
+                    const int32_t b = jdct::read_bit(&bits, &err);
+                    if (err) return err;
+                    if (b && (coef & p1) == 0)
+                      blk[k] = coef + (coef >= 0 ? p1 : m1);
+                  } else {
+                    if (r == 0) break;
+                    --r;
+                  }
+                  ++k;
+                }
+                if (newval) {
+                  if (k > se) return -5;
+                  blk[k] = newval;
+                }
+                ++k;
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                const int32_t coef = blk[k];
+                if (coef != 0) {
+                  const int32_t b = jdct::read_bit(&bits, &err);
+                  if (err) return err;
+                  if (b && (coef & p1) == 0)
+                    blk[k] = coef + (coef >= 0 ? p1 : m1);
+                }
+                ++k;
+              }
+              --eobrun;
+            }
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -344,6 +344,21 @@ class TestNativeParity:
         py, _ = self._decode_forced_python(monkeypatch, s)
         np.testing.assert_array_equal(nat, py)
 
+    @pytest.mark.parametrize("kind", ["gray", "rgb420", "lowq"])
+    def test_progressive_bit_parity(self, monkeypatch, kind):
+        g = _gray(seed=42, shape=(56, 72))
+        if kind == "gray":
+            s = _pil_jpeg(g, "L", quality=85, progressive=True)
+        elif kind == "lowq":
+            s = _pil_jpeg(g, "L", quality=20, progressive=True)
+        else:
+            rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+            s = _pil_jpeg(rgb, "RGB", quality=85, progressive=True,
+                          subsampling=2)
+        nat, _ = jpegdct.decode(s)
+        py, _ = self._decode_forced_python(monkeypatch, s)
+        np.testing.assert_array_equal(nat, py)
+
     def test_error_taxonomy_parity(self, monkeypatch):
         s = _pil_jpeg(_gray(seed=41), "L", quality=85)
         cut = s[:len(s) * 2 // 3]
