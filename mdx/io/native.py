@@ -137,6 +137,7 @@ def _load() -> ctypes.CDLL:
             lib.mdxio_jpegdct_prog_segment.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,  # per-comp array strides
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -408,11 +409,17 @@ def jpegdct_prog_segment(seg: bytes, scan_comps, dc_tabs, ac_tabs, grids,
     lib = _load()
     (src, ncomp, hs, vs, bxs, outs, dcc, dcv, acc, acv) = \
         _jpegdct_marshal(seg, scan_comps, dc_tabs, ac_tabs, grids, coeffs)
+    # the coefficient ARRAY can be wider than this scan's block grid (a
+    # DC scan may have allocated it at the interleaved grid) — C indexes
+    # rows by the allocation stride, not the scan grid
+    strides = np.array([coeffs[c.cid].shape[1] for c in scan_comps],
+                       np.int32)
     rc = lib.mdxio_jpegdct_prog_segment(
         src.ctypes.data_as(ctypes.c_void_p), src.size, ncomp,
         hs.ctypes.data_as(ctypes.c_void_p),
         vs.ctypes.data_as(ctypes.c_void_p),
-        bxs.ctypes.data_as(ctypes.c_void_p), outs,
+        bxs.ctypes.data_as(ctypes.c_void_p),
+        strides.ctypes.data_as(ctypes.c_void_p), outs,
         dcc.ctypes.data_as(ctypes.c_void_p),
         dcv.ctypes.data_as(ctypes.c_void_p),
         acc.ctypes.data_as(ctypes.c_void_p),

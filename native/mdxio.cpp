@@ -453,11 +453,15 @@ int64_t mdxio_jpegdct_segment(
 // magnitude / band overflow.
 int64_t mdxio_jpegdct_prog_segment(
     const uint8_t *seg, int64_t n, int32_t ncomp, const int32_t *hs,
-    const int32_t *vs, const int32_t *bxs, int32_t **outs,
+    const int32_t *vs, const int32_t *bxs, const int32_t *strides,
+    int32_t **outs,
     const uint8_t *dc_counts, const uint8_t *dc_values,
     const uint8_t *ac_counts, const uint8_t *ac_values, int64_t mcu0,
     int64_t cnt, int32_t interleaved, int32_t mcus_x, int32_t ss,
     int32_t se, int32_t ah, int32_t al, int32_t dc_scan) {
+  // bxs = this scan's block-grid width (MCU -> row/col); strides = the
+  // coefficient ARRAY's allocated width (a DC scan may have allocated it
+  // at the wider interleaved grid) — indexing must use the stride.
   jdct::Huff dc[4], ac[4];
   for (int32_t i = 0; i < ncomp; ++i) {
     jdct::build(dc_counts + 16 * i, dc_values + 256 * i, &dc[i]);
@@ -486,7 +490,7 @@ int64_t mdxio_jpegdct_prog_segment(
             row = m / bxs[i];
             col = m % bxs[i];
           }
-          int32_t *blk = outs[i] + (row * bxs[i] + col) * 64;
+          int32_t *blk = outs[i] + (row * strides[i] + col) * 64;
           if (dc_scan) {
             if (ah == 0) {
               const int32_t t = jdct::decode_symbol(&bits, &dc[i], &err);
