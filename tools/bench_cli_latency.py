@@ -92,10 +92,8 @@ def _inprocess_runs(path: str, outdir: str, reps: int) -> dict:
         dq = [e for e in run["agent_logs"]
               if e.get("event") == "device_timing"
               and e.get("phase") == "device_qa"]
-        t_dev = float(dq[0]["detail"].split("ms")[0]) if dq else None
-        if t_dev is None:
-            # detail format "wall=<x>ms"; fall back to raw parse
-            t_dev = -1.0
+        # trace detail format: "<wall:.2f> ms[ on <device>]"
+        t_dev = float(dq[0]["detail"].split("ms")[0]) if dq else -1.0
         if i == 0:
             continue
         decode_ms.append(t_dec)
