@@ -178,7 +178,22 @@ def _measure_tpu(batch: np.ndarray, reps: int) -> float:
     t0 = time.perf_counter()
     float(fused_loop(x, static, dyn, reps))
     dt = max(time.perf_counter() - t0 - rtt, 1e-9)
-    return batch.shape[0] * reps / dt
+
+    # Compiler-counted FLOPs for the measured program (VERDICT r4 weak
+    # #3): XLA's own cost model replaces the ±30% hand-summed roofline
+    # estimate in the vpu_util the driver records.  Per-image = total
+    # program flops / (batch × reps in the fori_loop).
+    flops_per_img = None
+    try:
+        ca = fused_loop.lower(x, static, dyn, reps).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        fl = float(ca.get("flops", 0.0))
+        if fl > 0:
+            flops_per_img = fl / (batch.shape[0] * reps)
+    except Exception:
+        flops_per_img = None
+    return batch.shape[0] * reps / dt, flops_per_img
 
 
 def _measure_baseline(img: np.ndarray) -> float:
@@ -211,9 +226,11 @@ def main() -> None:
     reps = int(os.environ.get("MDX_BENCH_REPS", "10"))
 
     batch = _make_batch(batch_n)
-    value = _measure_tpu(batch, reps)
+    value, flops_per_img = _measure_tpu(batch, reps)
 
     baseline, kind = _resolve_baseline(batch)
+
+    vpu_util, vpu_kind = _vpu_util(value, flops_per_img)
 
     print(json.dumps({
         "metric": "images/sec/chip, 16-metric + 7-step enhance pass, 512^2",
@@ -222,10 +239,22 @@ def main() -> None:
         "vs_baseline": round(value / baseline, 2),
         "baseline_kind": kind,
         "baseline_ips": round(baseline, 4),
-        # MFU-style efficiency aggregate: est. total ops / elapsed / VPU peak
-        "vpu_util": round(value * 512 * 512 * _EST_OPS_PER_PX
-                          / _VPU_PEAK_OPS, 3),
+        "vpu_util": round(vpu_util, 3),
+        "vpu_util_kind": vpu_kind,
     }))
+
+
+def _vpu_util(value: float, flops_per_img: float | None
+              ) -> tuple[float, str]:
+    """MFU-style efficiency aggregate: total ops / elapsed / VPU peak.
+
+    Preferred numerator is XLA's own compiled cost analysis (measured,
+    not hand-summed); the analytic docs/PERF.md roofline estimate (±30%)
+    remains the fallback when cost_analysis is unavailable."""
+    if flops_per_img is not None and flops_per_img > 0:
+        return value * flops_per_img / _VPU_PEAK_OPS, "xla-cost-analysis"
+    return (value * 512 * 512 * _EST_OPS_PER_PX / _VPU_PEAK_OPS,
+            "analytic-estimate")
 
 
 def _resolve_baseline(batch: np.ndarray) -> tuple[float, str]:

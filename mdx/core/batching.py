@@ -34,7 +34,18 @@ GROUPS = (32, 16, 8)  # legacy explicit-override form
 
 
 def group_limit(shape) -> int:
-    """Largest efficient group for images of ``shape[-2:]``."""
+    """Largest efficient group for images of ``shape[-2:]``.
+
+    The knee constant is empirical for the platform stamped in
+    ``mdx.ops.pallas_kernels`` — a one-time warning fires on other TPU
+    generations/compilers so the sweep gets re-run, not trusted."""
+    try:
+        if jax.default_backend() == "tpu":
+            from mdx.ops.pallas_kernels import check_swept_platform
+
+            check_swept_platform()
+    except Exception:
+        pass
     px = int(shape[-2]) * int(shape[-1]) if len(shape) >= 3 else 512 * 512
     return min(32, max(4, PIXEL_KNEE // px))
 

@@ -74,6 +74,7 @@ TAGS = {
     (0x0018, 0x0015): "BodyPartExamined",
     (0x0028, 0x0002): "SamplesPerPixel",
     (0x0028, 0x0004): "PhotometricInterpretation",
+    (0x0028, 0x0006): "PlanarConfiguration",
     (0x0028, 0x0008): "NumberOfFrames",
     (0x0028, 0x0010): "Rows",
     (0x0028, 0x0011): "Columns",
@@ -166,7 +167,8 @@ def _skip_sequence(f: BinaryIO, explicit: bool, big_endian: bool) -> None:
 def _decode_value(name: str, vr: bytes, raw: bytes, big_endian: bool):
     e = ">" if big_endian else "<"
     if name in ("Rows", "Columns", "BitsAllocated", "BitsStored",
-                "SamplesPerPixel", "PixelRepresentation"):
+                "SamplesPerPixel", "PixelRepresentation",
+                "PlanarConfiguration"):
         if len(raw) >= 2:
             return struct.unpack(e + "H", raw[:2])[0]
         return None
@@ -368,12 +370,24 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
     if arr.size < expect:
         raise DicomError("Unable to decode DICOM pixel data (short buffer).")
     arr = arr[:expect]
+    # PlanarConfiguration=1 (uncompressed only: encapsulated codecs
+    # define their own layout and require the attribute be 0) stores
+    # per-frame color planes RR..GG..BB, not interleaved samples
+    planar = (ds.get("PlanarConfiguration", 0) or 0) == 1 \
+        and ds.fragments is None
     if frames > 1 and samples > 1:
-        arr = arr.reshape(frames, rows, cols, samples)
+        if planar:
+            arr = arr.reshape(frames, samples, rows, cols
+                              ).transpose(0, 2, 3, 1)
+        else:
+            arr = arr.reshape(frames, rows, cols, samples)
     elif frames > 1:
         arr = arr.reshape(frames, rows, cols)
     elif samples > 1:
-        arr = arr.reshape(rows, cols, samples)
+        if planar:
+            arr = arr.reshape(samples, rows, cols).transpose(1, 2, 0)
+        else:
+            arr = arr.reshape(rows, cols, samples)
     else:
         arr = arr.reshape(rows, cols)
     return arr

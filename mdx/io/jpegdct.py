@@ -418,8 +418,13 @@ def _decode_scan(buf: bytes, pos: int, scan_comps: List[_Component],
             ch = -(-height * c.v // vmax)
             bx, by = -(-cw // 8), -(-ch // 8)
         grids[c.cid] = (by, bx)
-        if c.cid not in coeffs:
-            coeffs[c.cid] = np.zeros((by, bx, 64), np.int32)
+        if c.cid in coeffs:
+            # T.81 sequential modes give each component exactly one scan;
+            # a duplicate would also desync the native decoder's row
+            # stride (it indexes by this scan's grid, not the allocation)
+            raise JpegDctError(
+                f"Component {c.cid} appears in more than one scan.")
+        coeffs[c.cid] = np.zeros((by, bx, 64), np.int32)
     if interleaved:
         mcus = mcus_y * mcus_x
     else:
@@ -551,7 +556,20 @@ def _decode_scan_prog(buf: bytes, pos: int, scan_comps: List[_Component],
             bx, by = -(-cw // 8), -(-ch // 8)
         grids[c.cid] = (by, bx)
         if c.cid not in coeffs:
-            coeffs[c.cid] = np.zeros((by, bx, 64), np.int32)
+            # allocate at the FULL interleaved grid — the superset of
+            # every legal scan grid for this component — so a later scan
+            # with a wider grid (e.g. non-interleaved DC first, then an
+            # interleaved DC refinement) can never index past the
+            # allocation; decoders index rows by the allocation stride
+            coeffs[c.cid] = np.zeros(
+                (mcus_y * c.v, mcus_x * c.h, 64), np.int32)
+        elif coeffs[c.cid].shape[0] < by or coeffs[c.cid].shape[1] < bx:
+            # unreachable given full-grid allocation; guards the
+            # invariant if allocation policy ever changes
+            raise JpegDctError(
+                f"Scan grid {by}x{bx} for component {c.cid} exceeds its "
+                f"allocated coefficient grid "
+                f"{coeffs[c.cid].shape[0]}x{coeffs[c.cid].shape[1]}.")
     if interleaved:
         mcus = mcus_y * mcus_x
     else:

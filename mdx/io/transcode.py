@@ -29,7 +29,11 @@ Pixel handling: frames decode through :func:`mdx.io.dicom.decode_pixels`
 (so every readable syntax is a valid source, lossy ones included) and
 re-encode through the writer's encapsulation helpers.  Color (3-sample)
 sources transcode to Explicit LE only — the lossless codecs here are
-single-component.  Lossy targets are refused (decode-only stance).
+single-component — and because the replacement pixels are interleaved
+4:4:4, subsampled photometrics are rewritten (YBR_FULL_422 → YBR_FULL)
+and PlanarConfiguration is forced to 0 (inserted if the source lacked
+it); unmappable color photometrics are refused.  Lossy targets are
+refused (decode-only stance).
 
 CLI: ``python -m mdx.io.transcode src.dcm dst.dcm --to jpeg-ls``.
 """
@@ -212,6 +216,23 @@ def _encode_pixels(ds, target_ts: str) -> bytes:
     raise DicomError(f"Unsupported transcode target {target_ts!r}.")
 
 
+def _color_conformance(ds) -> str:
+    """Photometric replacement (or '') for color sources whose pixels are
+    re-written as interleaved 4:4:4 — the stored value may imply a packing
+    the replacement pixels no longer have (the `.4.50` YBR_FULL_422
+    ultrasound case: decoders upsample chroma, so preserving the stored
+    photometric byte-for-byte would yield a non-conformant file whose
+    photometric promises 2-samples-per-2-pixels packing)."""
+    pm = str(ds.get("PhotometricInterpretation", "") or "").strip().upper()
+    if pm in ("RGB", "YBR_FULL", ""):
+        return ""           # already describes full interleaved samples
+    if pm == "YBR_FULL_422":
+        return "YBR_FULL"   # chroma upsampled to 4:4:4, range unchanged
+    raise DicomError(
+        f"Color source with PhotometricInterpretation={pm!r} cannot be "
+        "re-written conformantly as interleaved 4:4:4 samples.")
+
+
 def transcode(src_path: str, dst_path: str, target_ts: str) -> str:
     """Rewrite ``src_path`` as ``dst_path`` in ``target_ts``; all
     non-pixel dataset elements are preserved (see module docstring)."""
@@ -233,16 +254,34 @@ def transcode(src_path: str, dst_path: str, target_ts: str) -> str:
     ds = read_dataset(src_path)  # typed view for the pixel work
     if not ds.pixel_bytes and ds.fragments is None:
         raise DicomError("Source has no pixel data to transcode.")
+    samples = ds.get("SamplesPerPixel", 1) or 1
+    pm_rewrite = _color_conformance(ds) if samples != 1 else ""
 
     out_body = bytearray()
     sop_class = sop_inst = ""
     saw_pixels = False
+    planar_done = samples == 1
     for tag, vr, vspan, espan in _walk_spans(body, explicit):
         if tag[0] == 0x0002:
             continue  # never valid in a body; skip defensively
+        if not planar_done and tag > (0x0028, 0x0006):
+            # PlanarConfiguration is Type 1C (required when
+            # SamplesPerPixel>1) and the replacement pixels are
+            # interleaved — insert it in tag order if the source lacks it
+            out_body += _explicit_el((0x0028, 0x0006), b"US",
+                                     struct.pack("<H", 0))
+            planar_done = True
         if tag == _PIXEL_TAG:
             saw_pixels = True
             out_body += _encode_pixels(ds, target_ts)
+            continue
+        if tag == (0x0028, 0x0004) and pm_rewrite:
+            out_body += _explicit_el(tag, b"CS",
+                                     pm_rewrite.encode("ascii"))
+            continue
+        if tag == (0x0028, 0x0006) and samples != 1:
+            out_body += _explicit_el(tag, b"US", struct.pack("<H", 0))
+            planar_done = True
             continue
         if tag in ((0x0008, 0x0016), (0x0008, 0x0018)) and vspan:
             text = body[vspan[0]:vspan[1]].decode(

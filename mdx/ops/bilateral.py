@@ -62,10 +62,17 @@ def bilateral(
     if impl is not None and bilateral_use_pallas(impl, kind):
         # an explicitly pinned 'pallas' that cannot dispatch must raise —
         # silently timing the XLA lowering would corrupt an A/B
+        import jax
+
+        if not on_tpu:
+            why = f"backend is {jax.default_backend()!r}, not tpu"
+        elif band == 0:
+            why = (f"no band divides h {h} (banded class: h*w {h * w} "
+                   f"> whole-image limit {_WHOLE_IMAGE_LIMIT})")
+        else:
+            why = f"h {h} not divisible by band {band}"
         raise ValueError(
-            f"bilateral impl='pallas' pinned but not dispatchable: "
-            f"backend {'tpu' if on_tpu else 'non-tpu'}, "
-            f"h {h} not divisible by band {band}")
+            f"bilateral impl='pallas' pinned but not dispatchable: {why}")
     sc = jnp.asarray(sigma_color, x.dtype)
     ss = jnp.asarray(sigma_space, x.dtype)
     if sc.ndim == 1:

@@ -81,13 +81,62 @@ _SCOPED_VMEM_BYTES = 100 * 1024 * 1024
 # CLAHE lowering (measured dead end, docs/PERF.md 2026-08-18).
 
 
+# The platform every empirical constant in this module and in
+# mdx/core/batching.py was swept on: the kernel auto-dispatch size
+# classes (whole-image limits, band tables), the scoped-VMEM budget and
+# the sub-batching pixel knee are all measurements of THIS chip under
+# THIS compiler (docs/PERF.md).  A different TPU generation or a jaxlib
+# bump shifts the knees — warn so it gets re-swept (tools/sweep_knee.py,
+# tools/profile_pass.py --ab) instead of silently pessimising.
+_SWEPT_DEVICE_KIND = "TPU v5 lite"
+_SWEPT_JAX_VERSION = "0.9.0"
+_platform_checked = False
+
+
+def check_swept_platform() -> None:
+    """One-time log warning when the runtime TPU/compiler differs from
+    the platform the empirical dispatch/knee constants were swept on."""
+    global _platform_checked
+    if _platform_checked:
+        return
+    try:
+        dev = jax.devices()[0]
+        if dev.platform != "tpu":
+            return  # constants only gate real-TPU behavior
+        kind = dev.device_kind
+    except Exception:
+        return
+    _platform_checked = True
+    import logging
+
+    log = logging.getLogger("mdx.ops")
+    if kind != _SWEPT_DEVICE_KIND:
+        log.warning(
+            "TPU device_kind %r differs from %r, the platform the "
+            "kernel-dispatch and sub-batching constants were swept on — "
+            "re-sweep (tools/sweep_knee.py, tools/profile_pass.py --ab) "
+            "before trusting the measured knees.",
+            kind, _SWEPT_DEVICE_KIND)
+    elif jax.__version__ != _SWEPT_JAX_VERSION:
+        log.warning(
+            "jax %s differs from %s, the version the kernel-dispatch and "
+            "sub-batching constants were swept on (and the version whose "
+            "real-backend kernel parity was probed — run "
+            "tools/parity_sweep.py: docs/PERF.md records a "
+            "compiles-but-miscomputes gather class interpret mode cannot "
+            "catch).", jax.__version__, _SWEPT_JAX_VERSION)
+
+
 def on_tpu_backend() -> bool:
     """True when jax's default backend is TPU (False when the backend
     cannot be determined).  The single dispatch gate shared by the ops
     with Pallas lowerings (clahe/tv/unsharp/bilateral) — reads
     ``jax.default_backend`` at CALL time so tests can monkeypatch it."""
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() == "tpu":
+            check_swept_platform()
+            return True
+        return False
     except Exception:
         return False
 

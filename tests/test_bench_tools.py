@@ -111,6 +111,19 @@ class TestVpuUtilAggregate:
         want = ips * 512 * 512 * bench._EST_OPS_PER_PX / bench._VPU_PEAK_OPS
         assert 0.2 < want < 0.4  # at 1000 img/s the pass is ~27% of peak
 
+    def test_prefers_compiler_counted_flops(self):
+        # with XLA cost-analysis flops available, the measured number
+        # wins and the kind says so; None/0 falls back to the estimate
+        util, kind = bench._vpu_util(1000.0, 1.0e9)
+        assert kind == "xla-cost-analysis"
+        assert abs(util - 1000.0 * 1.0e9 / bench._VPU_PEAK_OPS) < 1e-12
+        for bad in (None, 0.0):
+            util, kind = bench._vpu_util(1000.0, bad)
+            assert kind == "analytic-estimate"
+            assert util == pytest.approx(
+                1000.0 * 512 * 512 * bench._EST_OPS_PER_PX
+                / bench._VPU_PEAK_OPS)
+
 
 class TestConfig2Tool:
     def test_cpu_smoke_bare_and_guarded(self):

