@@ -68,6 +68,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="mdx extension: apply each sample's stored "
                              "DICOM VOI window before QA (mixed-modality "
                              "streams)")
+    parser.add_argument("--tv-mode", choices=("ref", "fast"), default=None,
+                        help="mdx extension: TV-denoise solve mode — 'ref' "
+                             "(reference parity, default) or 'fast' (opt-in "
+                             "relaxed-parity iteration cap; measured "
+                             "speed/quality curve in docs/PERF.md). Sets "
+                             "MDX_TV_MODE for the process")
     parser.add_argument("--spatial", action="store_true",
                         help="mdx extension: shard ONE very large slice "
                              "spatially across all chips (2-D row×col "
@@ -89,6 +95,9 @@ def main(argv=None) -> int:
 
     if args.no_redact:
         os.environ["MDX_NO_REDACT"] = "1"
+
+    if args.tv_mode:
+        os.environ["MDX_TV_MODE"] = args.tv_mode
 
     try:
         if args.spatial:

@@ -49,6 +49,10 @@ class PlanStatic:
     # halo re-run order: the reference re-applies ops in *plan order*
     # (pipeline/enhancement.py:326-351); keep the plan's op order here.
     plan_order: tuple[str, ...] | None = None
+    # TV solve mode: "ref" = reference parity (default), "fast" =
+    # relaxed-parity iteration cap (mdx/ops/tv.py TV_MODES; opt-in via
+    # MDX_TV_MODE at plan lowering).  Static → part of the jit cache key.
+    tv_mode: str = "ref"
 
     def order(self) -> tuple[str, ...]:
         return self.plan_order if self.plan_order is not None else tuple(
@@ -125,9 +129,13 @@ def _run_chain(
                               _as_n(dyn.bilateral_sigma_color, n),
                               _as_n(dyn.bilateral_sigma_space, n))
         elif op == "tv_denoise":
+            from mdx.ops.tv import tv_mode_params
+
             w = _as_n(dyn.tv_denoise_weight, n)
             m = jnp.logical_and(m, w > 0)
-            y = _tv_chambolle(out, jnp.maximum(w, 1e-6))
+            tv_eps, tv_iter = tv_mode_params(static.tv_mode)
+            y = _tv_chambolle(out, jnp.maximum(w, 1e-6),
+                              eps=tv_eps, max_iter=tv_iter)
         else:
             raise ValueError(f"unknown op {op!r}")
         out = _sel(m, y, out)

@@ -3,8 +3,9 @@
 The reference delegates DICOM parsing to pydicom (ref pipeline/dicom_io.py);
 this package implements a from-scratch reader/writer covering the
 uncompressed syntaxes plus RLE, JPEG Lossless (``mdx.io.jpegll``),
-JPEG-LS (``mdx.io.jpegls``) and lossy DCT JPEG (``mdx.io.jpegdct``,
-decode-only) with native C entropy loops, a transfer-syntax transcoder
+JPEG-LS (``mdx.io.jpegls``), lossy DCT JPEG (``mdx.io.jpegdct``,
+decode-only) and JPEG 2000 (``mdx.io.jpeg2k``, decode-only)
+with native C entropy loops, a transfer-syntax transcoder
 (``mdx.io.transcode``), an optional C++ fast path for pixel unpack +
 rescale (``mdx.io.native``), and keeps the reference's
 normalisation/report behaviour bit-compatible.

@@ -58,9 +58,12 @@ TS_JPEG_LS = "1.2.840.10008.1.2.4.80"
 TS_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 TS_JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 TS_JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+TS_J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
+TS_J2K = "1.2.840.10008.1.2.4.91"
 _ENCAPSULATED_TS = {TS_RLE, TS_JPEG_LL, TS_JPEG_LL_SV1,
                     TS_JPEG_LS, TS_JPEG_LS_NEAR,
-                    TS_JPEG_BASELINE, TS_JPEG_EXTENDED}
+                    TS_JPEG_BASELINE, TS_JPEG_EXTENDED,
+                    TS_J2K_LOSSLESS, TS_J2K}
 _SUPPORTED_TS = {TS_IMPLICIT_LE, TS_EXPLICIT_LE, TS_DEFLATED_LE,
                  TS_EXPLICIT_BE} | _ENCAPSULATED_TS
 
@@ -350,6 +353,9 @@ def decode_pixels(ds: DicomDataset) -> np.ndarray:
         elif ds.transfer_syntax in (TS_JPEG_BASELINE, TS_JPEG_EXTENDED):
             arr = _decode_jpegdct(ds.fragments, rows, cols, samples,
                                   frames, bits, signed)
+        elif ds.transfer_syntax in (TS_J2K_LOSSLESS, TS_J2K):
+            arr = _decode_jpeg2k(ds.fragments, rows, cols, samples,
+                                 frames, bits, signed)
         else:
             from mdx.io import rle
 
@@ -466,14 +472,20 @@ def _group_frame_streams(fragments: list, frames: int,
     """Fragment → frame grouping (PS3.5 A.4: a frame may span fragments):
     one-fragment-per-frame when the counts match, otherwise a single
     frame owns every fragment, otherwise fragments are grouped on their
-    SOI prefix (every JPEG-family codestream starts FF D8)."""
+    start prefix (JPEG-family codestreams start FF D8; JPEG 2000 starts
+    SOC FF 4F or the JP2 signature box)."""
     if len(fragments) == frames:
         return [bytes(f) for f in fragments]
     if frames == 1:
         return [b"".join(fragments)]
+
+    def _starts(frag: bytes) -> bool:
+        return (frag[:2] == b"\xff\xd8" or frag[:2] == b"\xff\x4f"
+                or frag[:8] == b"\x00\x00\x00\x0cjP")
+
     streams, cur = [], []
     for frag in fragments:
-        if frag[:2] == b"\xff\xd8" and cur:
+        if _starts(frag) and cur:
             streams.append(b"".join(cur))
             cur = []
         cur.append(frag)
@@ -570,6 +582,54 @@ def _decode_jpegdct(fragments: list, rows: int, cols: int, samples: int,
     return flat.astype(base)
 
 
+def _decode_jpeg2k(fragments: list, rows: int, cols: int, samples: int,
+                   frames: int, bits: int, signed: bool) -> np.ndarray:
+    """JPEG 2000 (`.4.90` lossless / `.4.91`) fragments → flat pixels.
+
+    Same frame grouping as the other encapsulated codecs (J2K frame
+    streams start with SOC FF4F or the JP2 signature box).  The
+    codestream's own SIZ signedness must match the container's
+    PixelRepresentation; color output stays in the post-inverse-MCT
+    space (RGB for YBR_RCT/YBR_ICT photometrics — see ``_pixels``)."""
+    from mdx.io import jpeg2k
+
+    if bits not in (8, 16):
+        raise DicomError(
+            f"JPEG 2000 carries at most 16 bits here "
+            f"(BitsAllocated={bits}).")
+    streams = _group_frame_streams(fragments, frames, "JPEG 2000")
+
+    def _one(stream: bytes) -> np.ndarray:
+        try:
+            img, p, s_signed = jpeg2k.decode(stream)
+        except jpeg2k.Jpeg2kError as exc:
+            raise DicomError(
+                f"Corrupt JPEG 2000 pixel data: {exc}") from exc
+        if p > bits:
+            raise DicomError(
+                f"{p}-bit JPEG 2000 codestream in a {bits}-bit "
+                "container.")
+        if s_signed != signed:
+            raise DicomError(
+                "JPEG 2000 codestream signedness disagrees with "
+                "PixelRepresentation.")
+        shape = img.shape if img.ndim == 3 else img.shape + (1,)
+        if shape != (rows, cols, samples):
+            raise DicomError(
+                f"JPEG 2000 frame is {shape}, dataset says "
+                f"({rows}, {cols}, {samples}).")
+        return img.reshape(-1).astype(np.int64)
+
+    flat = np.concatenate(_map_frames(_one, streams))
+    base = {8: np.int8 if signed else np.uint8,
+            16: np.int16 if signed else np.uint16}[bits]
+    lo, hi = np.iinfo(base).min, np.iinfo(base).max
+    if flat.size and (int(flat.min()) < lo or int(flat.max()) > hi):
+        raise DicomError(
+            f"JPEG 2000 sample out of range for BitsAllocated={bits}.")
+    return flat.astype(base)
+
+
 def _rescale(image: np.ndarray, ds: DicomDataset) -> np.ndarray:
     """Modality rescale (slope/intercept), float32."""
     slope = ds.get("RescaleSlope", 1.0) or 1.0
@@ -612,13 +672,17 @@ def _pixels(ds: DicomDataset, window: bool) -> np.ndarray:
     stored window fall back to min-max normalisation, so windowed batch
     paths never feed raw modality-scale intensities to QA."""
     raw = decode_pixels(ds)
-    photometric = str(ds.get("PhotometricInterpretation", "") or "")
-    if photometric.startswith("YBR") and raw.ndim >= 3 and \
-            raw.shape[-1] == 3:
+    photometric = str(ds.get("PhotometricInterpretation", "")
+                      or "").strip().upper()
+    if photometric.startswith("YBR") and \
+            photometric not in ("YBR_RCT", "YBR_ICT") and \
+            raw.ndim >= 3 and raw.shape[-1] == 3:
         # YCbCr (`.4.50` ultrasound et al.): Y IS BT.601 luma — exactly
         # the reduction to_grayscale's RGB weights approximate.  Taking
         # the Y plane here keeps the luma math correct (weighting YCbCr
-        # channels as if RGB would be wrong).
+        # channels as if RGB would be wrong).  YBR_RCT/YBR_ICT are
+        # excluded: the JPEG 2000 decoder already inverted the MCT, so
+        # those samples arrive here as RGB and flow to to_grayscale.
         raw = raw[..., 0]
     image = _rescale(raw, ds)
     windowed = False

@@ -54,6 +54,8 @@ from mdx.io.dicom import (
     TS_EXPLICIT_BE,
     TS_EXPLICIT_LE,
     TS_IMPLICIT_LE,
+    TS_J2K,
+    TS_J2K_LOSSLESS,
     TS_JPEG_BASELINE,
     TS_JPEG_EXTENDED,
     TS_JPEG_LL,
@@ -239,7 +241,8 @@ def transcode(src_path: str, dst_path: str, target_ts: str) -> str:
     target_ts = TARGET_ALIASES.get(target_ts, target_ts)
     if target_ts not in (TS_EXPLICIT_LE, TS_DEFLATED_LE, TS_RLE,
                          TS_JPEG_LL_SV1, TS_JPEG_LS):
-        if target_ts in _LOSSY_TS | {TS_JPEG_LL, TS_JPEG_LS_NEAR}:
+        if target_ts in _LOSSY_TS | {TS_JPEG_LL, TS_JPEG_LS_NEAR,
+                                     TS_J2K, TS_J2K_LOSSLESS}:
             raise DicomError(
                 f"Refusing lossy/unwritable target {target_ts!r} "
                 "(decode-only stance for lossy syntaxes).")

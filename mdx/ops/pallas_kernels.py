@@ -268,10 +268,19 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
         for j in range(_REMAP_UNROLL):
             b = b0 * _REMAP_UNROLL + j
             lb = (lut_ref[b] - cdf0) / denom                 # [gy, gx]
+            # full f32 MXU passes: the hat weights and LUT values are
+            # real-valued, and the TPU's DEFAULT matmul precision (bf16
+            # multiplicands) deviates ~4e-3 from the XLA lowering on the
+            # real backend — caught by tools/parity_sweep.py round 5;
+            # interpret mode cannot see it.  (The histogram dots above
+            # stay DEFAULT: 0/1 matrices × 0/1 masks accumulate exact
+            # integer counts ≤ t² even with bf16 inputs.)
             rows = jnp.dot(w_row, lb,
-                           preferred_element_type=jnp.float32)  # [h, gx]
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # [h, gx]
             blend = jnp.dot(rows, w_col,
-                            preferred_element_type=jnp.float32)  # [h, w]
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # [h, w]
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0] = out_ref[0] + acc
@@ -471,18 +480,19 @@ def _tile_hist_nibble(xp: jnp.ndarray, t: int, nbins: int) -> jnp.ndarray:
     return hist.reshape(n, gy, gx, nbins).transpose(0, 1, 3, 2)
 
 
-def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_ref, w_row_ref, out_ref, *,
+def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_hi_ref, w_col_lo_ref,
+                        w_row_ref, out_ref, *,
                         t: int, w: int, nbins: int, gx: int):
     """Grid (N, gy): remap one band through its 3-tile-row LUT window.
 
     ``lutwin_ref`` [1, 1, 3, nbins, gx] carries the (clamped) LUT rows
     g−1, g, g+1.  Within band g, pixel row r uses tile rows y0 ∈ {g−1, g}
     and y1 ∈ {g, g+1} with hat weights; expressed as two constant [t, 3]
-    row-interpolation matrices folded into one.
+    row-interpolation matrices folded into one.  ``w_col_hi/lo`` are the
+    bf16x3 split of the column-interpolation matrix (see remap loop).
     """
     band = x_ref[0, 0]
     q = jnp.minimum((band * nbins).astype(jnp.int32), nbins - 1)
-    w_col = w_col_ref[:]                                      # [gx, w]
 
     w_row = w_row_ref[:]                                      # [t, 3]
 
@@ -496,10 +506,26 @@ def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_ref, w_row_ref, out_ref, *,
         for j in range(_REMAP_UNROLL):
             b = b0 * _REMAP_UNROLL + j
             lut3 = lutwin_ref[0, 0, :, b, :]                  # [3, gx]
-            rows = jnp.dot(w_row, lut3,
-                           preferred_element_type=jnp.float32)  # [t, gx]
-            blend = jnp.dot(rows, w_col,
-                            preferred_element_type=jnp.float32)  # [t, w]
+            # real-valued weights/LUTs: bf16 DEFAULT matmul precision
+            # deviates ~4e-3 on the real backend (parity_sweep round 5).
+            # The K=3 contraction expands to three broadcast
+            # multiply-adds — exact f32 on the VPU; the wide second dot
+            # uses a hand-rolled bf16x3 split (Mosaic rejects HIGH and
+            # crashes on HIGHEST at this [t, gx]×[gx, w] shape): split
+            # operands into bf16-exact hi + residual lo parts, three
+            # DEFAULT matmuls with lossless bf16 products and f32
+            # accumulation recover ~1e-7 f32 fidelity.
+            rows = (w_row[:, 0:1] * lut3[0][None, :]
+                    + w_row[:, 1:2] * lut3[1][None, :]
+                    + w_row[:, 2:3] * lut3[2][None, :])       # [t, gx]
+            r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
+            r_lo = rows - r_hi
+            blend = (jnp.dot(r_hi, w_col_hi_ref[:],
+                             preferred_element_type=jnp.float32)
+                     + jnp.dot(r_hi, w_col_lo_ref[:],
+                               preferred_element_type=jnp.float32)
+                     + jnp.dot(r_lo, w_col_hi_ref[:],
+                               preferred_element_type=jnp.float32))
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0, 0] = out_ref[0, 0] + acc
@@ -548,6 +574,9 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
         [lut[:, :1], lut, lut[:, -1:]], axis=1)               # [N, gy+2, ...]
     win = jnp.stack([lut_pad[:, i:i + gy] for i in range(3)], axis=2)
 
+    w_col = jnp.asarray(_interp_matrix(pw, t))
+    w_col_hi = w_col.astype(jnp.bfloat16).astype(jnp.float32)
+    w_col_lo = w_col - w_col_hi
     out = pl.pallas_call(
         functools.partial(_clahe_remap_kernel, t=t, w=pw, nbins=nbins,
                           gx=gx),
@@ -560,6 +589,8 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gx, pw), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((gx, pw), lambda i, g: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((t, 3), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -567,7 +598,7 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, gy, t, pw), jnp.float32),
         interpret=interpret,
-    )(xb, win, jnp.asarray(_interp_matrix(pw, t)),
+    )(xb, win, w_col_hi, w_col_lo,
       jnp.asarray(_banded_row_weights(t)))
     return out.reshape(n, ph, pw)
 

@@ -12,6 +12,31 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+# Relaxed-parity modes for the TV solve — the single largest dense-pass
+# phase (~56% of the VPU roofline at 512², docs/PERF.md) is the
+# content-dependent iteration count (~86 on noisy content); "fast" caps
+# it.  "ref" is the reference's exact semantics
+# (pipeline/enhancement.py:309-312, skimage denoise_tv_chambolle:
+# eps=2e-4, ≤200 iterations) and stays the default everywhere — fast is
+# strictly opt-in (MDX_TV_MODE=fast / PlanStatic.tv_mode).  The cap
+# value comes from the measured speed-vs-quality curve in docs/PERF.md.
+TV_MODES: dict[str, tuple[float, int]] = {
+    "ref": (2e-4, 200),
+    "fast": (2e-4, 40),
+}
+
+
+def tv_mode_params(mode: str) -> tuple[float, int]:
+    """(eps, max_iter) for a TV mode name; unknown names raise (the knob
+    is trace-time-only — a typo silently keeping the default would be
+    invisible)."""
+    try:
+        return TV_MODES[mode]
+    except KeyError:
+        raise ValueError(
+            f"MDX_TV_MODE/tv_mode={mode!r}: expected one of "
+            f"{sorted(TV_MODES)}") from None
+
 
 def tv_chambolle_xla(
     x: jnp.ndarray,

@@ -101,15 +101,26 @@ class EnhancementPlan(BaseModel):
         return [o.lower().strip() for o in self.recommended_ops
                 if o.lower().strip() in VALID_OPS]
 
-    def to_static_dynamic(self):
+    def to_static_dynamic(self, tv_mode: str | None = None):
         """Lower to the fused device chain's (PlanStatic, PlanDynamic) pair.
 
         Static part: which ops run, CLAHE tile size, bilateral diameter, the
-        plan op order (for the halo-safeguard re-run).  Dynamic part: all
-        continuous parameters, clamped.
-        """
-        from mdx.core.enhance import PlanDynamic, PlanStatic
+        plan op order (for the halo-safeguard re-run), and the TV solve
+        mode.  Dynamic part: all continuous parameters, clamped.
 
+        ``tv_mode``: "ref" (reference parity, the default) or "fast" (the
+        opt-in relaxed-parity iteration cap, mdx/ops/tv.py); ``None``
+        falls back to the ``MDX_TV_MODE`` env knob.  Validated here so a
+        typo'd env var fails loudly at lowering, not silently at dispatch.
+        """
+        import os
+
+        from mdx.core.enhance import PlanDynamic, PlanStatic
+        from mdx.ops.tv import tv_mode_params
+
+        if tv_mode is None:
+            tv_mode = os.environ.get("MDX_TV_MODE", "ref").strip().lower()
+        tv_mode_params(tv_mode)  # validate
         p = self.params.clamped()
         ops = tuple(self.normalized_ops())
         static = PlanStatic(
@@ -117,6 +128,7 @@ class EnhancementPlan(BaseModel):
             tile_size=p.clahe_tile_size,
             bilateral_d=p.bilateral_d if "bilateral" in ops else 0,
             plan_order=ops,
+            tv_mode=tv_mode,
         )
         dyn = PlanDynamic(
             clahe_clip_limit=p.clahe_clip_limit,

@@ -190,3 +190,61 @@ class TestSubBatching:
         enh, _, _, _ = qa.qa_plan(x, static, dyn)
         want = np.asarray(x) ** gammas[:, None, None]
         np.testing.assert_allclose(np.asarray(enh), want, atol=1e-5)
+
+
+class TestTvMode:
+    """Opt-in relaxed-parity TV (MDX_TV_MODE=fast / PlanStatic.tv_mode):
+    defaults stay reference parity; fast caps the Chambolle iterations
+    (mdx/ops/tv.py TV_MODES; measured curve in docs/PERF.md)."""
+
+    def test_mode_table_and_validation(self):
+        from mdx.ops.tv import TV_MODES, tv_mode_params
+
+        assert tv_mode_params("ref") == (2e-4, 200)  # reference semantics
+        eps, it = tv_mode_params("fast")
+        assert it < 200
+        assert set(TV_MODES) == {"ref", "fast"}
+        with pytest.raises(ValueError, match="tv_mode"):
+            tv_mode_params("fas")
+
+    def test_fast_is_the_capped_solve(self, noisy_image):
+        """The fast chain output IS tv_chambolle at the capped iteration
+        count (mechanism test — the curve lives in docs/PERF.md)."""
+        from mdx.ops.tv import tv_chambolle, tv_mode_params
+
+        x = _b(noisy_image)
+        w = jnp.float32(0.1)
+        dyn = E.PlanDynamic(tv_denoise_weight=w)
+        outs = {}
+        for mode in ("ref", "fast"):
+            static = E.PlanStatic(ops=("tv_denoise",),
+                                  plan_order=("tv_denoise",),
+                                  tv_mode=mode)
+            out, _ = E.apply_plan(x, static, dyn)
+            eps, it = tv_mode_params(mode)
+            want = tv_chambolle(x, jnp.maximum(jnp.broadcast_to(
+                w, (1,)), 1e-6), eps=eps, max_iter=it)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                       atol=1e-6, err_msg=mode)
+            outs[mode] = np.asarray(out)
+        # heavy noise at w=0.1 needs >40 iterations: fast must actually
+        # differ from ref (the cap bound), while staying close to it
+        dmax = np.abs(outs["ref"] - outs["fast"]).max()
+        assert 0 < dmax < 0.05
+
+    def test_plan_lowering_env_and_arg(self, monkeypatch):
+        from mdx.pipeline.schemas import EnhancementPlan
+
+        plan = EnhancementPlan(recommended_ops=["tv_denoise"])
+        monkeypatch.delenv("MDX_TV_MODE", raising=False)
+        static, _ = plan.to_static_dynamic()
+        assert static.tv_mode == "ref"  # default is full parity
+        monkeypatch.setenv("MDX_TV_MODE", "fast")
+        static, _ = plan.to_static_dynamic()
+        assert static.tv_mode == "fast"
+        # explicit argument wins over the env
+        static, _ = plan.to_static_dynamic(tv_mode="ref")
+        assert static.tv_mode == "ref"
+        monkeypatch.setenv("MDX_TV_MODE", "bogus")
+        with pytest.raises(ValueError, match="MDX_TV_MODE"):
+            plan.to_static_dynamic()

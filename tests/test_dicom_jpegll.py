@@ -353,14 +353,15 @@ class TestErrors:
 
     def test_unsupported_ts_message(self, tmp_path):
         """A genuinely unreadable syntax still gets the clear error.
-        (JPEG Baseline used to be the example here until round 4 made it
-        decodable — mdx/io/jpegdct.py; J2K remains unsupported.)"""
+        (JPEG Baseline was the example until round 4, then JPEG 2000
+        until round 5 made both decodable; JPEG 2000 Part 2 multi-
+        component — .4.92 — remains genuinely unsupported.)"""
         p = str(tmp_path / "lossy.dcm")
         write_dicom(p, _img(shape=(8, 8)), transfer_syntax=TS_JPEG_LL_SV1)
         raw = open(p, "rb").read()
-        # JPEG 2000 Lossless is 22 chars too: 1.2.840.10008.1.2.4.90
+        # JPEG 2000 Part 2 is 22 chars too: 1.2.840.10008.1.2.4.92
         lossy = raw.replace(TS_JPEG_LL_SV1.encode(),
-                            b"1.2.840.10008.1.2.4.90")
+                            b"1.2.840.10008.1.2.4.92")
         p2 = str(tmp_path / "l2.dcm")
         open(p2, "wb").write(lossy)
         with pytest.raises(DicomError, match="Unsupported transfer syntax"):
