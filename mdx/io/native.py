@@ -145,6 +145,13 @@ def _load() -> ctypes.CDLL:
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32]
             lib.mdxio_jpegdct_prog_segment.restype = ctypes.c_int64
+            lib.mdxio_jpeg2k_t1.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p]
+            lib.mdxio_jpeg2k_t1.restype = ctypes.c_int64
         except AttributeError as exc:
             # stale library from an older source revision (and no
             # toolchain to rebuild it) — degrade to the Python paths
@@ -429,3 +436,41 @@ def jpegdct_prog_segment(seg: bytes, scan_comps, dc_tabs, ac_tabs, grids,
     if rc != 0:
         raise JpegDctError(_JPEGDCT_ERRORS.get(int(rc),
                                                f"native error {rc}"))
+
+
+def jpeg2k_t1_block(chunks, btype: int, mb: int, zbp: int, total: int,
+                    w: int, h: int, cb_style: int) -> np.ndarray:
+    """Native EBCOT Tier-1 code-block decode — bit-identical values
+    (including in-loop half-LSB reconstruction) and error taxonomy to
+    mdx/io/jpeg2k.py::_t1_decode_block, which is the parity oracle."""
+    from mdx.io.jpeg2k import Jpeg2kError, _Block, _codeword_segments
+
+    numbps = mb - zbp
+    if total <= 0 or numbps <= 0 or not chunks:
+        return np.zeros((h, w), np.int32)
+    lib = _load()
+    blk = _Block(0, 0, w, h)
+    blk.chunks = chunks
+    segments = _codeword_segments(blk, cb_style, numbps)
+    seg_data = b"".join(s[0] for s in segments)
+    lens = np.array([len(s[0]) for s in segments], np.int64)
+    firsts = np.array([s[1] for s in segments], np.int32)
+    npasses = np.array([s[2] for s in segments], np.int32)
+    raws = np.array([1 if s[3] else 0 for s in segments], np.uint8)
+    out = np.zeros((h, w), np.int32)
+    buf = np.frombuffer(seg_data, np.uint8) if seg_data else \
+        np.zeros(1, np.uint8)
+    rc = lib.mdxio_jpeg2k_t1(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        firsts.ctypes.data_as(ctypes.c_void_p),
+        npasses.ctypes.data_as(ctypes.c_void_p),
+        raws.ctypes.data_as(ctypes.c_void_p),
+        len(segments), w, h, btype, numbps, total, cb_style,
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc == -1:
+        raise Jpeg2kError(
+            "Segmentation symbol mismatch (corrupt entropy data).")
+    if rc != 0:
+        raise Jpeg2kError(f"native Tier-1 error {rc}")
+    return out

@@ -1109,3 +1109,466 @@ int64_t mdxio_jpegls_encode(const int32_t *img, int32_t width,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG 2000 EBCOT Tier-1 (ISO 15444-1 Annex D) — the serial hot loop of
+// mdx/io/jpeg2k.py.  The MQ coder and the three coding passes are
+// adaptive bit-serial state machines (every decoded decision updates the
+// context states coding the next), so nothing vectorises; one call
+// decodes ALL of one code-block's passes, bit-identical to the Python
+// oracle (_t1_decode_block) including the in-loop half-LSB
+// reconstruction.  Error taxonomy: -1 segmentation-symbol mismatch
+// (the only data-detectable corruption — both bit readers legally feed
+// 1-bits past the end of a segment, Annex C).
+// ---------------------------------------------------------------------------
+
+namespace j2k {
+
+struct MqState {
+  uint16_t qe;
+  uint8_t nmps, nlps, sw;
+};
+
+static const MqState kMq[47] = {
+    {0x5601, 1, 1, 1},   {0x3401, 2, 6, 0},   {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0},  {0x0521, 5, 29, 0},  {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},   {0x5401, 8, 14, 0},  {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0}, {0x3001, 11, 17, 0}, {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0}, {0x1601, 29, 21, 0}, {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0}, {0x5101, 17, 15, 0}, {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0}, {0x3401, 20, 18, 0}, {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0}, {0x2401, 23, 20, 0}, {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0}, {0x1801, 26, 23, 0}, {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0}, {0x1201, 29, 26, 0}, {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0}, {0x09C1, 32, 29, 0}, {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0}, {0x0441, 35, 32, 0}, {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0}, {0x0141, 38, 35, 0}, {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0}, {0x0049, 41, 38, 0}, {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0}, {0x0009, 44, 41, 0}, {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0}, {0x5601, 46, 46, 0}};
+
+constexpr int kCtxRl = 17;
+constexpr int kCtxUni = 18;
+constexpr int kNCtx = 19;
+
+struct Ctx {
+  uint8_t idx[kNCtx];
+  uint8_t mps[kNCtx];
+  void reset() {
+    for (int i = 0; i < kNCtx; ++i) {
+      idx[i] = 0;
+      mps[i] = 0;
+    }
+    idx[0] = 4;
+    idx[kCtxRl] = 3;
+    idx[kCtxUni] = 46;
+  }
+};
+
+struct Mq {
+  const uint8_t *d;
+  int64_t len, bp;
+  uint32_t c, a;
+  int32_t ct;
+
+  void bytein() {
+    const uint32_t b = (bp < len) ? d[bp] : 0xFF;
+    if (b == 0xFF) {
+      const uint32_t b1 = (bp + 1 < len) ? d[bp + 1] : 0xFF;
+      if (b1 > 0x8F) {
+        c += 0xFF00;
+        ct = 8;
+      } else {
+        bp += 1;
+        c += b1 << 9;
+        ct = 7;
+      }
+    } else {
+      bp += 1;
+      const uint32_t b1 = (bp < len) ? d[bp] : 0xFF;
+      c += b1 << 8;
+      ct = 8;
+    }
+  }
+
+  void init(const uint8_t *data, int64_t n) {
+    d = data;
+    len = n;
+    bp = 0;
+    const uint32_t b0 = n ? d[0] : 0xFF;
+    c = b0 << 16;
+    bytein();
+    c <<= 7;
+    ct -= 7;
+    a = 0x8000;
+  }
+
+  int decode(Ctx &cx, int ci) {
+    const MqState &st = kMq[cx.idx[ci]];
+    const uint32_t qe = st.qe;
+    int d_;
+    a -= qe;
+    if (((c >> 16) & 0xFFFF) < qe) {
+      if (a < qe) {
+        d_ = cx.mps[ci];
+        cx.idx[ci] = st.nmps;
+      } else {
+        d_ = 1 - cx.mps[ci];
+        if (st.sw) cx.mps[ci] = 1 - cx.mps[ci];
+        cx.idx[ci] = st.nlps;
+      }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return cx.mps[ci];
+      if (a < qe) {
+        d_ = 1 - cx.mps[ci];
+        if (st.sw) cx.mps[ci] = 1 - cx.mps[ci];
+        cx.idx[ci] = st.nlps;
+      } else {
+        d_ = cx.mps[ci];
+        cx.idx[ci] = st.nmps;
+      }
+    }
+    do {
+      if (ct == 0) bytein();
+      a <<= 1;
+      c <<= 1;
+      --ct;
+    } while (!(a & 0x8000));
+    return d_;
+  }
+};
+
+struct Raw {
+  const uint8_t *d;
+  int64_t len, pos;
+  uint32_t buf;
+  int32_t cnt;
+  uint32_t last;
+
+  void init(const uint8_t *data, int64_t n) {
+    d = data;
+    len = n;
+    pos = 0;
+    buf = 0;
+    cnt = 0;
+    last = 0;
+  }
+
+  int bit() {
+    if (cnt == 0) {
+      const bool prev_ff = last == 0xFF;
+      buf = (pos < len) ? d[pos++] : 0xFF;
+      last = buf;
+      cnt = prev_ff ? 7 : 8;
+    }
+    --cnt;
+    return (buf >> cnt) & 1;
+  }
+};
+
+// significance context tables [h][v][d] per Table D.1 (same formulas as
+// the Python _sig_ctx_tables)
+struct SigTabs {
+  int8_t ll[3][3][5], hl[3][3][5], hh[3][3][5];
+  SigTabs() {
+    for (int h = 0; h < 3; ++h)
+      for (int v = 0; v < 3; ++v)
+        for (int d = 0; d < 5; ++d) {
+          int c;
+          if (h == 2)
+            c = 8;
+          else if (h == 1)
+            c = (v >= 1) ? 7 : (d >= 1 ? 6 : 5);
+          else if (v == 2)
+            c = 4;
+          else if (v == 1)
+            c = 3;
+          else if (d >= 2)
+            c = 2;
+          else
+            c = d;
+          ll[h][v][d] = static_cast<int8_t>(c);
+          hl[v][h][d] = static_cast<int8_t>(c);  // H/V swapped
+          int hv = h + v > 2 ? 2 : h + v;
+          int ch;
+          if (d >= 3)
+            ch = 8;
+          else if (d == 2)
+            ch = hv >= 1 ? 7 : 6;
+          else if (d == 1)
+            ch = hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+          else
+            ch = hv >= 2 ? 2 : hv;
+          hh[h][v][d] = static_cast<int8_t>(ch);
+        }
+  }
+};
+static const SigTabs kSig;
+
+// sign-coding (ctx, xor) by (hc+1, vc+1) — Table D.3/D.4
+static const int8_t kSignCtx[3][3] = {{13, 12, 11}, {10, 9, 10},
+                                      {11, 12, 13}};
+static const int8_t kSignXor[3][3] = {{1, 1, 1}, {1, 0, 0}, {0, 0, 0}};
+// rows indexed by hc+1, cols by vc+1:
+//   hc=-1: vc -1/0/1 -> (13,1) (12,1) (11,1)
+//   hc= 0: vc -1/0/1 -> (10,1) ( 9,0) (10,0)
+//   hc= 1: vc -1/0/1 -> (11,0) (12,0) (13,0)
+
+struct T1 {
+  int32_t w, h, btype;
+  bool vsc;
+  std::vector<uint8_t> sig;    // (h+2)*(w+2) apron
+  std::vector<uint8_t> vis, refined;
+  int32_t *data;               // h*w, caller-owned
+  Ctx cx;
+  Mq mq;
+  Raw raw;
+  bool mq_live = false;
+
+  T1(int32_t w_, int32_t h_, int32_t bt, bool vsc_, int32_t *out)
+      : w(w_), h(h_), btype(bt), vsc(vsc_),
+        sig((h_ + 2) * (w_ + 2), 0), vis(h_ * w_, 0),
+        refined(h_ * w_, 0), data(out) {
+    cx.reset();
+  }
+
+  inline uint8_t s_at(int x, int y) const {  // apron coords offset +1
+    return sig[(y + 1) * (w + 2) + (x + 1)];
+  }
+  inline void s_set(int x, int y) { sig[(y + 1) * (w + 2) + (x + 1)] = 1; }
+
+  inline void neigh(int x, int y, int *hc, int *vc, int *dc) const {
+    const int d_ok = (vsc && (y % 4) == 3) ? 0 : 1;
+    *hc = s_at(x - 1, y) + s_at(x + 1, y);
+    *vc = s_at(x, y - 1) + s_at(x, y + 1) * d_ok;
+    *dc = s_at(x - 1, y - 1) + s_at(x + 1, y - 1) +
+          (s_at(x - 1, y + 1) + s_at(x + 1, y + 1)) * d_ok;
+  }
+
+  inline int sig_ctx(int hc, int vc, int dc) const {
+    if (hc > 2) hc = 2;
+    if (vc > 2) vc = 2;
+    if (dc > 4) dc = 4;
+    if (btype == 1) return kSig.hl[hc][vc][dc];
+    if (btype == 3) return kSig.hh[hc][vc][dc];
+    return kSig.ll[hc][vc][dc];
+  }
+
+  inline void sign_ctx(int x, int y, int *ci, int *xr) const {
+    const int d_ok = (vsc && (y % 4) == 3) ? 0 : 1;
+    int hc = 0, vc = 0;
+    if (s_at(x - 1, y)) hc += (x > 0 && data[y * w + x - 1] < 0) ? -1 : 1;
+    if (s_at(x + 1, y)) hc += (x < w - 1 && data[y * w + x + 1] < 0) ? -1 : 1;
+    if (hc < -1) hc = -1;
+    if (hc > 1) hc = 1;
+    if (s_at(x, y - 1)) vc += (y > 0 && data[(y - 1) * w + x] < 0) ? -1 : 1;
+    if (s_at(x, y + 1) && d_ok)
+      vc += (y < h - 1 && data[(y + 1) * w + x] < 0) ? -1 : 1;
+    if (vc < -1) vc = -1;
+    if (vc > 1) vc = 1;
+    *ci = kSignCtx[hc + 1][vc + 1];
+    *xr = kSignXor[hc + 1][vc + 1];
+  }
+
+  inline void set_sig(int x, int y, int neg, int bp) {
+    const int32_t one = 1 << bp;
+    const int32_t val = one | (one >> 1);
+    data[y * w + x] = neg ? -val : val;
+    s_set(x, y);
+  }
+
+  void pass_sig(int bp, bool rawpass) {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; ++x) {
+        const int ylim = (y0 + 4 < h) ? y0 + 4 : h;
+        for (int y = y0; y < ylim; ++y) {
+          if (s_at(x, y)) continue;
+          int hc, vc, dc;
+          neigh(x, y, &hc, &vc, &dc);
+          if (hc + vc + dc == 0) continue;
+          int bit;
+          if (rawpass)
+            bit = raw.bit();
+          else
+            bit = mq.decode(cx, sig_ctx(hc, vc, dc));
+          if (bit) {
+            int s;
+            if (rawpass) {
+              s = raw.bit();
+            } else {
+              int ci, xr;
+              sign_ctx(x, y, &ci, &xr);
+              s = mq.decode(cx, ci) ^ xr;
+            }
+            set_sig(x, y, s, bp);
+          }
+          vis[y * w + x] = 1;
+        }
+      }
+  }
+
+  void pass_ref(int bp, bool rawpass) {
+    const int32_t one = 1 << bp;
+    const int32_t poshalf = one >> 1;
+    const int32_t neghalf = poshalf ? poshalf : 1;
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; ++x) {
+        const int ylim = (y0 + 4 < h) ? y0 + 4 : h;
+        for (int y = y0; y < ylim; ++y) {
+          const int i = y * w + x;
+          if (!s_at(x, y) || vis[i]) continue;
+          int bit;
+          if (rawpass) {
+            bit = raw.bit();
+          } else {
+            int ci;
+            if (refined[i]) {
+              ci = 16;
+            } else {
+              int hc, vc, dc;
+              neigh(x, y, &hc, &vc, &dc);
+              ci = (hc + vc + dc) ? 15 : 14;
+            }
+            bit = mq.decode(cx, ci);
+          }
+          const int32_t delta = bit ? poshalf : -neghalf;
+          if (data[i] < 0)
+            data[i] -= delta;
+          else
+            data[i] += delta;
+          refined[i] = 1;
+          vis[i] = 1;
+        }
+      }
+  }
+
+  void pass_cleanup(int bp) {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; ++x) {
+        int y = y0;
+        const int ylim = (y0 + 4 < h) ? y0 + 4 : h;
+        while (y < ylim) {
+          if (y == y0 && y0 + 4 <= h) {
+            bool ok = true;
+            for (int yy = y0; yy < y0 + 4; ++yy) {
+              if (s_at(x, yy) || vis[yy * w + x]) {
+                ok = false;
+                break;
+              }
+              int hc, vc, dc;
+              neigh(x, yy, &hc, &vc, &dc);
+              if (hc + vc + dc) {
+                ok = false;
+                break;
+              }
+            }
+            if (ok) {
+              if (!mq.decode(cx, kCtxRl)) {
+                y = y0 + 4;
+                continue;
+              }
+              const int pos =
+                  (mq.decode(cx, kCtxUni) << 1) | mq.decode(cx, kCtxUni);
+              y = y0 + pos;
+              int ci, xr;
+              sign_ctx(x, y, &ci, &xr);
+              const int s = mq.decode(cx, ci) ^ xr;
+              set_sig(x, y, s, bp);
+              ++y;
+              continue;
+            }
+          }
+          if (s_at(x, y) || vis[y * w + x]) {
+            ++y;
+            continue;
+          }
+          int hc, vc, dc;
+          neigh(x, y, &hc, &vc, &dc);
+          if (mq.decode(cx, sig_ctx(hc, vc, dc))) {
+            int ci, xr;
+            sign_ctx(x, y, &ci, &xr);
+            const int s = mq.decode(cx, ci) ^ xr;
+            set_sig(x, y, s, bp);
+          }
+          ++y;
+        }
+      }
+  }
+};
+
+}  // namespace j2k
+
+extern "C" {
+
+// Decode one code-block's coding passes.  Segments arrive
+// pre-terminated (mdx/io/jpeg2k.py::_codeword_segments): seg_data is
+// the concatenation, per-segment (len, first pass, npasses, raw).
+// flags = the COD code-block style byte.  out: h*w int32, zeroed by the
+// caller.  Returns 0, or -1 on a segmentation-symbol mismatch.
+int64_t mdxio_jpeg2k_t1(const uint8_t *seg_data, const int64_t *seg_lens,
+                        const int32_t *seg_first,
+                        const int32_t *seg_npasses, const uint8_t *seg_raw,
+                        int32_t nsegs, int32_t w, int32_t h, int32_t btype,
+                        int32_t numbps, int32_t total, int32_t flags,
+                        int32_t *out) {
+  const bool vsc = flags & 0x08;
+  const bool segsym = flags & 0x20;
+  const bool reset = flags & 0x02;
+  const bool termall = flags & 0x04;
+  const bool lazy = flags & 0x01;
+  j2k::T1 t1(w, h, btype, vsc, out);
+
+  int64_t off = 0;
+  int32_t p_done = 0;
+  for (int32_t si = 0; si < nsegs && p_done < total; ++si) {
+    const uint8_t *bytes = seg_data + off;
+    const int64_t blen = seg_lens[si];
+    off += blen;
+    const bool rawseg = seg_raw[si] != 0;
+    if (rawseg) {
+      t1.raw.init(bytes, blen);
+      t1.mq_live = false;
+    } else if (!t1.mq_live || termall || lazy) {
+      t1.mq.init(bytes, blen);
+      t1.mq_live = true;
+    }
+    const int32_t first = seg_first[si];
+    int32_t npasses = seg_npasses[si];
+    if (first + npasses > total) npasses = total - first;
+    for (int32_t p = first; p < first + npasses; ++p) {
+      int kind, bp;
+      if (p == 0) {
+        kind = 2;
+        bp = numbps - 1;
+      } else {
+        kind = (p - 1) % 3;
+        bp = numbps - 2 - (p - 1) / 3;
+      }
+      if (bp < 0) {
+        p_done = total;
+        break;
+      }
+      if (reset && !rawseg) t1.cx.reset();
+      if (kind == 0) {
+        t1.pass_sig(bp, rawseg);
+      } else if (kind == 1) {
+        t1.pass_ref(bp, rawseg);
+      } else {
+        t1.pass_cleanup(bp);
+        if (segsym) {
+          int s = 0;
+          for (int i = 0; i < 4; ++i)
+            s = (s << 1) | t1.mq.decode(t1.cx, j2k::kCtxUni);
+          if (s != 0x0A) return -1;
+        }
+        std::fill(t1.vis.begin(), t1.vis.end(), 0);
+      }
+      ++p_done;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

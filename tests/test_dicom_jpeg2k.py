@@ -380,3 +380,72 @@ class TestDicomIntegration:
 
         with pytest.raises(DicomError, match="lossy|unwritable"):
             transcode(sp, str(tmp_path / "o.dcm"), TS_J2K_LOSSLESS)
+
+
+class TestNativeParity:
+    """The C Tier-1 decoder is bit-identical to the Python oracle."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        pytest.importorskip("mdx.io.native")
+        from mdx.io import native
+        try:
+            native._load()
+        except native.NativeUnavailable:
+            pytest.skip("native library not built")
+        if not hasattr(native, "jpeg2k_t1_block"):
+            pytest.skip("stale native module")
+
+    def _decode_forced_python(self, monkeypatch, stream):
+        monkeypatch.setattr(jpeg2k, "_native", lambda: None)
+        try:
+            return jpeg2k.decode(stream)
+        finally:
+            monkeypatch.undo()
+
+    @pytest.mark.parametrize("kind", [
+        "plain", "lossy97", "layers", "truncated", "tiles", "rgb",
+        "bit16"])
+    def test_bit_parity(self, monkeypatch, kind):
+        g = _gray8(seed=hash(kind) % 100, shape=(96, 80))
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            if kind == "plain":
+                s = _enc(g, no_jp2=True)
+            elif kind == "lossy97":
+                s = _enc(g, no_jp2=True, irreversible=True,
+                         quality_mode="rates", quality_layers=[8])
+            elif kind == "layers":
+                s = _enc(g, no_jp2=True, quality_mode="rates",
+                         quality_layers=[20, 5, 1])
+            elif kind == "truncated":
+                s = _enc(g, no_jp2=True, quality_mode="rates",
+                         quality_layers=[4])
+            elif kind == "tiles":
+                s = _enc(g, no_jp2=True, tile_size=(32, 32))
+            elif kind == "rgb":
+                rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+                s = _enc(rgb, "RGB", no_jp2=True)
+            else:
+                a16 = (g.astype(np.uint16) * 16)
+                s = _enc(a16, "I;16", no_jp2=True)
+        nat, p1, s1 = jpeg2k.decode(s)
+        py, p2, s2 = self._decode_forced_python(monkeypatch, s)
+        assert (p1, s1) == (p2, s2)
+        np.testing.assert_array_equal(nat, py)
+
+    def test_segsym_error_parity(self, monkeypatch):
+        """Both decoders raise the same error on a segmentation-symbol
+        mismatch (crafted: flip COD's segsym flag on a plain stream so
+        the decoder expects symbols the encoder never wrote)."""
+        s = bytearray(_enc(_gray8(seed=5, shape=(32, 32)),
+                           no_jp2=True))
+        i = s.find(b"\xff\x52")          # COD
+        s[i + 4 + 8] |= 0x20             # cb style: claim SEGSYM
+        s = bytes(s)
+        with pytest.raises(Jpeg2kError, match="Segmentation"):
+            jpeg2k.decode(s)
+        with pytest.raises(Jpeg2kError, match="Segmentation"):
+            self._decode_forced_python(monkeypatch, s)
