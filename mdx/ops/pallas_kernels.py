@@ -184,9 +184,27 @@ def _interp_matrix(n_pix: int, t: int) -> np.ndarray:
     return m
 
 
+def clahe_precision(impl: str | None = None) -> bool:
+    """True for the exact (bf16x3) remap, False for the opt-in
+    single-pass bf16 relaxed-precision mode.
+
+    The TPU's DEFAULT f32 matmul precision is one bf16 pass: the remap's
+    real-valued weights/LUT round to 8 mantissa bits and the output
+    deviates ~4e-3 (≈1 gray level of 256) from the XLA lowering — found
+    by tools/parity_sweep.py round 5 after shipping unnoticed since
+    round 2 (interpret parity cannot see it).  Exact costs 2 extra
+    DEFAULT matmul sweeps per bin group (32×512²: 5.6 → 14.9 ms);
+    MDX_CLAHE_PRECISION=fast opts back into the single-pass remap with
+    that documented deviation bound.  Default is exact — golden parity
+    is the invariant (CLAUDE.md)."""
+    mode = _impl_mode("MDX_CLAHE_PRECISION", impl, ("exact", "fast"))
+    return mode != "fast"
+
+
 def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
-                  w_col_ref, out_ref, hist_ref, lut_ref, *,
-                  h: int, w: int, t: int, nbins: int):
+                  w_col_hi_ref, w_col_lo_ref, out_ref, hist_ref,
+                  lut_ref, *, h: int, w: int, t: int, nbins: int,
+                  exact: bool):
     """One image per grid step; everything stays in VMEM.
 
     clip_ref: SMEM [N] per-image clip limits (traced — sweeps don't
@@ -251,7 +269,6 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
 
     # ---- remap: out += (q==b) · (Wr · lut[b] · Wc) on the MXU -----------
     w_row = w_row_ref[:]                                     # [h, gy]
-    w_col = w_col_ref[:]                                     # [gx, w]
 
     out_ref[0] = jnp.zeros((h, w), jnp.float32)
 
@@ -268,19 +285,36 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
         for j in range(_REMAP_UNROLL):
             b = b0 * _REMAP_UNROLL + j
             lb = (lut_ref[b] - cdf0) / denom                 # [gy, gx]
-            # full f32 MXU passes: the hat weights and LUT values are
-            # real-valued, and the TPU's DEFAULT matmul precision (bf16
-            # multiplicands) deviates ~4e-3 from the XLA lowering on the
-            # real backend — caught by tools/parity_sweep.py round 5;
-            # interpret mode cannot see it.  (The histogram dots above
-            # stay DEFAULT: 0/1 matrices × 0/1 masks accumulate exact
-            # integer counts ≤ t² even with bf16 inputs.)
+            # the hat weights and LUT values are real-valued, and the
+            # TPU's DEFAULT matmul precision (one bf16 pass) deviates
+            # ~4e-3 from the XLA lowering on the real backend — caught
+            # by tools/parity_sweep.py round 5; interpret mode cannot
+            # see it.  Exact mode recovers f32 fidelity with a
+            # hand-rolled bf16x3 split on the wide dot (HIGHEST costs
+            # 6 passes = 22.8 ms; bf16x3 = 14.9; docs/PERF.md) — split
+            # operands into bf16-exact hi + residual lo, three DEFAULT
+            # matmuls with lossless bf16 products and f32 accumulation.
+            # Fast mode is the opt-in single-pass remap
+            # (MDX_CLAHE_PRECISION=fast, measured ≤4e-3 deviation).
+            # The histogram dots above stay DEFAULT in both modes: 0/1
+            # matrices × 0/1 masks accumulate exact integer counts
+            # ≤ t² even with bf16 inputs.
             rows = jnp.dot(w_row, lb,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)  # [h, gx]
-            blend = jnp.dot(rows, w_col,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)  # [h, w]
+            if exact:
+                r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
+                r_lo = rows - r_hi
+                blend = (jnp.dot(r_hi, w_col_hi_ref[:],
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(r_hi, w_col_lo_ref[:],
+                                   preferred_element_type=jnp.float32)
+                         + jnp.dot(r_lo, w_col_hi_ref[:],
+                                   preferred_element_type=jnp.float32))
+            else:
+                blend = jnp.dot(rows,
+                                w_col_hi_ref[:] + w_col_lo_ref[:],
+                                preferred_element_type=jnp.float32)
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0] = out_ref[0] + acc
@@ -324,12 +358,15 @@ def clahe_tpu(
     col_sel = jnp.asarray(_tile_membership(pw, t))           # [pw, gx]
     w_row = jnp.asarray(_interp_matrix(ph, t).T)             # [ph, gy]
     w_col = jnp.asarray(_interp_matrix(pw, t))               # [gx, pw]
+    w_col_hi = w_col.astype(jnp.bfloat16).astype(jnp.float32)
+    w_col_lo = w_col - w_col_hi
 
     def _const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_clahe_kernel, h=ph, w=pw, t=t, nbins=nbins)
+    kernel = functools.partial(_clahe_kernel, h=ph, w=pw, t=t,
+                               nbins=nbins, exact=clahe_precision())
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -340,7 +377,8 @@ def clahe_tpu(
             _const_spec(row_sel.shape),
             _const_spec(col_sel.shape),
             _const_spec(w_row.shape),
-            _const_spec(w_col.shape),
+            _const_spec(w_col_hi.shape),
+            _const_spec(w_col_lo.shape),
         ],
         out_specs=pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -352,7 +390,7 @@ def clahe_tpu(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
-    )(clip_arr, xp, row_sel, col_sel, w_row, w_col)
+    )(clip_arr, xp, row_sel, col_sel, w_row, w_col_hi, w_col_lo)
     return out[:, :h, :w]
 
 
@@ -482,7 +520,8 @@ def _tile_hist_nibble(xp: jnp.ndarray, t: int, nbins: int) -> jnp.ndarray:
 
 def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_hi_ref, w_col_lo_ref,
                         w_row_ref, out_ref, *,
-                        t: int, w: int, nbins: int, gx: int):
+                        t: int, w: int, nbins: int, gx: int,
+                        exact: bool):
     """Grid (N, gy): remap one band through its 3-tile-row LUT window.
 
     ``lutwin_ref`` [1, 1, 3, nbins, gx] carries the (clamped) LUT rows
@@ -518,14 +557,19 @@ def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_hi_ref, w_col_lo_ref,
             rows = (w_row[:, 0:1] * lut3[0][None, :]
                     + w_row[:, 1:2] * lut3[1][None, :]
                     + w_row[:, 2:3] * lut3[2][None, :])       # [t, gx]
-            r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
-            r_lo = rows - r_hi
-            blend = (jnp.dot(r_hi, w_col_hi_ref[:],
-                             preferred_element_type=jnp.float32)
-                     + jnp.dot(r_hi, w_col_lo_ref[:],
-                               preferred_element_type=jnp.float32)
-                     + jnp.dot(r_lo, w_col_hi_ref[:],
-                               preferred_element_type=jnp.float32))
+            if exact:
+                r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
+                r_lo = rows - r_hi
+                blend = (jnp.dot(r_hi, w_col_hi_ref[:],
+                                 preferred_element_type=jnp.float32)
+                         + jnp.dot(r_hi, w_col_lo_ref[:],
+                                   preferred_element_type=jnp.float32)
+                         + jnp.dot(r_lo, w_col_hi_ref[:],
+                                   preferred_element_type=jnp.float32))
+            else:
+                blend = jnp.dot(rows,
+                                w_col_hi_ref[:] + w_col_lo_ref[:],
+                                preferred_element_type=jnp.float32)
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0, 0] = out_ref[0, 0] + acc
@@ -579,7 +623,7 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
     w_col_lo = w_col - w_col_hi
     out = pl.pallas_call(
         functools.partial(_clahe_remap_kernel, t=t, w=pw, nbins=nbins,
-                          gx=gx),
+                          gx=gx, exact=clahe_precision()),
         grid=(n, gy),
         in_specs=[
             pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
