@@ -1033,6 +1033,15 @@ class _Decoder:
              csiz) = struct.unpack_from(">HIIIIIIIIH", body, 0)
             if xsiz <= x0 or ysiz <= y0 or xt == 0 or yt == 0:
                 raise Jpeg2kError("Degenerate SIZ geometry.")
+            # sanity bounds so corrupted headers fail honestly instead
+            # of attempting multi-GiB allocations (fuzz-asserted): no
+            # DICOM slice approaches 2^28 px / 2^20 per side
+            if xsiz > 1 << 20 or ysiz > 1 << 20 or \
+                    (xsiz - x0) * (ysiz - y0) > 1 << 28:
+                raise Jpeg2kError("Implausible SIZ image dimensions.")
+            if _ceil_div(xsiz - xt0, xt) * _ceil_div(ysiz - yt0, yt) \
+                    > 1 << 16:
+                raise Jpeg2kError("Implausible SIZ tile count.")
             if csiz == 0 or len(body) < 36 + 3 * csiz:
                 raise Jpeg2kError("Truncated SIZ component list.")
             self.siz = (xsiz, ysiz, x0, y0, xt, yt, xt0, yt0)

@@ -449,3 +449,26 @@ class TestNativeParity:
             jpeg2k.decode(s)
         with pytest.raises(Jpeg2kError, match="Segmentation"):
             self._decode_forced_python(monkeypatch, s)
+
+
+class TestFuzz:
+    def test_corrupted_streams_fail_honestly(self):
+        """Random byte corruption must yield Jpeg2kError or a valid
+        decode — never IndexError/MemoryError/struct.error (a corrupted
+        SIZ once attempted a 630 GiB allocation; geometry caps)."""
+        rng = np.random.default_rng(1)
+        a = ((np.arange(48 * 40) * 37) % 251).astype(
+            np.uint8).reshape(48, 40)
+        streams = [
+            _enc(a, no_jp2=True),
+            _enc(a, no_jp2=True, tile_size=(16, 16),
+                 quality_mode="rates", quality_layers=[8, 2]),
+        ]
+        for trial in range(300):
+            t = bytearray(streams[trial % 2])
+            for _ in range(rng.integers(1, 5)):
+                t[rng.integers(0, len(t))] = rng.integers(0, 256)
+            try:
+                jpeg2k.decode(bytes(t))
+            except Jpeg2kError:
+                pass
