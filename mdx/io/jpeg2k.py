@@ -1432,22 +1432,43 @@ class _Decoder:
         guard = self._qcd_for(c).guard
         gain = {0: 0, 1: 1, 2: 1, 3: 2}
 
+        # Tier-1 is per-code-block with no cross-block state: fan the
+        # component's blocks out over a thread pool (the native kernel
+        # releases the GIL for the whole ctypes call, so this scales on
+        # multi-core product hosts — same MDX_IO_THREADS convention as
+        # the frame-level pools in mdx/io/dicom.py)
+        work = []
+        for res in res_list:
+            for band in res.bands:
+                mb = guard + band.exp - 1
+                for rows in band.blocks.values():
+                    for row in rows:
+                        for blk in row:
+                            w = blk.x1 - blk.x0
+                            h = blk.y1 - blk.y0
+                            if w > 0 and h > 0 and blk.chunks:
+                                work.append((band, blk, mb, w, h))
+
+        def _one(item):
+            band, blk, mb, w, h = item
+            return _t1_block(blk.chunks, band.btype, mb, blk.zbp,
+                             blk.npasses, w, h, cod.cb_style)
+
+        decoded = dict(zip((id(it[1]) for it in work),
+                           _map_parallel(_one, work)))
+
         def decode_band(band: _Band) -> np.ndarray:
             bw, bh = band.x1 - band.x0, band.y1 - band.y0
             dtype = np.int64 if reversible else np.float64
             if bw <= 0 or bh <= 0:
                 return np.zeros((max(bh, 0), max(bw, 0)), dtype)
-            mb = guard + band.exp - 1
             arr = np.zeros((bh, bw), np.int64)
             for rows in band.blocks.values():
                 for row in rows:
                     for blk in row:
-                        w, h = blk.x1 - blk.x0, blk.y1 - blk.y0
-                        if w <= 0 or h <= 0 or not blk.chunks:
+                        vals = decoded.get(id(blk))
+                        if vals is None:
                             continue
-                        vals = _t1_block(blk.chunks, band.btype, mb,
-                                         blk.zbp, blk.npasses, w, h,
-                                         cod.cb_style)
                         arr[blk.y0 - band.y0:blk.y1 - band.y0,
                             blk.x0 - band.x0:blk.x1 - band.x0] = vals
             if reversible:
@@ -1482,6 +1503,23 @@ def _native():
     except Exception:
         return None
     return None
+
+
+def _map_parallel(fn, items: list) -> list:
+    """Order-preserving map over independent Tier-1 block decodes,
+    pooled when there are multiple items and cores (``MDX_IO_THREADS``
+    caps/disables, as in mdx/io/dicom.py::_map_frames)."""
+    import os
+
+    env = os.environ.get("MDX_IO_THREADS")
+    limit = int(env) if env else (os.cpu_count() or 1)
+    workers = min(len(items), limit, 16)
+    if workers <= 1:
+        return [fn(it) for it in items]
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(fn, items))
 
 
 def _t1_block(chunks, btype, mb, zbp, total, w, h,
