@@ -184,27 +184,30 @@ def _interp_matrix(n_pix: int, t: int) -> np.ndarray:
     return m
 
 
-def clahe_precision(impl: str | None = None) -> bool:
-    """True for the exact (bf16x3) remap, False for the opt-in
-    single-pass bf16 relaxed-precision mode.
+def _bf16_split(a):
+    """(hi, lo) with hi = bf16-rounded(a), lo = the f32 residual: both
+    parts are exactly representable in bf16's mantissa budget relative
+    to their own exponents, so DEFAULT-precision (one bf16 pass) MXU
+    products of split operands are EXACT and accumulate in f32.
 
-    The TPU's DEFAULT f32 matmul precision is one bf16 pass: the remap's
-    real-valued weights/LUT round to 8 mantissa bits and the output
-    deviates ~4e-3 (≈1 gray level of 256) from the XLA lowering — found
-    by tools/parity_sweep.py round 5 after shipping unnoticed since
-    round 2 (interpret parity cannot see it).  Exact costs 2 extra
-    DEFAULT matmul sweeps per bin group (32×512²: 5.6 → 14.9 ms);
-    MDX_CLAHE_PRECISION=fast opts back into the single-pass remap with
-    that documented deviation bound.  Default is exact — golden parity
-    is the invariant (CLAUDE.md)."""
-    mode = _impl_mode("MDX_CLAHE_PRECISION", impl, ("exact", "fast"))
-    return mode != "fast"
+    This is how every real-valued in-kernel matmul recovers f32
+    fidelity: the TPU's DEFAULT f32 matmul runs one bf16 pass (~0.4%
+    operand rounding — tools/parity_sweep.py round 5 caught CLAHE's
+    remap deviating ~4e-3 from the XLA lowering after shipping
+    unnoticed since round 2; interpret parity cannot see it), Mosaic
+    rejects Precision.HIGH outright and HIGHEST both costs 6 passes and
+    crashes the compiler at some shapes.  Concatenating the split
+    blocks along the contraction dim turns the 3-4 correction matmuls
+    into ONE wider DEFAULT matmul — the per-matmul Mosaic overhead, not
+    K, dominates at these sizes (measured 14.9 → 5.98 ms; docs/PERF.md
+    round-5 table)."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, a - hi
 
 
-def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
-                  w_col_hi_ref, w_col_lo_ref, out_ref, hist_ref,
-                  lut_ref, *, h: int, w: int, t: int, nbins: int,
-                  exact: bool):
+def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, wr4_ref,
+                  wc3_ref, out_ref, hist_ref,
+                  lut_ref, *, h: int, w: int, t: int, nbins: int):
     """One image per grid step; everything stays in VMEM.
 
     clip_ref: SMEM [N] per-image clip limits (traced — sweeps don't
@@ -268,7 +271,8 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
     denom = jnp.maximum(total - cdf0, 1e-12)
 
     # ---- remap: out += (q==b) · (Wr · lut[b] · Wc) on the MXU -----------
-    w_row = w_row_ref[:]                                     # [h, gy]
+    wr4 = wr4_ref[:]                 # [h, 4·gy]: [hi | hi | lo | lo]
+    wc3 = wc3_ref[:]                 # [3·gx, w]: [hi ; lo ; hi]
 
     out_ref[0] = jnp.zeros((h, w), jnp.float32)
 
@@ -285,36 +289,25 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, w_row_ref,
         for j in range(_REMAP_UNROLL):
             b = b0 * _REMAP_UNROLL + j
             lb = (lut_ref[b] - cdf0) / denom                 # [gy, gx]
-            # the hat weights and LUT values are real-valued, and the
-            # TPU's DEFAULT matmul precision (one bf16 pass) deviates
-            # ~4e-3 from the XLA lowering on the real backend — caught
-            # by tools/parity_sweep.py round 5; interpret mode cannot
-            # see it.  Exact mode recovers f32 fidelity with a
-            # hand-rolled bf16x3 split on the wide dot (HIGHEST costs
-            # 6 passes = 22.8 ms; bf16x3 = 14.9; docs/PERF.md) — split
-            # operands into bf16-exact hi + residual lo, three DEFAULT
-            # matmuls with lossless bf16 products and f32 accumulation.
-            # Fast mode is the opt-in single-pass remap
-            # (MDX_CLAHE_PRECISION=fast, measured ≤4e-3 deviation).
-            # The histogram dots above stay DEFAULT in both modes: 0/1
+            # both remap dots carry real-valued operands, so both run
+            # as concatenated bf16-split DEFAULT matmuls (_bf16_split):
+            # row interpolation keeps all four hi/lo product blocks
+            # (exact), the wide column dot keeps three (drops lo·lo,
+            # ≤~2e-5); parity vs the XLA lowering on the REAL backend
+            # 1.0e-5 at 5.98 ms/batch — vs 4e-3 for a plain DEFAULT
+            # dot and 22.8 ms for HIGHEST (docs/PERF.md round-5 table).
+            # The histogram dots above stay plain DEFAULT: 0/1
             # matrices × 0/1 masks accumulate exact integer counts
             # ≤ t² even with bf16 inputs.
-            rows = jnp.dot(w_row, lb,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # [h, gx]
-            if exact:
-                r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
-                r_lo = rows - r_hi
-                blend = (jnp.dot(r_hi, w_col_hi_ref[:],
-                                 preferred_element_type=jnp.float32)
-                         + jnp.dot(r_hi, w_col_lo_ref[:],
-                                   preferred_element_type=jnp.float32)
-                         + jnp.dot(r_lo, w_col_hi_ref[:],
-                                   preferred_element_type=jnp.float32))
-            else:
-                blend = jnp.dot(rows,
-                                w_col_hi_ref[:] + w_col_lo_ref[:],
-                                preferred_element_type=jnp.float32)
+            lb_hi, lb_lo = _bf16_split(lb)
+            lb4 = jnp.concatenate([lb_hi, lb_lo, lb_hi, lb_lo],
+                                  axis=0)                    # [4·gy, gx]
+            rows = jnp.dot(wr4, lb4,
+                           preferred_element_type=jnp.float32)  # [h, gx]
+            r_hi, r_lo = _bf16_split(rows)
+            r3 = jnp.concatenate([r_hi, r_hi, r_lo], axis=1)  # [h, 3·gx]
+            blend = jnp.dot(r3, wc3,
+                            preferred_element_type=jnp.float32)  # [h, w]
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0] = out_ref[0] + acc
@@ -356,17 +349,21 @@ def clahe_tpu(
 
     row_sel = jnp.asarray(_tile_membership(ph, t).T)         # [gy, ph]
     col_sel = jnp.asarray(_tile_membership(pw, t))           # [pw, gx]
+    # bf16-split interpolation constants for the exact concat matmuls
+    # (see _bf16_split / the remap loop)
     w_row = jnp.asarray(_interp_matrix(ph, t).T)             # [ph, gy]
+    wr_hi, wr_lo = _bf16_split(w_row)
+    wr4 = jnp.concatenate([wr_hi, wr_hi, wr_lo, wr_lo], axis=1)
     w_col = jnp.asarray(_interp_matrix(pw, t))               # [gx, pw]
-    w_col_hi = w_col.astype(jnp.bfloat16).astype(jnp.float32)
-    w_col_lo = w_col - w_col_hi
+    wc_hi, wc_lo = _bf16_split(w_col)
+    wc3 = jnp.concatenate([wc_hi, wc_lo, wc_hi], axis=0)
 
     def _const_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_clahe_kernel, h=ph, w=pw, t=t,
-                               nbins=nbins, exact=clahe_precision())
+                               nbins=nbins)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -376,9 +373,8 @@ def clahe_tpu(
                          memory_space=pltpu.VMEM),
             _const_spec(row_sel.shape),
             _const_spec(col_sel.shape),
-            _const_spec(w_row.shape),
-            _const_spec(w_col_hi.shape),
-            _const_spec(w_col_lo.shape),
+            _const_spec(wr4.shape),
+            _const_spec(wc3.shape),
         ],
         out_specs=pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -390,7 +386,7 @@ def clahe_tpu(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
-    )(clip_arr, xp, row_sel, col_sel, w_row, w_col_hi, w_col_lo)
+    )(clip_arr, xp, row_sel, col_sel, wr4, wc3)
     return out[:, :h, :w]
 
 
@@ -518,17 +514,17 @@ def _tile_hist_nibble(xp: jnp.ndarray, t: int, nbins: int) -> jnp.ndarray:
     return hist.reshape(n, gy, gx, nbins).transpose(0, 1, 3, 2)
 
 
-def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_hi_ref, w_col_lo_ref,
+def _clahe_remap_kernel(x_ref, lutwin_ref, wc3_ref,
                         w_row_ref, out_ref, *,
-                        t: int, w: int, nbins: int, gx: int,
-                        exact: bool):
+                        t: int, w: int, nbins: int, gx: int):
     """Grid (N, gy): remap one band through its 3-tile-row LUT window.
 
     ``lutwin_ref`` [1, 1, 3, nbins, gx] carries the (clamped) LUT rows
     g−1, g, g+1.  Within band g, pixel row r uses tile rows y0 ∈ {g−1, g}
     and y1 ∈ {g, g+1} with hat weights; expressed as two constant [t, 3]
-    row-interpolation matrices folded into one.  ``w_col_hi/lo`` are the
-    bf16x3 split of the column-interpolation matrix (see remap loop).
+    row-interpolation matrices folded into one.  ``wc3_ref`` is the
+    concatenated bf16-split of the column-interpolation matrix
+    (_bf16_split; see the whole-image remap loop).
     """
     band = x_ref[0, 0]
     q = jnp.minimum((band * nbins).astype(jnp.int32), nbins - 1)
@@ -557,19 +553,10 @@ def _clahe_remap_kernel(x_ref, lutwin_ref, w_col_hi_ref, w_col_lo_ref,
             rows = (w_row[:, 0:1] * lut3[0][None, :]
                     + w_row[:, 1:2] * lut3[1][None, :]
                     + w_row[:, 2:3] * lut3[2][None, :])       # [t, gx]
-            if exact:
-                r_hi = rows.astype(jnp.bfloat16).astype(jnp.float32)
-                r_lo = rows - r_hi
-                blend = (jnp.dot(r_hi, w_col_hi_ref[:],
-                                 preferred_element_type=jnp.float32)
-                         + jnp.dot(r_hi, w_col_lo_ref[:],
-                                   preferred_element_type=jnp.float32)
-                         + jnp.dot(r_lo, w_col_hi_ref[:],
-                                   preferred_element_type=jnp.float32))
-            else:
-                blend = jnp.dot(rows,
-                                w_col_hi_ref[:] + w_col_lo_ref[:],
-                                preferred_element_type=jnp.float32)
+            r_hi, r_lo = _bf16_split(rows)
+            r3 = jnp.concatenate([r_hi, r_hi, r_lo], axis=1)  # [t, 3·gx]
+            blend = jnp.dot(r3, wc3_ref[:],
+                            preferred_element_type=jnp.float32)
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0, 0] = out_ref[0, 0] + acc
@@ -619,11 +606,11 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
     win = jnp.stack([lut_pad[:, i:i + gy] for i in range(3)], axis=2)
 
     w_col = jnp.asarray(_interp_matrix(pw, t))
-    w_col_hi = w_col.astype(jnp.bfloat16).astype(jnp.float32)
-    w_col_lo = w_col - w_col_hi
+    wc_hi, wc_lo = _bf16_split(w_col)
+    wc3 = jnp.concatenate([wc_hi, wc_lo, wc_hi], axis=0)
     out = pl.pallas_call(
         functools.partial(_clahe_remap_kernel, t=t, w=pw, nbins=nbins,
-                          gx=gx, exact=clahe_precision()),
+                          gx=gx),
         grid=(n, gy),
         in_specs=[
             pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
@@ -631,9 +618,7 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
             pl.BlockSpec((1, 1, 3, nbins, gx),
                          lambda i, g: (i, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gx, pw), lambda i, g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gx, pw), lambda i, g: (0, 0),
+            pl.BlockSpec((3 * gx, pw), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, 3), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -642,7 +627,7 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, gy, t, pw), jnp.float32),
         interpret=interpret,
-    )(xb, win, w_col_hi, w_col_lo,
+    )(xb, win, wc3,
       jnp.asarray(_banded_row_weights(t)))
     return out.reshape(n, ph, pw)
 

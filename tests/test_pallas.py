@@ -776,34 +776,35 @@ class TestSweptPlatformGuard:
         assert not PK._platform_checked
 
 
-class TestClahePrecisionKnob:
-    """MDX_CLAHE_PRECISION: exact (default, bf16x3 remap — golden
-    parity on the real backend) vs fast (opt-in single-pass bf16,
-    measured ≤4e-3 deviation; docs/PERF.md round-5 record)."""
+class TestBf16Split:
+    """The concat-bf16-split machinery behind the exact CLAHE remap
+    (round-5 precision incident; docs/PERF.md): hi is bf16-exact, the
+    parts sum back exactly, and the split remap matches the XLA
+    lowering in interpret mode (the real-backend certificate is
+    tools/parity_sweep.py)."""
 
-    def test_default_exact_and_validation(self, monkeypatch):
-        from mdx.ops import pallas_kernels as PK
+    def test_split_identity_and_bf16_exactness(self):
+        import jax.numpy as jnp
 
-        monkeypatch.delenv("MDX_CLAHE_PRECISION", raising=False)
-        assert PK.clahe_precision() is True
-        monkeypatch.setenv("MDX_CLAHE_PRECISION", "fast")
-        assert PK.clahe_precision() is False
-        monkeypatch.setenv("MDX_CLAHE_PRECISION", "exact")
-        assert PK.clahe_precision() is True
-        monkeypatch.setenv("MDX_CLAHE_PRECISION", "fats")
-        with pytest.raises(ValueError, match="MDX_CLAHE_PRECISION"):
-            PK.clahe_precision()
+        from mdx.ops.pallas_kernels import _bf16_split
 
-    @pytest.mark.parametrize("mode", ["exact", "fast"])
-    def test_interpret_parity_both_modes(self, monkeypatch, mode):
-        """In interpret mode (f32 matmuls throughout) both modes match
-        the XLA lowering — the knob only matters on the real MXU."""
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.random((64, 128), np.float32))
+        hi, lo = _bf16_split(a)
+        np.testing.assert_array_equal(np.asarray(hi + lo),
+                                      np.asarray(a))
+        # hi survives a bf16 round-trip unchanged (its products on the
+        # MXU's DEFAULT bf16 pass are therefore exact)
+        np.testing.assert_array_equal(
+            np.asarray(hi),
+            np.asarray(hi.astype(jnp.bfloat16).astype(jnp.float32)))
+
+    def test_interpret_parity(self):
         import jax.numpy as jnp
 
         from mdx.ops import pallas_kernels as PK
         from mdx.ops.clahe import clahe_xla
 
-        monkeypatch.setenv("MDX_CLAHE_PRECISION", mode)
         rng = np.random.default_rng(3)
         x = jnp.asarray(rng.random((2, 64, 64), np.float32))
         got = PK.clahe_tpu(x, jnp.float32(0.02), 16, 256,
