@@ -17,8 +17,8 @@ import zlib
 
 import numpy as np
 
-from mdx.io.dicom import (TS_DEFLATED_LE, TS_EXPLICIT_LE, TS_JPEG_LL_SV1,
-                          TS_JPEG_LS, TS_RLE)
+from mdx.io.dicom import (TS_DEFLATED_LE, TS_EXPLICIT_LE, TS_J2K_LOSSLESS,
+                          TS_JPEG_LL_SV1, TS_JPEG_LS, TS_RLE)
 
 _SOP_CLASS_SC = "1.2.840.10008.5.1.4.1.1.7"  # Secondary Capture
 
@@ -57,7 +57,8 @@ def write_dicom(
 ) -> str:
     """Write ``pixels`` (uint8/uint16/int16 2-D or [F,H,W] 3-D) to *path*."""
     if transfer_syntax not in (TS_EXPLICIT_LE, TS_RLE, TS_DEFLATED_LE,
-                               TS_JPEG_LL_SV1, TS_JPEG_LS):
+                               TS_JPEG_LL_SV1, TS_JPEG_LS,
+                               TS_J2K_LOSSLESS):
         raise ValueError(f"unsupported transfer syntax {transfer_syntax!r}")
     pixels = np.ascontiguousarray(pixels)
     if pixels.dtype == np.uint8:
@@ -108,6 +109,9 @@ def write_dicom(
         body += _encapsulated_jpegll(pixels.reshape(frames, rows, cols), bits)
     elif transfer_syntax == TS_JPEG_LS:
         body += _encapsulated_jpegls(pixels.reshape(frames, rows, cols), bits)
+    elif transfer_syntax == TS_J2K_LOSSLESS:
+        body += _encapsulated_jpeg2k(pixels.reshape(frames, rows, cols),
+                                     bits, signed)
     else:
         pixel_bytes = pixels.astype(pixels.dtype.newbyteorder("<")).tobytes()
         body += _el(0x7FE0, 0x0010, b"OW" if bits == 16 else b"OB",
@@ -186,6 +190,31 @@ def _encapsulated_jpegls(frames_arr: np.ndarray, bits: int) -> bytes:
     for frame in frames_arr:
         u = (frame.astype(np.int64) & ((1 << bits) - 1)).astype(np.uint16)
         frag = jpegls.encode(u, precision=bits)
+        if len(frag) % 2:
+            frag += b"\x00"
+        out.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag)
+    out.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    return b"".join(out)
+
+
+def _encapsulated_jpeg2k(frames_arr: np.ndarray, bits: int,
+                         signed: bool) -> bytes:
+    """[F, H, W] → encapsulated JPEG 2000 Lossless PixelData bytes.
+
+    Unlike the JPEG-LL/LS convention, J2K codes signedness in the
+    codestream itself (SIZ sign flag, no DC shift for signed data), and
+    the reader cross-checks it against PixelRepresentation
+    (mdx/io/dicom.py:_decode_jpeg2k)."""
+    from mdx.io import jpeg2k
+
+    out = [struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF),
+           struct.pack("<HHI", 0xFFFE, 0xE000, 0)]  # empty offset table
+    for frame in frames_arr:
+        if signed:
+            frag = jpeg2k.encode(frame.astype(np.int16), signed=True)
+        else:
+            dt = np.uint8 if bits == 8 else np.uint16
+            frag = jpeg2k.encode(frame.astype(dt))
         if len(frag) % 2:
             frag += b"\x00"
         out.append(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag)

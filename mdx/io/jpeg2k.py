@@ -2,10 +2,12 @@
 
 From-the-standard (ISO/IEC 15444-1) implementation; the reference cannot
 read these syntaxes at all (plain pydicom, no plugins — ref
-pipeline/dicom_io.py:29-45).  Decode-only by design, like the other lossy
-codecs in this io layer: writing lossy medical images is deliberately
-unsupported, and archive normalisation routes through
-``mdx.io.transcode`` into lossless targets.
+pipeline/dicom_io.py:29-45).  Decode covers the full `.4.90`/`.4.91`
+surface below; WRITE support covers `.4.90` only (reversible 5/3,
+:func:`encode`) — writing lossy medical images is deliberately
+unsupported, like the other lossy codecs in this io layer, and archive
+normalisation routes through ``mdx.io.transcode`` into lossless targets
+(`--to j2k` included).
 
 Implemented surface:
 
@@ -1594,3 +1596,554 @@ def decode(stream: bytes) -> Tuple[np.ndarray, int, bool]:
     if ncomp == 1:
         return outs[0].astype(dtype), depth, signed_any
     return np.stack(outs, axis=-1).astype(dtype), depth, signed_any
+
+
+# ---------------------------------------------------------------------------
+# Encoder — `.4.90` (reversible 5/3, single tile, one layer, LRCP)
+# ---------------------------------------------------------------------------
+# Write support mirrors the other lossless codecs in this io layer
+# (JPEG-LL/JPEG-LS): grayscale, 8/16-bit, signed or unsigned, lossless
+# only (the decode-only stance covers the lossy syntaxes).  The encoder
+# exists for the writer/transcoder (`mdx.io.dicom_write`,
+# `mdx.io.transcode --to j2k`) and as the local fuzz round-trip source;
+# conformance is proven by decoding its output with BOTH this module's
+# decoder (bit-exact) and Pillow/OpenJPEG (independent implementation)
+# in tests/test_dicom_jpeg2k.py.
+
+
+class _MQEncoder:
+    """Annex C MQ encoder (software conventions)."""
+
+    __slots__ = ("out", "a", "c", "ct", "b")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.b = -1      # pending byte (-1 = none yet)
+
+    def _byteout(self):
+        if self.b == 0xFF:
+            self._emit(self.c >> 20)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        else:
+            if self.c < 0x8000000:
+                self._emit(self.c >> 19)
+                self.c &= 0x7FFFF
+                self.ct = 8
+            else:
+                self.b += 1
+                self.out[-1] = self.b
+                if self.b == 0xFF:
+                    self.c &= 0x7FFFFFF
+                    self._emit(self.c >> 20)
+                    self.c &= 0xFFFFF
+                    self.ct = 7
+                else:
+                    self._emit(self.c >> 19)
+                    self.c &= 0x7FFFF
+                    self.ct = 8
+
+    def _emit(self, byte):
+        self.b = byte & 0xFF
+        self.out.append(self.b)
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF if False else self.a << 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: list, d: int):
+        i, mps = cx
+        qe, nmps, nlps, switch = _MQ_TABLE[i]
+        if d == mps:
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                cx[0] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx[1] = 1 - mps
+            cx[0] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS: pick the codeword in [C, C+A) whose low 16 bits are
+        # all ones — the decoder completes truncated codewords with
+        # 1-bits, so the tail must BE ones to stay inside the interval
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        # drop a trailing 0xFF (the decoder synthesises 1-bits past the
+        # end; ecosystem encoders do the same)
+        if self.out and self.out[-1] == 0xFF:
+            self.out.pop()
+        # the first pending-byte slot was a sentinel when b started -1:
+        # _emit appended real bytes only, so out is the codeword as-is
+        return bytes(self.out)
+
+
+class _HeaderWriter:
+    """Packet-header bit writer with 0xFF stuffing (B.10.1)."""
+
+    __slots__ = ("out", "buf", "cnt")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def bit(self, v: int):
+        limit = 7 if (self.out and self.out[-1] == 0xFF
+                      and self.cnt == 0) else 8
+        self.buf = (self.buf << 1) | (v & 1)
+        self.cnt += 1
+        if self.cnt == (7 if (self.out and self.out[-1] == 0xFF) else 8):
+            self.out.append(self.buf)
+            self.buf = 0
+            self.cnt = 0
+
+    def bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.bit((v >> k) & 1)
+
+    def align(self) -> bytes:
+        while self.cnt:
+            self.bit(0)
+        if self.out and self.out[-1] == 0xFF:
+            # a header cannot end on 0xFF: emit the stuffed 0-bit byte
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class _TagTreeEnc(_TagTree):
+    def encode(self, hw: _HeaderWriter, x: int, y: int, threshold: int):
+        stack = []
+        node = self._leaf(x, y)
+        while node is not None:
+            stack.append(node)
+            node = node.parent
+        low = 0
+        for node in reversed(stack):
+            if node.low < low:
+                node.low = low
+            while not node.known and node.low < threshold:
+                if node.low < node.value:
+                    hw.bit(0)
+                    node.low += 1
+                else:
+                    hw.bit(1)
+                    node.known = True
+            low = node.low
+
+    def set_value(self, x: int, y: int, v: int):
+        # propagate minima up the tree
+        node = self._leaf(x, y)
+        node.value = v
+        # parents hold the min of their children; recompute lazily by
+        # lowering parent values (they start at 0 == min for our use
+        # only if set before any encode; we set ALL leaves first, then
+        # fix parents)
+
+    def finalize_values(self):
+        """Recompute interior values as the min over children (call
+        after set_value on every leaf)."""
+        for lvl in range(len(self.nodes) - 2, -1, -1):
+            for node in self.nodes[lvl]:
+                node.value = 10 ** 9
+        # children of level l+1 point to parents in level l
+        for lvl in range(len(self.nodes) - 1, 0, -1):
+            for node in self.nodes[lvl]:
+                if node.parent is not None and \
+                        node.value < node.parent.value:
+                    node.parent.value = node.value
+
+
+def _fwd_1d_53(x: np.ndarray, i0: int, i1: int, axis: int) -> np.ndarray:
+    """5/3 forward lifting on [i0, i1) along ``axis`` — the exact
+    inverse of :func:`_sr_1d_53` (interleaved output, absolute-parity
+    low/high placement)."""
+    n = i1 - i0
+    if n == 1:
+        return x * 2 if i0 % 2 == 1 else x
+    x = np.moveaxis(x, axis, 0)
+    ext = x[_reflect(np.arange(-2, n + 2), n)]
+    off = i0 - 2
+    y = ext.copy()
+    # odd (high) first: Y(2n+1) = X(2n+1) − ⌊(X(2n) + X(2n+2))/2⌋
+    od0 = off + ((1 - off) % 2)
+    ods = np.arange(od0, i1 + 2, 2)
+    k = ods - off
+    k = k[(k >= 1) & (k + 1 < ext.shape[0])]
+    y[k] = ext[k] - ((ext[k - 1] + ext[k + 1]) >> 1)
+    # even (low): Y(2n) = X(2n) + ⌊(Y(2n−1) + Y(2n+1) + 2)/4⌋
+    ev0 = off + ((-off) % 2)
+    evs = np.arange(ev0, i1 + 1, 2)
+    k = evs - off
+    k = k[(k >= 1) & (k + 1 < ext.shape[0])]
+    y[k] = ext[k] + ((y[k - 1] + y[k + 1] + 2) >> 2)
+    return np.moveaxis(y[2:2 + n], 0, axis)
+
+
+def _forward_dwt_53(a: np.ndarray, x0: int, y0: int, levels: int):
+    """Forward reversible DWT → (ll, [(hl, lh, hh) per level, fine→coarse
+    reversed like the decoder expects], rects)."""
+    details = []
+    rects = []
+    cur = a
+    cx0, cy0 = x0, y0
+    cx1, cy1 = x0 + a.shape[1], y0 + a.shape[0]
+    for _ in range(levels):
+        rects.append(((cy0, cx0), (cy1, cx1)))
+        t = _fwd_1d_53(cur, cy0, cy1, axis=0)     # vertical
+        t = _fwd_1d_53(t, cx0, cx1, axis=1)       # horizontal
+        ys = np.arange(cy0, cy1)
+        xs = np.arange(cx0, cx1)
+        ey = ys % 2 == 0
+        ex = xs % 2 == 0
+        ll = t[np.ix_(ey, ex)]
+        hl = t[np.ix_(ey, ~ex)]
+        lh = t[np.ix_(~ey, ex)]
+        hh = t[np.ix_(~ey, ~ex)]
+        details.append((hl, lh, hh))
+        cur = ll
+        cx0, cy0 = _ceil_div(cx0, 2), _ceil_div(cy0, 2)
+        cx1, cy1 = _ceil_div(cx1, 2), _ceil_div(cy1, 2)
+    details.reverse()
+    rects.reverse()
+    return cur, details, rects
+
+
+def _t1_encode_block(vals: np.ndarray, btype: int) -> Tuple[bytes, int,
+                                                            int]:
+    """Encode one code-block's coefficients → (codeword bytes, numbps,
+    npasses).  Mirror image of :func:`_t1_decode_block` (no style
+    flags: plain MQ, one codeword segment)."""
+    h, w = vals.shape
+    mag = np.abs(vals.astype(np.int64))
+    neg = vals < 0
+    maxmag = int(mag.max()) if mag.size else 0
+    numbps = maxmag.bit_length()
+    if numbps == 0:
+        return b"", 0, 0
+
+    sig = np.zeros((h + 2, w + 2), np.uint8)
+    vis = np.zeros((h, w), np.uint8)
+    refined = np.zeros((h, w), np.uint8)
+    data = np.zeros((h, w), np.int32)   # decoder-visible signed value
+
+    if btype == 1:
+        sig_tab = _SIG_HL
+    elif btype == 3:
+        sig_tab = _SIG_HH
+    else:
+        sig_tab = _SIG_LL
+
+    enc = _MQEncoder()
+    cx = _fresh_contexts()
+
+    def neigh(x, y):
+        xs, ys = x + 1, y + 1
+        hc = int(sig[ys, xs - 1]) + int(sig[ys, xs + 1])
+        vc = int(sig[ys - 1, xs]) + int(sig[ys + 1, xs])
+        dc = (int(sig[ys - 1, xs - 1]) + int(sig[ys - 1, xs + 1])
+              + int(sig[ys + 1, xs - 1]) + int(sig[ys + 1, xs + 1]))
+        return hc, vc, dc
+
+    def sign_ctx(x, y):
+        xs, ys = x + 1, y + 1
+        hc = 0
+        if sig[ys, xs - 1]:
+            hc += -1 if (x > 0 and data[y, x - 1] < 0) else 1
+        if sig[ys, xs + 1]:
+            hc += -1 if (x < w - 1 and data[y, x + 1] < 0) else 1
+        hc = max(-1, min(1, hc))
+        vc = 0
+        if sig[ys - 1, xs]:
+            vc += -1 if (y > 0 and data[y - 1, x] < 0) else 1
+        if sig[ys + 1, xs]:
+            vc += -1 if (y < h - 1 and data[y + 1, x] < 0) else 1
+        vc = max(-1, min(1, vc))
+        return _SIGN_CTX[(hc, vc)]
+
+    def set_sig(x, y, bp):
+        one = 1 << bp
+        val = one | (one >> 1)
+        data[y, x] = -val if neg[y, x] else val
+        sig[y + 1, x + 1] = 1
+
+    def pass_sig(bp):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if sig[y + 1, x + 1]:
+                        continue
+                    hc, vc_, dc = neigh(x, y)
+                    if hc + vc_ + dc == 0:
+                        continue
+                    bit = int((mag[y, x] >> bp) & 1)
+                    ctx = int(sig_tab[min(hc, 2), min(vc_, 2),
+                                      min(dc, 4)])
+                    enc.encode(cx[ctx], bit)
+                    if bit:
+                        ci, xr = sign_ctx(x, y)
+                        enc.encode(cx[ci], int(neg[y, x]) ^ xr)
+                        set_sig(x, y, bp)
+                    vis[y, x] = 1
+
+    def pass_ref(bp):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not sig[y + 1, x + 1] or vis[y, x]:
+                        continue
+                    bit = int((mag[y, x] >> bp) & 1)
+                    if refined[y, x]:
+                        ctx = 16
+                    else:
+                        hc, vc_, dc = neigh(x, y)
+                        ctx = 15 if hc + vc_ + dc else 14
+                    enc.encode(cx[ctx], bit)
+                    refined[y, x] = 1
+                    vis[y, x] = 1
+
+    def pass_cleanup(bp):
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                y = y0
+                ylim = min(y0 + 4, h)
+                while y < ylim:
+                    if y == y0 and y0 + 4 <= h:
+                        ok = True
+                        for yy in range(y0, y0 + 4):
+                            if sig[yy + 1, x + 1] or vis[yy, x]:
+                                ok = False
+                                break
+                            hc, vc_, dc = neigh(x, yy)
+                            if hc + vc_ + dc:
+                                ok = False
+                                break
+                        if ok:
+                            hits = [yy for yy in range(y0, y0 + 4)
+                                    if (mag[yy, x] >> bp) & 1]
+                            if not hits:
+                                enc.encode(cx[_CTX_RL], 0)
+                                y = y0 + 4
+                                continue
+                            enc.encode(cx[_CTX_RL], 1)
+                            pos = hits[0] - y0
+                            enc.encode(cx[_CTX_UNI], (pos >> 1) & 1)
+                            enc.encode(cx[_CTX_UNI], pos & 1)
+                            y = y0 + pos
+                            ci, xr = sign_ctx(x, y)
+                            enc.encode(cx[ci], int(neg[y, x]) ^ xr)
+                            set_sig(x, y, bp)
+                            y += 1
+                            continue
+                    if sig[y + 1, x + 1] or vis[y, x]:
+                        y += 1
+                        continue
+                    bit = int((mag[y, x] >> bp) & 1)
+                    hc, vc_, dc = neigh(x, y)
+                    ctx = int(sig_tab[min(hc, 2), min(vc_, 2),
+                                      min(dc, 4)])
+                    enc.encode(cx[ctx], bit)
+                    if bit:
+                        ci, xr = sign_ctx(x, y)
+                        enc.encode(cx[ci], int(neg[y, x]) ^ xr)
+                        set_sig(x, y, bp)
+                    y += 1
+
+    npasses = 0
+    for p in range(3 * numbps - 2):
+        kind, bp = _pass_kind(p, numbps)
+        if kind == 0:
+            pass_sig(bp)
+        elif kind == 1:
+            pass_ref(bp)
+        else:
+            pass_cleanup(bp)
+            vis[:] = 0
+        npasses += 1
+    return enc.flush(), numbps, npasses
+
+
+def _enc_npasses(hw: _HeaderWriter, n: int):
+    """Inverse of _Decoder._read_passes."""
+    if n == 1:
+        hw.bit(0)
+    elif n == 2:
+        hw.bits(0b10, 2)
+    elif n <= 5:
+        hw.bits(0b11, 2)
+        hw.bits(n - 3, 2)
+    elif n <= 36:
+        hw.bits(0b1111, 4)
+        hw.bits(n - 6, 5)
+    else:
+        hw.bits(0b111111111, 9)
+        hw.bits(n - 37, 7)
+
+
+def encode(img: np.ndarray, signed: bool = False, levels: int = 5,
+           cb: int = 6) -> bytes:
+    """Encode a grayscale image as a `.4.90` reversible codestream
+    (single tile, one quality layer, LRCP, 5/3, code-blocks 2^cb).
+
+    ``img``: [H, W] integer array; ``signed`` selects the SIZ sign flag
+    and skips the DC level shift.  Depth is taken from the dtype
+    (uint8→8, else 16).  Lossless by construction — round-trip
+    bit-exactness is asserted against this module's decoder AND
+    Pillow/OpenJPEG in the tests.
+    """
+    if img.ndim != 2:
+        raise Jpeg2kError("Encoder takes a single [H, W] component.")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise Jpeg2kError("Empty image.")
+    depth = 8 if img.dtype.itemsize == 1 else 16
+    levels = max(0, min(int(levels), 32))
+    # keep every resolution non-empty (ceil(dim / 2^levels) ≥ 1 always
+    # holds, but tiny images waste levels): cap ~log2(min dim)
+    while levels > 0 and (h >> levels) == 0 and (w >> levels) == 0 \
+            and (1 << levels) > max(h, w):
+        levels -= 1
+
+    a = img.astype(np.int64)
+    if not signed:
+        a = a - (1 << (depth - 1))
+
+    ll, details, rects = _forward_dwt_53(a, 0, 0, levels)
+
+    # assemble per-resolution band list exactly like the decoder's
+    # geometry (single tile at origin ⇒ band rects from the same math)
+    dec_geo = _Cod(levels=levels, cbw=cb, cbh=cb, transform=1)
+    bands_per_res = []
+    for r in range(levels + 1):
+        s = 1 << (levels - r)
+        rx1, ry1 = _ceil_div(w, s), _ceil_div(h, s)
+        if r == 0:
+            bands_per_res.append([(0, ll)])
+        else:
+            hl, lh, hh = details[r - 1]
+            bands_per_res.append([(1, hl), (2, lh), (3, hh)])
+
+    guard = 2
+    gain = {0: 0, 1: 1, 2: 1, 3: 2}
+
+    # ---- markers ----------------------------------------------------
+    out = bytearray()
+    out += struct.pack(">H", _SOC)
+    out += struct.pack(">HH", _SIZ, 38 + 3)
+    out += struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, 1)
+    out += bytes(((depth - 1) | (0x80 if signed else 0), 1, 1))
+    cod_body = bytes((0,       # Scod: no precincts, no SOP/EPH
+                      0,))     # LRCP
+    cod_body += struct.pack(">H", 1)          # 1 layer
+    cod_body += bytes((0,      # no MCT
+                       levels, cb - 2, cb - 2,
+                       0,      # cb style: plain
+                       1))     # 5/3 reversible
+    out += struct.pack(">HH", _COD, 2 + len(cod_body)) + cod_body
+    # QCD: reversible style 0, exponent per band = depth + gain
+    exps = []
+    for r in range(levels + 1):
+        for btype, _arr in bands_per_res[r]:
+            exps.append(depth + gain[btype])
+    qcd_body = bytes([(guard << 5) | 0]) + bytes(e << 3 for e in exps)
+    out += struct.pack(">HH", _QCD, 2 + len(qcd_body)) + qcd_body
+
+    # ---- tile body: encode blocks, then LRCP packets (1 layer) ------
+    body = bytearray()
+    cbsz = 1 << cb
+    for r in range(levels + 1):
+        hwr = _HeaderWriter()
+        blocks_payloads = []
+        any_block = False
+        for btype, arr in bands_per_res[r]:
+            bh, bw = arr.shape
+            if bh == 0 or bw == 0:
+                continue
+            any_block = True
+        if not any_block:
+            body += hwr.align() if False else b"\x00"
+            continue
+        hwr.bit(1)  # non-empty packet
+        for btype, arr in bands_per_res[r]:
+            bh, bw = arr.shape
+            if bh == 0 or bw == 0:
+                continue
+            nby = _ceil_div(bh, cbsz)
+            nbx = _ceil_div(bw, cbsz)
+            itree = _TagTreeEnc(nbx, nby)
+            ztree = _TagTreeEnc(nbx, nby)
+            mb = guard + (depth + gain[btype]) - 1
+            blk_info = []
+            for gy in range(nby):
+                for gx in range(nbx):
+                    sub = arr[gy * cbsz:(gy + 1) * cbsz,
+                              gx * cbsz:(gx + 1) * cbsz]
+                    data_, numbps, npasses = _t1_encode_block(
+                        sub.astype(np.int64), btype)
+                    zbp = mb - numbps if numbps else mb
+                    blk_info.append((gx, gy, data_, numbps, npasses,
+                                     zbp))
+            for gx, gy, data_, numbps, npasses, zbp in blk_info:
+                # all-zero blocks are "not included in layer 0": the
+                # inclusion tag-tree value 1 exceeds the threshold
+                itree._leaf(gx, gy).value = 0 if npasses else 1
+                ztree._leaf(gx, gy).value = zbp
+            itree.finalize_values()
+            ztree.finalize_values()
+            for gx, gy, data_, numbps, npasses, zbp in blk_info:
+                itree.encode(hwr, gx, gy, 1)
+                if npasses == 0:
+                    continue                     # not included
+                # zero bitplanes: encode until known
+                t = 1
+                while not ztree._leaf(gx, gy).known:
+                    ztree.encode(hwr, gx, gy, t)
+                    t += 1
+                _enc_npasses(hwr, npasses)
+                lblock = 3
+                lenbits = lblock + _floor_log2(npasses)
+                while len(data_) >= (1 << lenbits):
+                    hwr.bit(1)
+                    lblock += 1
+                    lenbits += 1
+                hwr.bit(0)
+                hwr.bits(len(data_), lenbits)
+                blocks_payloads.append(data_)
+        body += hwr.align()
+        for p in blocks_payloads:
+            body += p
+
+    psot = 12 + 2 + len(body)
+    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
+    out += struct.pack(">H", _SOD)
+    out += body
+    out += struct.pack(">H", _EOC)
+    return bytes(out)

@@ -6,8 +6,8 @@ byte (private tags, sequences, unknown attributes included) — only the
 file meta's TransferSyntaxUID and the PixelData element change.  This is
 what the codecs exist for operationally: pull a lossy `.4.50` ultrasound
 or a plugin-hostile `.4.70` CT out of an archive and normalise it to
-Explicit-LE / RLE / JPEG-LL / JPEG-LS without touching the rest of the
-object.  (The reference has no counterpart — it cannot even read these
+Explicit-LE / RLE / JPEG-LL / JPEG-LS / JPEG 2000 Lossless without
+touching the rest of the object.  (The reference has no counterpart — it cannot even read these
 syntaxes; extension documented in PARITY.md.)
 
 Element fidelity rules:
@@ -78,6 +78,7 @@ TARGET_ALIASES = {
     "rle": TS_RLE,
     "jpeg-ll": TS_JPEG_LL_SV1,
     "jpeg-ls": TS_JPEG_LS,
+    "j2k": TS_J2K_LOSSLESS,
 }
 
 _LOSSY_TS = {TS_JPEG_BASELINE, TS_JPEG_EXTENDED, TS_JPEG_LS_NEAR}
@@ -185,6 +186,7 @@ def _undefined_un(tag: Tuple[int, int], raw_body: bytes) -> bytes:
 def _encode_pixels(ds, target_ts: str) -> bytes:
     """The replacement (7FE0,0010) element bytes for ``target_ts``."""
     from mdx.io.dicom_write import (
+        _encapsulated_jpeg2k,
         _encapsulated_jpegll,
         _encapsulated_jpegls,
         _encapsulated_rle,
@@ -215,6 +217,9 @@ def _encode_pixels(ds, target_ts: str) -> bytes:
         return _encapsulated_jpegll(stack, bits)
     if target_ts == TS_JPEG_LS:
         return _encapsulated_jpegls(stack, bits)
+    if target_ts == TS_J2K_LOSSLESS:
+        signed = (ds.get("PixelRepresentation", 0) or 0) == 1
+        return _encapsulated_jpeg2k(stack, bits, signed)
     raise DicomError(f"Unsupported transcode target {target_ts!r}.")
 
 
@@ -240,9 +245,9 @@ def transcode(src_path: str, dst_path: str, target_ts: str) -> str:
     non-pixel dataset elements are preserved (see module docstring)."""
     target_ts = TARGET_ALIASES.get(target_ts, target_ts)
     if target_ts not in (TS_EXPLICIT_LE, TS_DEFLATED_LE, TS_RLE,
-                         TS_JPEG_LL_SV1, TS_JPEG_LS):
+                         TS_JPEG_LL_SV1, TS_JPEG_LS, TS_J2K_LOSSLESS):
         if target_ts in _LOSSY_TS | {TS_JPEG_LL, TS_JPEG_LS_NEAR,
-                                     TS_J2K, TS_J2K_LOSSLESS}:
+                                     TS_J2K}:
             raise DicomError(
                 f"Refusing lossy/unwritable target {target_ts!r} "
                 "(decode-only stance for lossy syntaxes).")

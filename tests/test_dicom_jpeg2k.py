@@ -372,14 +372,27 @@ class TestDicomIntegration:
         np.testing.assert_array_equal(
             decode_pixels(read_dataset(dp)), a)
 
-    def test_j2k_target_refused(self, tmp_path):
+    def test_lossy_j2k_target_refused(self, tmp_path):
         img = np.zeros((8, 8), np.uint16)
         sp = write_dicom(str(tmp_path / "w.dcm"), img,
                          transfer_syntax=TS_EXPLICIT_LE)
         from mdx.io.transcode import transcode
 
         with pytest.raises(DicomError, match="lossy|unwritable"):
-            transcode(sp, str(tmp_path / "o.dcm"), TS_J2K_LOSSLESS)
+            transcode(sp, str(tmp_path / "o.dcm"), TS_J2K)
+
+    def test_lossless_j2k_target_works(self, tmp_path):
+        rng = np.random.default_rng(70)
+        img = rng.integers(0, 4096, (24, 32)).astype(np.uint16)
+        sp = write_dicom(str(tmp_path / "w.dcm"), img,
+                         transfer_syntax=TS_EXPLICIT_LE)
+        from mdx.io.transcode import transcode
+
+        dp = str(tmp_path / "o.dcm")
+        transcode(sp, dp, "j2k")
+        ds = read_dataset(dp)
+        assert ds.transfer_syntax == TS_J2K_LOSSLESS
+        np.testing.assert_array_equal(decode_pixels(ds), img)
 
 
 class TestNativeParity:
@@ -472,3 +485,103 @@ class TestFuzz:
                 jpeg2k.decode(bytes(t))
             except Jpeg2kError:
                 pass
+
+
+class TestEncoder:
+    """`.4.90` write support (reversible 5/3, single tile, LRCP):
+    lossless by construction, proven two ways — this module's decoder
+    round-trips bit-exactly AND OpenJPEG (an independent decoder)
+    reproduces the source from our codestream."""
+
+    @pytest.mark.parametrize("case", [
+        "gray8", "gray16", "odd", "flat", "zeros", "tiny", "cb16",
+        "levels0", "levels8"])
+    def test_dual_decoder_roundtrip(self, case):
+        rng = np.random.default_rng(len(case))
+        kw = {}
+        if case == "gray8":
+            img = _gray8(seed=1)
+        elif case == "gray16":
+            img = rng.integers(0, 4096, (48, 40)).astype(np.uint16)
+        elif case == "odd":
+            img = rng.integers(0, 255, (33, 47)).astype(np.uint8)
+        elif case == "flat":
+            img = np.full((64, 64), 200, np.uint8)
+        elif case == "zeros":
+            img = np.zeros((20, 28), np.uint8)
+        elif case == "tiny":
+            img = rng.integers(0, 255, (5, 3)).astype(np.uint8)
+        elif case == "cb16":
+            img = rng.integers(0, 255, (70, 54)).astype(np.uint8)
+            kw = dict(cb=4)
+        elif case == "levels0":
+            img = _gray8(seed=2)
+            kw = dict(levels=0)
+        else:
+            img = _gray8(seed=3)
+            kw = dict(levels=8)
+        s = jpeg2k.encode(img, **kw)
+        dec, p, sg = jpeg2k.decode(s)
+        np.testing.assert_array_equal(dec, img)
+        assert not sg
+        pil = _pil_dec(s)
+        np.testing.assert_array_equal(pil.astype(np.int64),
+                                      img.astype(np.int64))
+
+    def test_signed_roundtrip(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(-2048, 2048, (40, 56)).astype(np.int16)
+        s = jpeg2k.encode(img, signed=True)
+        dec, p, sg = jpeg2k.decode(s)
+        assert sg
+        np.testing.assert_array_equal(dec, img)
+
+    def test_mq_coder_fuzz(self):
+        """The MQ encoder/decoder pair round-trips random decision
+        sequences across all 19 contexts (the round-5 SETBITS flush bug
+        hit ~1% of random sequences in their final 1-4 decisions)."""
+        from mdx.io.jpeg2k import (
+            _fresh_contexts,
+            _MQDecoder,
+            _MQEncoder,
+        )
+
+        rng = np.random.default_rng(0)
+        for _ in range(250):
+            n = int(rng.integers(1, 400))
+            ctxs = rng.integers(0, 19, n)
+            bits = (rng.random(n) < rng.random()).astype(int)
+            enc = _MQEncoder()
+            cx = _fresh_contexts()
+            for c, b in zip(ctxs, bits):
+                enc.encode(cx[int(c)], int(b))
+            data = enc.flush()
+            dec = _MQDecoder(data)
+            cx2 = _fresh_contexts()
+            assert [dec.decode(cx2[int(c)]) for c in ctxs] == \
+                list(bits)
+
+    def test_image_fuzz_roundtrip(self):
+        rng = np.random.default_rng(5)
+        for _ in range(30):
+            h = int(rng.integers(1, 80))
+            w = int(rng.integers(1, 80))
+            depth = rng.choice([8, 16])
+            if depth == 8:
+                img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            else:
+                img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+            lv = int(rng.integers(0, 6))
+            s = jpeg2k.encode(img, levels=lv)
+            dec, _, _ = jpeg2k.decode(s)
+            np.testing.assert_array_equal(dec, img,
+                                          err_msg=f"{h}x{w}@{depth}")
+
+    def test_write_dicom_j2k(self, tmp_path):
+        rng = np.random.default_rng(12)
+        pix = rng.integers(-1000, 3000, (3, 24, 24)).astype(np.int16)
+        p = write_dicom(str(tmp_path / "w.dcm"), pix, signed=True,
+                        transfer_syntax=TS_J2K_LOSSLESS)
+        ds = read_dataset(p)
+        assert ds.transfer_syntax == TS_J2K_LOSSLESS
+        np.testing.assert_array_equal(decode_pixels(ds), pix)

@@ -17,6 +17,7 @@ import pytest
 
 from mdx.io.dicom import (
     TS_DEFLATED_LE,
+    TS_J2K_LOSSLESS,
     TS_EXPLICIT_LE,
     TS_JPEG_LL_SV1,
     TS_JPEG_LS,
@@ -31,7 +32,7 @@ from mdx.io.transcode import TARGET_ALIASES, transcode
 
 _SRC_TS = {"explicit-le": TS_EXPLICIT_LE, "rle": TS_RLE,
            "jpeg-ll": TS_JPEG_LL_SV1, "jpeg-ls": TS_JPEG_LS,
-           "deflated": TS_DEFLATED_LE}
+           "deflated": TS_DEFLATED_LE, "j2k": TS_J2K_LOSSLESS}
 
 
 @pytest.fixture()
