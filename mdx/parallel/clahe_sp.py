@@ -120,7 +120,11 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from mdx.ops.pallas_kernels import _banded_row_weights, _clahe_remap_kernel
+    from mdx.ops.pallas_kernels import (
+        _banded_row_weights,
+        _bf16_split,
+        _clahe_remap_kernel,
+    )
 
     n, hs, ws = xp.shape
     gy, gx = hs // t, ws // t
@@ -129,6 +133,11 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
     lut_t = lut_ext.transpose(0, 1, 3, 2)             # [N, gy+2, nbins, gxe]
     win = jnp.stack([lut_t[:, i:i + gy] for i in range(3)], axis=2)
     xb = xp.reshape(n, gy, t, ws)
+    # concat-bf16-split column matrix, as in the dense banded kernel
+    # (exact f32 remap on the real backend; round-5 precision incident)
+    w_col = jnp.asarray(_interp_matrix_ext(ws, t))
+    wc_hi, wc_lo = _bf16_split(w_col)
+    wc3 = jnp.concatenate([wc_hi, wc_lo, wc_hi], axis=0)
 
     out = pl.pallas_call(
         functools.partial(_clahe_remap_kernel, t=t, w=ws, nbins=nbins,
@@ -140,7 +149,7 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
             pl.BlockSpec((1, 1, 3, nbins, gxe),
                          lambda i, g: (i, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((gxe, ws), lambda i, g: (0, 0),
+            pl.BlockSpec((3 * gxe, ws), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t, 3), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -149,8 +158,7 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, gy, t, ws), jnp.float32),
         interpret=interpret,
-    )(xb, win, jnp.asarray(_interp_matrix_ext(ws, t)),
-      jnp.asarray(_banded_row_weights(t)))
+    )(xb, win, wc3, jnp.asarray(_banded_row_weights(t)))
     return out.reshape(n, hs, ws)
 
 
