@@ -1717,10 +1717,9 @@ class _HeaderWriter:
         self.cnt = 0
 
     def bit(self, v: int):
-        limit = 7 if (self.out and self.out[-1] == 0xFF
-                      and self.cnt == 0) else 8
         self.buf = (self.buf << 1) | (v & 1)
         self.cnt += 1
+        # a byte following 0xFF carries only 7 bits (stuffed MSB 0)
         if self.cnt == (7 if (self.out and self.out[-1] == 0xFF) else 8):
             self.out.append(self.buf)
             self.buf = 0

@@ -184,6 +184,21 @@ def _interp_matrix(n_pix: int, t: int) -> np.ndarray:
     return m
 
 
+def clahe_precision(impl: str | None = None) -> bool:
+    """True (default) = exact concat-bf16-split remap matmuls; False =
+    the opt-in single-pass bf16 remap (``MDX_CLAHE_PRECISION=fast``).
+
+    Exactness is effectively free for the whole-image kernel (≤7%), but
+    the banded >1024² class is MXU-MAC-bound and the 3× contraction
+    costs ~4× there (16×2048²: ~25 ms relaxed vs 106.8 exact — config 2
+    at batch 64: 848.9 ms exact vs ~530 relaxed; docs/PERF.md).  The
+    fast mode's measured deviation bound is ≤4e-3 (≈1 gray level of
+    256) vs the XLA lowering; defaults stay exact — golden parity is
+    the invariant (CLAUDE.md), the knob mirrors MDX_TV_MODE."""
+    mode = _impl_mode("MDX_CLAHE_PRECISION", impl, ("exact", "fast"))
+    return mode != "fast"
+
+
 def _bf16_split(a):
     """(hi, lo) with hi = bf16-rounded(a), lo = the f32 residual: both
     parts are exactly representable in bf16's mantissa budget relative
@@ -207,7 +222,8 @@ def _bf16_split(a):
 
 def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, wr4_ref,
                   wc3_ref, out_ref, hist_ref,
-                  lut_ref, *, h: int, w: int, t: int, nbins: int):
+                  lut_ref, *, h: int, w: int, t: int, nbins: int,
+                  exact: bool):
     """One image per grid step; everything stays in VMEM.
 
     clip_ref: SMEM [N] per-image clip limits (traced — sweeps don't
@@ -299,15 +315,26 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, wr4_ref,
             # The histogram dots above stay plain DEFAULT: 0/1
             # matrices × 0/1 masks accumulate exact integer counts
             # ≤ t² even with bf16 inputs.
-            lb_hi, lb_lo = _bf16_split(lb)
-            lb4 = jnp.concatenate([lb_hi, lb_lo, lb_hi, lb_lo],
-                                  axis=0)                    # [4·gy, gx]
-            rows = jnp.dot(wr4, lb4,
-                           preferred_element_type=jnp.float32)  # [h, gx]
-            r_hi, r_lo = _bf16_split(rows)
-            r3 = jnp.concatenate([r_hi, r_hi, r_lo], axis=1)  # [h, 3·gx]
-            blend = jnp.dot(r3, wc3,
-                            preferred_element_type=jnp.float32)  # [h, w]
+            if exact:
+                lb_hi, lb_lo = _bf16_split(lb)
+                lb4 = jnp.concatenate([lb_hi, lb_lo, lb_hi, lb_lo],
+                                      axis=0)                # [4·gy, gx]
+                rows = jnp.dot(wr4, lb4,
+                               preferred_element_type=jnp.float32)
+                r_hi, r_lo = _bf16_split(rows)
+                r3 = jnp.concatenate([r_hi, r_hi, r_lo],
+                                     axis=1)                 # [h, 3·gx]
+                blend = jnp.dot(r3, wc3,
+                                preferred_element_type=jnp.float32)
+            else:
+                # MDX_CLAHE_PRECISION=fast: single-pass bf16 remap,
+                # unsplit weights recovered from the split blocks
+                wr = wr4[:, :gy] + wr4[:, 2 * gy:3 * gy]
+                wc = wc3[:gx] + wc3[gx:2 * gx]
+                rows = jnp.dot(wr, lb,
+                               preferred_element_type=jnp.float32)
+                blend = jnp.dot(rows, wc,
+                                preferred_element_type=jnp.float32)
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0] = out_ref[0] + acc
@@ -363,7 +390,7 @@ def clahe_tpu(
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_clahe_kernel, h=ph, w=pw, t=t,
-                               nbins=nbins)
+                               nbins=nbins, exact=clahe_precision())
     out = pl.pallas_call(
         kernel,
         grid=(n,),
@@ -515,79 +542,111 @@ def _tile_hist_nibble(xp: jnp.ndarray, t: int, nbins: int) -> jnp.ndarray:
 
 
 def _clahe_remap_kernel(x_ref, lutwin_ref, wc3_ref,
-                        w_row_ref, out_ref, *,
-                        t: int, w: int, nbins: int, gx: int):
-    """Grid (N, gy): remap one band through its 3-tile-row LUT window.
+                        wr4_ref, out_ref, *,
+                        R: int, w: int, nbins: int, gx: int, nw: int,
+                        exact: bool):
+    """Grid (N, gy/B): remap B tile-rows (R = B·t pixel rows) through
+    their (B+2)-row LUT window.
 
-    ``lutwin_ref`` [1, 1, 3, nbins, gx] carries the (clamped) LUT rows
-    g−1, g, g+1.  Within band g, pixel row r uses tile rows y0 ∈ {g−1, g}
-    and y1 ∈ {g, g+1} with hat weights; expressed as two constant [t, 3]
-    row-interpolation matrices folded into one.  ``wc3_ref`` is the
-    concatenated bf16-split of the column-interpolation matrix
-    (_bf16_split; see the whole-image remap loop).
+    ``lutwin_ref`` [1, 1, nw, nbins, gx] carries the (edge-clamped) LUT
+    rows g0−1 … g0+B; within the step, pixel row r interpolates between
+    window rows via the constant block-banded matrix behind ``wr4_ref``.
+    Processing B tile-rows per step puts M = R on the matmuls — the
+    round-5 M=t kernel fed the 128-row MXU 16-row operands and ran
+    MAC-bound at ~30% utilisation on 2048² slices; B=8/16 measured
+    2.1× faster (226.9 → 105.8 ms at 16×2048², docs/PERF.md).
+
+    Both remap contractions are concat-bf16-split DEFAULT matmuls
+    (_bf16_split): ``wr4_ref`` [R, 4·nw] = [hi | hi | lo | lo] row
+    weights (all four product blocks → exact), ``wc3_ref`` [3·gx, w] =
+    [hi ; lo ; hi] column weights (drops lo·lo ≤ 2e-5).
     """
     band = x_ref[0, 0]
     q = jnp.minimum((band * nbins).astype(jnp.int32), nbins - 1)
+    wr4 = wr4_ref[:]
+    wc3 = wc3_ref[:]
 
-    w_row = w_row_ref[:]                                      # [t, 3]
-
-    # 16-bin unroll, as in the whole-image kernel: one [t, w] accumulator
-    # read-modify-write per group instead of per bin (disjoint q == b
-    # terms → grouping the adds is bit-exact)
+    # 16-bin unroll: one [R, w] accumulator read-modify-write per group
+    # instead of per bin (disjoint q == b terms → grouping is bit-exact)
     _REMAP_UNROLL = 16
 
     def body(b0, _):
         acc = None
         for j in range(_REMAP_UNROLL):
             b = b0 * _REMAP_UNROLL + j
-            lut3 = lutwin_ref[0, 0, :, b, :]                  # [3, gx]
-            # real-valued weights/LUTs: bf16 DEFAULT matmul precision
-            # deviates ~4e-3 on the real backend (parity_sweep round 5).
-            # The K=3 contraction expands to three broadcast
-            # multiply-adds — exact f32 on the VPU; the wide second dot
-            # uses a hand-rolled bf16x3 split (Mosaic rejects HIGH and
-            # crashes on HIGHEST at this [t, gx]×[gx, w] shape): split
-            # operands into bf16-exact hi + residual lo parts, three
-            # DEFAULT matmuls with lossless bf16 products and f32
-            # accumulation recover ~1e-7 f32 fidelity.
-            rows = (w_row[:, 0:1] * lut3[0][None, :]
-                    + w_row[:, 1:2] * lut3[1][None, :]
-                    + w_row[:, 2:3] * lut3[2][None, :])       # [t, gx]
-            r_hi, r_lo = _bf16_split(rows)
-            r3 = jnp.concatenate([r_hi, r_hi, r_lo], axis=1)  # [t, 3·gx]
-            blend = jnp.dot(r3, wc3_ref[:],
-                            preferred_element_type=jnp.float32)
+            lutw = lutwin_ref[0, 0, :, b, :]                  # [nw, gx]
+            if exact:
+                lw_hi, lw_lo = _bf16_split(lutw)
+                lut4 = jnp.concatenate([lw_hi, lw_lo, lw_hi, lw_lo],
+                                       axis=0)                # [4·nw, gx]
+                rows = jnp.dot(wr4, lut4,
+                               preferred_element_type=jnp.float32)
+                r_hi, r_lo = _bf16_split(rows)
+                r3 = jnp.concatenate([r_hi, r_hi, r_lo],
+                                     axis=1)                  # [R, 3·gx]
+                blend = jnp.dot(r3, wc3,
+                                preferred_element_type=jnp.float32)
+            else:
+                # MDX_CLAHE_PRECISION=fast: single-pass bf16 remap
+                wr = wr4[:, :nw] + wr4[:, 2 * nw:3 * nw]
+                wc = wc3[:gx] + wc3[gx:2 * gx]
+                rows = jnp.dot(wr, lutw,
+                               preferred_element_type=jnp.float32)
+                blend = jnp.dot(rows, wc,
+                                preferred_element_type=jnp.float32)
             term = jnp.where(q == b, blend, 0.0)
             acc = term if acc is None else acc + term
         out_ref[0, 0] = out_ref[0, 0] + acc
         return 0
 
-    out_ref[0, 0] = jnp.zeros((t, w), jnp.float32)
+    out_ref[0, 0] = jnp.zeros((R, w), jnp.float32)
     jax.lax.fori_loop(0, nbins // _REMAP_UNROLL, body, 0)
 
 
-def _banded_row_weights(t: int) -> np.ndarray:
-    """[t, 3] hat weights of band-local rows onto LUT rows (g−1, g, g+1):
-    f = (i+0.5)/t − 0.5; top tile g+floor(f) with weight 1−frac(f)."""
-    i = np.arange(t)
-    f = (i + 0.5) / t - 0.5
-    up = np.floor(f).astype(int)
-    wgt = (f - up).astype(np.float32)
-    wr = np.zeros((t, 3), np.float32)
-    wr[i, up + 1] += 1.0 - wgt
-    wr[i, up + 2] += wgt
+def _banded_row_weights(t: int, b: int = 1) -> np.ndarray:
+    """[b·t, b+2] hat weights of step-local pixel rows onto the step's
+    LUT window rows (g0−1 … g0+b): within tile-row kk, local row i has
+    f = (i+0.5)/t − 0.5 and interpolates window rows kk+1+⌊f⌋ and the
+    next with weights 1−frac(f), frac(f)."""
+    R = b * t
+    wr = np.zeros((R, b + 2), np.float32)
+    for r in range(R):
+        kk, i = divmod(r, t)
+        f = (i + 0.5) / t - 0.5
+        up = int(np.floor(f))
+        wgt = np.float32(f - up)
+        wr[r, kk + 1 + up] += np.float32(1.0) - wgt
+        wr[r, kk + 2 + up] += wgt
     return wr
+
+
+def _concat_split_rows(w: np.ndarray) -> jnp.ndarray:
+    """[R, K] f32 weights → [R, 4K] = [hi | hi | lo | lo] for the exact
+    bf16x4 concat matmul (_bf16_split)."""
+    a = jnp.asarray(w)
+    hi, lo = _bf16_split(a)
+    return jnp.concatenate([hi, hi, lo, lo], axis=1)
 
 
 def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
                   nbins: int, interpret: bool) -> jnp.ndarray:
-    """Two-phase CLAHE: XLA nibble per-tile hist → XLA clip/CDF → per-band
-    remap kernel with a 3-row LUT window.  Handles slices whose whole-image
-    state would not fit VMEM (e.g. 2048² CXR batches, BASELINE config 2)."""
+    """Two-phase CLAHE: XLA nibble per-tile hist → XLA clip/CDF →
+    multi-tile-row remap kernel with a (B+2)-row LUT window.  Handles
+    slices whose whole-image state would not fit VMEM (e.g. 2048² CXR
+    batches, BASELINE config 2).  B = largest power of two ≤ 16
+    dividing the tile-row count (measured plateau B=8…16 at 2048²;
+    larger B also grows the per-step VMEM ask)."""
     n, ph, pw = xp.shape
     gy, gx = ph // t, pw // t
+    B = 1
+    for cand in (16, 8, 4, 2):
+        if gy % cand == 0:
+            B = cand
+            break
+    steps = gy // B
+    nw = B + 2
 
-    xb = xp.reshape(n, gy, t, pw)
+    xb = xp.reshape(n, steps, B * t, pw)
     hists = _tile_hist_nibble(xp, t, nbins)                   # [N,gy,nbins,gx]
 
     # clip + redistribute + CDF + normalise (tiny: [N, gy, nbins, gx])
@@ -600,35 +659,42 @@ def _clahe_banded(xp: jnp.ndarray, clip_arr: jnp.ndarray, t: int,
     total = cdf[:, :, -1:, :]
     lut = (cdf - cdf0) / jnp.maximum(total - cdf0, 1e-12)    # [N,gy,nbins,gx]
 
-    # 3-row sliding windows with edge clamping: [N, gy, 3, nbins, gx]
+    # per-step (B+2)-row windows with edge clamping
     lut_pad = jnp.concatenate(
         [lut[:, :1], lut, lut[:, -1:]], axis=1)               # [N, gy+2, ...]
-    win = jnp.stack([lut_pad[:, i:i + gy] for i in range(3)], axis=2)
+    win = jnp.stack([lut_pad[:, s * B:s * B + nw]
+                     for s in range(steps)], axis=1)
+    # [N, steps, nw, nbins, gx]
 
     w_col = jnp.asarray(_interp_matrix(pw, t))
     wc_hi, wc_lo = _bf16_split(w_col)
     wc3 = jnp.concatenate([wc_hi, wc_lo, wc_hi], axis=0)
+    wr4 = _concat_split_rows(_banded_row_weights(t, B))
     out = pl.pallas_call(
-        functools.partial(_clahe_remap_kernel, t=t, w=pw, nbins=nbins,
-                          gx=gx),
-        grid=(n, gy),
+        functools.partial(_clahe_remap_kernel, R=B * t, w=pw,
+                          nbins=nbins, gx=gx, nw=nw,
+                          exact=clahe_precision()),
+        grid=(n, steps),
         in_specs=[
-            pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
+            pl.BlockSpec((1, 1, B * t, pw), lambda i, g: (i, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, nbins, gx),
+            pl.BlockSpec((1, 1, nw, nbins, gx),
                          lambda i, g: (i, g, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * gx, pw), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 3), lambda i, g: (0, 0),
+            pl.BlockSpec((B * t, 4 * nw), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, pw), lambda i, g: (i, g, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, B * t, pw),
+                               lambda i, g: (i, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, gy, t, pw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, steps, B * t, pw),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
-    )(xb, win, wc3,
-      jnp.asarray(_banded_row_weights(t)))
+    )(xb, win, wc3, wr4)
     return out.reshape(n, ph, pw)
 
 

@@ -121,9 +121,12 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
     from jax.experimental.pallas import tpu as pltpu
 
     from mdx.ops.pallas_kernels import (
+        _SCOPED_VMEM_BYTES,
         _banded_row_weights,
         _bf16_split,
         _clahe_remap_kernel,
+        _concat_split_rows,
+        clahe_precision,
     )
 
     n, hs, ws = xp.shape
@@ -133,15 +136,18 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
     lut_t = lut_ext.transpose(0, 1, 3, 2)             # [N, gy+2, nbins, gxe]
     win = jnp.stack([lut_t[:, i:i + gy] for i in range(3)], axis=2)
     xb = xp.reshape(n, gy, t, ws)
-    # concat-bf16-split column matrix, as in the dense banded kernel
-    # (exact f32 remap on the real backend; round-5 precision incident)
+    # concat-bf16-split weight matrices, as in the dense banded kernel
+    # (exact f32 remap on the real backend; round-5 precision incident).
+    # Shard blocks stay at B=1 (one tile-row per step): the multi-row
+    # win applies to tall dense slices, not thin halo-extended shards.
     w_col = jnp.asarray(_interp_matrix_ext(ws, t))
     wc_hi, wc_lo = _bf16_split(w_col)
     wc3 = jnp.concatenate([wc_hi, wc_lo, wc_hi], axis=0)
+    wr4 = _concat_split_rows(_banded_row_weights(t, 1))
 
     out = pl.pallas_call(
-        functools.partial(_clahe_remap_kernel, t=t, w=ws, nbins=nbins,
-                          gx=gxe),
+        functools.partial(_clahe_remap_kernel, R=t, w=ws, nbins=nbins,
+                          gx=gxe, nw=3, exact=clahe_precision()),
         grid=(n, gy),
         in_specs=[
             pl.BlockSpec((1, 1, t, ws), lambda i, g: (i, g, 0, 0),
@@ -151,14 +157,16 @@ def _remap_ext_pallas(xp: jnp.ndarray, lut_ext: jnp.ndarray, t: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * gxe, ws), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 3), lambda i, g: (0, 0),
+            pl.BlockSpec((t, 12), lambda i, g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, t, ws), lambda i, g: (i, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, gy, t, ws), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_BYTES),
         interpret=interpret,
-    )(xb, win, wc3, jnp.asarray(_banded_row_weights(t)))
+    )(xb, win, wc3, wr4)
     return out.reshape(n, hs, ws)
 
 

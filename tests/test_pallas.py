@@ -812,3 +812,41 @@ class TestBf16Split:
         want = clahe_xla(x, jnp.float32(0.02), 16, 256)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+class TestClahePrecisionKnob:
+    """MDX_CLAHE_PRECISION: exact (default — concat-bf16-split remap,
+    golden parity on the real backend) vs fast (opt-in single-pass bf16,
+    measured ≤4e-3 deviation; the banded >1024² class is MAC-bound and
+    exactness costs ~4× there — docs/PERF.md round-5 record)."""
+
+    def test_default_exact_and_validation(self, monkeypatch):
+        from mdx.ops import pallas_kernels as PK
+
+        monkeypatch.delenv("MDX_CLAHE_PRECISION", raising=False)
+        assert PK.clahe_precision() is True
+        monkeypatch.setenv("MDX_CLAHE_PRECISION", "fast")
+        assert PK.clahe_precision() is False
+        monkeypatch.setenv("MDX_CLAHE_PRECISION", "exact")
+        assert PK.clahe_precision() is True
+        monkeypatch.setenv("MDX_CLAHE_PRECISION", "fats")
+        with pytest.raises(ValueError, match="MDX_CLAHE_PRECISION"):
+            PK.clahe_precision()
+
+    @pytest.mark.parametrize("mode", ["exact", "fast"])
+    def test_interpret_parity_both_modes(self, monkeypatch, mode):
+        """In interpret mode (f32 matmuls throughout) both modes match
+        the XLA lowering — the knob only matters on the real MXU."""
+        import jax.numpy as jnp
+
+        from mdx.ops import pallas_kernels as PK
+        from mdx.ops.clahe import clahe_xla
+
+        monkeypatch.setenv("MDX_CLAHE_PRECISION", mode)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((2, 64, 64), np.float32))
+        got = PK.clahe_tpu(x, jnp.float32(0.02), 16, 256,
+                           interpret=True)
+        want = clahe_xla(x, jnp.float32(0.02), 16, 256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
