@@ -1524,6 +1524,18 @@ def _map_parallel(fn, items: list) -> list:
         return list(ex.map(fn, items))
 
 
+def _t1_enc_block(vals: np.ndarray, btype: int):
+    """Native/Python dispatch for the Tier-1 encoder."""
+    try:
+        from mdx.io import native
+
+        if native.available() and hasattr(native, "jpeg2k_t1_encode"):
+            return native.jpeg2k_t1_encode(vals, btype)
+    except Exception:
+        pass
+    return _t1_encode_block(vals, btype)
+
+
 def _t1_block(chunks, btype, mb, zbp, total, w, h,
               cb_style) -> np.ndarray:
     nat = _native()
@@ -2105,7 +2117,7 @@ def encode(img: np.ndarray, signed: bool = False, levels: int = 5,
                 for gx in range(nbx):
                     sub = arr[gy * cbsz:(gy + 1) * cbsz,
                               gx * cbsz:(gx + 1) * cbsz]
-                    data_, numbps, npasses = _t1_encode_block(
+                    data_, numbps, npasses = _t1_enc_block(
                         sub.astype(np.int64), btype)
                     zbp = mb - numbps if numbps else mb
                     blk_info.append((gx, gy, data_, numbps, npasses,

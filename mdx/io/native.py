@@ -152,6 +152,12 @@ def _load() -> ctypes.CDLL:
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_void_p]
             lib.mdxio_jpeg2k_t1.restype = ctypes.c_int64
+            lib.mdxio_jpeg2k_t1_enc.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.mdxio_jpeg2k_t1_enc.restype = ctypes.c_int64
         except AttributeError as exc:
             # stale library from an older source revision (and no
             # toolchain to rebuild it) — degrade to the Python paths
@@ -474,3 +480,29 @@ def jpeg2k_t1_block(chunks, btype: int, mb: int, zbp: int, total: int,
     if rc != 0:
         raise Jpeg2kError(f"native Tier-1 error {rc}")
     return out
+
+
+def jpeg2k_t1_encode(vals: np.ndarray, btype: int):
+    """Native EBCOT Tier-1 code-block ENCODE — byte-identical codewords
+    to mdx/io/jpeg2k.py::_t1_encode_block (the parity oracle).
+    Returns (bytes, numbps, npasses)."""
+    lib = _load()
+    h, w = vals.shape
+    v = vals.astype(np.int64)
+    mag = np.abs(v).astype(np.int32)
+    neg = (v < 0).astype(np.uint8)
+    mag = np.ascontiguousarray(mag)
+    neg = np.ascontiguousarray(neg)
+    cap = int(h * w * 8 + 4096)
+    out = np.empty(cap, np.uint8)
+    numbps = ctypes.c_int32()
+    npasses = ctypes.c_int32()
+    rc = lib.mdxio_jpeg2k_t1_enc(
+        mag.ctypes.data_as(ctypes.c_void_p),
+        neg.ctypes.data_as(ctypes.c_void_p),
+        w, h, btype,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        ctypes.byref(numbps), ctypes.byref(npasses))
+    if rc < 0:
+        raise RuntimeError("native Tier-1 encode overflow")
+    return bytes(out[:rc]), int(numbps.value), int(npasses.value)

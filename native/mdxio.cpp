@@ -1572,3 +1572,337 @@ int64_t mdxio_jpeg2k_t1(const uint8_t *seg_data, const int64_t *seg_lens,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG 2000 EBCOT Tier-1 ENCODER — the serial hot loop of
+// mdx/io/jpeg2k.py::_t1_encode_block (the `.4.90` writer).  Mirrors the
+// Python coder exactly: same pass traversal, contexts, and Annex C MQ
+// encoder (SETBITS flush sets the codeword tail to ones; trailing 0xFF
+// dropped) — output bytes are bit-identical to the Python oracle
+// (asserted in tests).  Returns the byte length, or -1 if the output
+// capacity would overflow (caller sizes generously).
+// ---------------------------------------------------------------------------
+
+namespace j2k {
+
+struct MqEnc {
+  uint8_t *out;
+  int64_t cap, n;
+  int64_t b;  // last byte value or -1
+  uint32_t a, c;
+  int32_t ct;
+  bool overflow;
+
+  void init(uint8_t *buf, int64_t capacity) {
+    out = buf;
+    cap = capacity;
+    n = 0;
+    b = -1;
+    a = 0x8000;
+    c = 0;
+    ct = 12;
+    overflow = false;
+  }
+
+  void emit(uint32_t byte) {
+    b = byte & 0xFF;
+    if (n >= cap) {
+      overflow = true;
+      return;
+    }
+    out[n++] = static_cast<uint8_t>(b);
+  }
+
+  void byteout() {
+    if (b == 0xFF) {
+      emit(c >> 20);
+      c &= 0xFFFFF;
+      ct = 7;
+    } else {
+      if (c < 0x8000000u) {
+        emit(c >> 19);
+        c &= 0x7FFFF;
+        ct = 8;
+      } else {
+        b += 1;
+        if (n > 0) out[n - 1] = static_cast<uint8_t>(b);
+        if (b == 0xFF) {
+          c &= 0x7FFFFFF;
+          emit(c >> 20);
+          c &= 0xFFFFF;
+          ct = 7;
+        } else {
+          emit(c >> 19);
+          c &= 0x7FFFF;
+          ct = 8;
+        }
+      }
+    }
+  }
+
+  void renorm() {
+    do {
+      if (ct == 0) byteout();
+      a <<= 1;
+      c <<= 1;
+      --ct;
+    } while (!(a & 0x8000));
+  }
+
+  void encode(Ctx &cx, int ci, int d) {
+    const MqState &st = kMq[cx.idx[ci]];
+    const uint32_t qe = st.qe;
+    if (d == cx.mps[ci]) {
+      a -= qe;
+      if (!(a & 0x8000)) {
+        if (a < qe)
+          a = qe;
+        else
+          c += qe;
+        cx.idx[ci] = st.nmps;
+        renorm();
+      } else {
+        c += qe;
+      }
+    } else {
+      a -= qe;
+      if (a < qe)
+        c += qe;
+      else
+        a = qe;
+      if (st.sw) cx.mps[ci] = 1 - cx.mps[ci];
+      cx.idx[ci] = st.nlps;
+      renorm();
+    }
+  }
+
+  int64_t flush() {
+    const uint32_t tempc = c + a;
+    c |= 0xFFFF;
+    if (c >= tempc) c -= 0x8000;
+    c <<= ct;
+    byteout();
+    c <<= ct;
+    byteout();
+    if (n > 0 && out[n - 1] == 0xFF) --n;
+    return overflow ? -1 : n;
+  }
+};
+
+struct T1Enc {
+  int32_t w, h, btype;
+  std::vector<uint8_t> sig, vis, refined;
+  std::vector<int32_t> data;
+  const int32_t *mag;
+  const uint8_t *neg;
+  Ctx cx;
+  MqEnc mq;
+
+  T1Enc(int32_t w_, int32_t h_, int32_t bt, const int32_t *mag_,
+        const uint8_t *neg_)
+      : w(w_), h(h_), btype(bt), sig((h_ + 2) * (w_ + 2), 0),
+        vis(h_ * w_, 0), refined(h_ * w_, 0), data(h_ * w_, 0),
+        mag(mag_), neg(neg_) {
+    cx.reset();
+  }
+
+  inline uint8_t s_at(int x, int y) const {
+    return sig[(y + 1) * (w + 2) + (x + 1)];
+  }
+  inline void s_set(int x, int y) { sig[(y + 1) * (w + 2) + (x + 1)] = 1; }
+
+  inline void neigh(int x, int y, int *hc, int *vc, int *dc) const {
+    *hc = s_at(x - 1, y) + s_at(x + 1, y);
+    *vc = s_at(x, y - 1) + s_at(x, y + 1);
+    *dc = s_at(x - 1, y - 1) + s_at(x + 1, y - 1) + s_at(x - 1, y + 1) +
+          s_at(x + 1, y + 1);
+  }
+
+  inline int sig_ctx(int hc, int vc, int dc) const {
+    if (hc > 2) hc = 2;
+    if (vc > 2) vc = 2;
+    if (dc > 4) dc = 4;
+    if (btype == 1) return kSig.hl[hc][vc][dc];
+    if (btype == 3) return kSig.hh[hc][vc][dc];
+    return kSig.ll[hc][vc][dc];
+  }
+
+  inline void sign_ctx(int x, int y, int *ci, int *xr) const {
+    int hc = 0, vc = 0;
+    if (s_at(x - 1, y)) hc += (x > 0 && data[y * w + x - 1] < 0) ? -1 : 1;
+    if (s_at(x + 1, y)) hc += (x < w - 1 && data[y * w + x + 1] < 0) ? -1 : 1;
+    if (hc < -1) hc = -1;
+    if (hc > 1) hc = 1;
+    if (s_at(x, y - 1)) vc += (y > 0 && data[(y - 1) * w + x] < 0) ? -1 : 1;
+    if (s_at(x, y + 1)) vc += (y < h - 1 && data[(y + 1) * w + x] < 0) ? -1 : 1;
+    if (vc < -1) vc = -1;
+    if (vc > 1) vc = 1;
+    *ci = kSignCtx[hc + 1][vc + 1];
+    *xr = kSignXor[hc + 1][vc + 1];
+  }
+
+  inline void set_sig(int x, int y, int bp) {
+    const int32_t one = 1 << bp;
+    const int32_t val = one | (one >> 1);
+    data[y * w + x] = neg[y * w + x] ? -val : val;
+    s_set(x, y);
+  }
+
+  void pass_sig(int bp) {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; ++x) {
+        const int ylim = (y0 + 4 < h) ? y0 + 4 : h;
+        for (int y = y0; y < ylim; ++y) {
+          if (s_at(x, y)) continue;
+          int hc, vc, dc;
+          neigh(x, y, &hc, &vc, &dc);
+          if (hc + vc + dc == 0) continue;
+          const int bit = (mag[y * w + x] >> bp) & 1;
+          mq.encode(cx, sig_ctx(hc, vc, dc), bit);
+          if (bit) {
+            int ci, xr;
+            sign_ctx(x, y, &ci, &xr);
+            mq.encode(cx, ci, (neg[y * w + x] ? 1 : 0) ^ xr);
+            set_sig(x, y, bp);
+          }
+          vis[y * w + x] = 1;
+        }
+      }
+  }
+
+  void pass_ref(int bp) {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; ++x) {
+        const int ylim = (y0 + 4 < h) ? y0 + 4 : h;
+        for (int y = y0; y < ylim; ++y) {
+          const int i = y * w + x;
+          if (!s_at(x, y) || vis[i]) continue;
+          const int bit = (mag[i] >> bp) & 1;
+          int ci;
+          if (refined[i]) {
+            ci = 16;
+          } else {
+            int hc, vc, dc;
+            neigh(x, y, &hc, &vc, &dc);
+            ci = (hc + vc + dc) ? 15 : 14;
+          }
+          mq.encode(cx, ci, bit);
+          refined[i] = 1;
+          vis[i] = 1;
+        }
+      }
+  }
+
+  void pass_cleanup(int bp) {
+    for (int y0 = 0; y0 < h; y0 += 4)
+      for (int x = 0; x < w; ++x) {
+        int y = y0;
+        const int ylim = (y0 + 4 < h) ? y0 + 4 : h;
+        while (y < ylim) {
+          if (y == y0 && y0 + 4 <= h) {
+            bool ok = true;
+            for (int yy = y0; yy < y0 + 4; ++yy) {
+              if (s_at(x, yy) || vis[yy * w + x]) {
+                ok = false;
+                break;
+              }
+              int hc, vc, dc;
+              neigh(x, yy, &hc, &vc, &dc);
+              if (hc + vc + dc) {
+                ok = false;
+                break;
+              }
+            }
+            if (ok) {
+              int first = -1;
+              for (int yy = y0; yy < y0 + 4; ++yy)
+                if ((mag[yy * w + x] >> bp) & 1) {
+                  first = yy;
+                  break;
+                }
+              if (first < 0) {
+                mq.encode(cx, kCtxRl, 0);
+                y = y0 + 4;
+                continue;
+              }
+              mq.encode(cx, kCtxRl, 1);
+              const int pos = first - y0;
+              mq.encode(cx, kCtxUni, (pos >> 1) & 1);
+              mq.encode(cx, kCtxUni, pos & 1);
+              y = first;
+              int ci, xr;
+              sign_ctx(x, y, &ci, &xr);
+              mq.encode(cx, ci, (neg[y * w + x] ? 1 : 0) ^ xr);
+              set_sig(x, y, bp);
+              ++y;
+              continue;
+            }
+          }
+          if (s_at(x, y) || vis[y * w + x]) {
+            ++y;
+            continue;
+          }
+          const int bit = (mag[y * w + x] >> bp) & 1;
+          int hc, vc, dc;
+          neigh(x, y, &hc, &vc, &dc);
+          mq.encode(cx, sig_ctx(hc, vc, dc), bit);
+          if (bit) {
+            int ci, xr;
+            sign_ctx(x, y, &ci, &xr);
+            mq.encode(cx, ci, (neg[y * w + x] ? 1 : 0) ^ xr);
+            set_sig(x, y, bp);
+          }
+          ++y;
+        }
+      }
+  }
+};
+
+}  // namespace j2k
+
+extern "C" {
+
+// Encode one code-block's coefficients (mag = |v|, neg = sign bits).
+// out must hold at least `cap` bytes.  Writes *numbps/*npasses; returns
+// the codeword byte length, 0 for an all-zero block, or -1 on overflow.
+int64_t mdxio_jpeg2k_t1_enc(const int32_t *mag, const uint8_t *neg,
+                            int32_t w, int32_t h, int32_t btype,
+                            uint8_t *out, int64_t cap,
+                            int32_t *numbps_out, int32_t *npasses_out) {
+  int32_t maxmag = 0;
+  const int64_t total = static_cast<int64_t>(w) * h;
+  for (int64_t i = 0; i < total; ++i)
+    if (mag[i] > maxmag) maxmag = mag[i];
+  int numbps = 0;
+  while ((1 << numbps) <= maxmag) ++numbps;
+  *numbps_out = numbps;
+  if (numbps == 0) {
+    *npasses_out = 0;
+    return 0;
+  }
+  j2k::T1Enc t1(w, h, btype, mag, neg);
+  t1.mq.init(out, cap);
+  const int npasses = 3 * numbps - 2;
+  for (int p = 0; p < npasses; ++p) {
+    int kind, bp;
+    if (p == 0) {
+      kind = 2;
+      bp = numbps - 1;
+    } else {
+      kind = (p - 1) % 3;
+      bp = numbps - 2 - (p - 1) / 3;
+    }
+    if (kind == 0)
+      t1.pass_sig(bp);
+    else if (kind == 1)
+      t1.pass_ref(bp);
+    else {
+      t1.pass_cleanup(bp);
+      std::fill(t1.vis.begin(), t1.vis.end(), 0);
+    }
+  }
+  *npasses_out = npasses;
+  return t1.mq.flush();
+}
+
+}  // extern "C"

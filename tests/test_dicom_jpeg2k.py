@@ -585,3 +585,59 @@ class TestEncoder:
         ds = read_dataset(p)
         assert ds.transfer_syntax == TS_J2K_LOSSLESS
         np.testing.assert_array_equal(decode_pixels(ds), pix)
+
+
+class TestEncoderNativeParity:
+    """The C Tier-1 encoder emits BYTE-IDENTICAL codewords to the
+    Python oracle (512² encode 13035 → 306 ms, 43×)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from mdx.io import native
+        try:
+            native._load()
+        except native.NativeUnavailable:
+            pytest.skip("native library not built")
+        if not hasattr(native, "jpeg2k_t1_encode"):
+            pytest.skip("stale native module")
+
+    @pytest.mark.parametrize("case", ["noise8", "noise16", "smooth",
+                                      "sparse", "allzero", "thin"])
+    def test_block_bytes_identical(self, case):
+        from mdx.io import native
+        from mdx.io.jpeg2k import _t1_encode_block
+
+        rng = np.random.default_rng(hash(case) % 1000)
+        if case == "noise8":
+            v = rng.integers(-255, 256, (64, 64))
+        elif case == "noise16":
+            v = rng.integers(-65535, 65536, (64, 64))
+        elif case == "smooth":
+            v = (20 * np.sin(np.arange(64 * 64).reshape(64, 64)
+                             / 97.0)).astype(int)
+        elif case == "sparse":
+            v = np.zeros((64, 64), int)
+            idx = rng.integers(0, 64, (2, 30))
+            v[idx[0], idx[1]] = rng.integers(-1000, 1000, 30)
+        elif case == "allzero":
+            v = np.zeros((32, 32), int)
+        else:
+            v = rng.integers(-100, 100, (64, 3))
+        v = v.astype(np.int64)
+        for btype in (0, 1, 3):
+            py = _t1_encode_block(v, btype)
+            nat = native.jpeg2k_t1_encode(v, btype)
+            assert py == nat, f"{case} btype={btype}"
+
+    def test_full_encode_bytes_identical(self, monkeypatch):
+        """Whole-image encode byte-for-byte equal with native forced
+        off (the packet/codestream layers are shared Python)."""
+        from mdx.io import jpeg2k as J
+
+        img = _gray8(seed=88, shape=(70, 54))
+        s_nat = J.encode(img)
+        monkeypatch.setattr(
+            J, "_t1_enc_block",
+            lambda vals, btype: J._t1_encode_block(vals, btype))
+        s_py = J.encode(img)
+        assert s_nat == s_py
