@@ -21,6 +21,7 @@ from typing import Any
 import numpy as np
 
 from mdx.pipeline.schemas import EnhancementParams, EnhancementPlan, IterationRecord
+from mdx.ops.tv import resolve_tv_mode
 
 
 # Conservative-to-assertive grid over the parameters that move the
@@ -89,6 +90,7 @@ def autotune(
         return jnp.asarray(np.array([c[key] for c in cands], dtype))
 
     static = PlanStatic(ops=ops, tile_size=tile_size, bilateral_d=0,
+                        tv_mode=resolve_tv_mode(),
                         plan_order=ops)
     dyn = PlanDynamic(
         clahe_clip_limit=vec("clahe_clip_limit"),
@@ -176,6 +178,7 @@ def autotune_batch(
         return jnp.asarray(np.tile(per_img, n))
 
     static = PlanStatic(ops=ops, tile_size=tile_size, bilateral_d=0,
+                        tv_mode=resolve_tv_mode(),
                         plan_order=ops)
     dyn = PlanDynamic(
         clahe_clip_limit=vec("clahe_clip_limit"),

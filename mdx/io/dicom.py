@@ -467,21 +467,33 @@ def _map_frames(fn, items: list) -> list:
         return list(ex.map(fn, items))
 
 
+# per-codec frame-start prefixes for fragment grouping.  They must be
+# codec-specific: FF 4F can legally appear inside JPEG-LS bit-stuffed
+# entropy data (any byte with MSB 0 may follow FF), so splitting JLS
+# fragments on the J2K SOC would false-split spanning frames; FF D8
+# can never follow FF inside JPEG-family entropy data, making it safe
+# for those codecs.
+_FRAME_PREFIXES = {
+    "jpeg": (b"\xff\xd8",),
+    "jpeg2k": (b"\xff\x4f", b"\x00\x00\x00\x0cjP\x20\x20"),
+}
+
+
 def _group_frame_streams(fragments: list, frames: int,
-                         codec: str) -> list:
+                         codec: str, kind: str = "jpeg") -> list:
     """Fragment → frame grouping (PS3.5 A.4: a frame may span fragments):
     one-fragment-per-frame when the counts match, otherwise a single
     frame owns every fragment, otherwise fragments are grouped on their
-    start prefix (JPEG-family codestreams start FF D8; JPEG 2000 starts
+    codec-specific start prefix (``kind``: JPEG-family FF D8; JPEG 2000
     SOC FF 4F or the JP2 signature box)."""
     if len(fragments) == frames:
         return [bytes(f) for f in fragments]
     if frames == 1:
         return [b"".join(fragments)]
+    prefixes = _FRAME_PREFIXES[kind]
 
     def _starts(frag: bytes) -> bool:
-        return (frag[:2] == b"\xff\xd8" or frag[:2] == b"\xff\x4f"
-                or frag[:8] == b"\x00\x00\x00\x0cjP")
+        return any(frag[:len(p)] == p for p in prefixes)
 
     streams, cur = [], []
     for frag in fragments:
@@ -597,7 +609,8 @@ def _decode_jpeg2k(fragments: list, rows: int, cols: int, samples: int,
         raise DicomError(
             f"JPEG 2000 carries at most 16 bits here "
             f"(BitsAllocated={bits}).")
-    streams = _group_frame_streams(fragments, frames, "JPEG 2000")
+    streams = _group_frame_streams(fragments, frames, "JPEG 2000",
+                                   kind="jpeg2k")
 
     def _one(stream: bytes) -> np.ndarray:
         try:

@@ -63,6 +63,9 @@ def write_dicom(
     pixels = np.ascontiguousarray(pixels)
     if pixels.dtype == np.uint8:
         bits = 8
+    elif pixels.dtype == np.int8:
+        bits = 8
+        signed = True
     elif pixels.dtype in (np.uint16, np.int16):
         bits = 16
         signed = signed or pixels.dtype == np.int16
@@ -211,7 +214,11 @@ def _encapsulated_jpeg2k(frames_arr: np.ndarray, bits: int,
            struct.pack("<HHI", 0xFFFE, 0xE000, 0)]  # empty offset table
     for frame in frames_arr:
         if signed:
-            frag = jpeg2k.encode(frame.astype(np.int16), signed=True)
+            # depth follows the container: int8 keeps an 8-bit SIZ (a
+            # 16-bit codestream in a BitsAllocated=8 container would be
+            # refused by the reader's p > bits check)
+            dt = np.int8 if bits == 8 else np.int16
+            frag = jpeg2k.encode(frame.astype(dt), signed=True)
         else:
             dt = np.uint8 if bits == 8 else np.uint16
             frag = jpeg2k.encode(frame.astype(dt))

@@ -1066,6 +1066,8 @@ class _Decoder:
             if self.cod is None:
                 raise Jpeg2kError("COC before COD.")
             big = len(self.comps) > 256
+            if len(body) < (8 if big else 7):
+                raise Jpeg2kError("Truncated COC segment.")
             c = _u16(body, 0) if big else body[0]
             rest = body[2:] if big else body[1:]
             scoc = rest[0]
@@ -1076,6 +1078,8 @@ class _Decoder:
             transform = rest[5]
             prec = None
             if scoc & 0x01:
+                if len(rest) < 7 + levels:
+                    raise Jpeg2kError("Truncated COC precinct list.")
                 prec = [(b & 0x0F, b >> 4)
                         for b in rest[6:7 + levels]]
             base = self.cod
@@ -1088,6 +1092,8 @@ class _Decoder:
             self.qcd = _parse_qcd(body)
         elif marker == _QCC:
             big = len(self.comps) > 256
+            if len(body) < (4 if big else 2):
+                raise Jpeg2kError("Truncated QCC segment.")
             c = _u16(body, 0) if big else body[0]
             rest = body[2:] if big else body[1:]
             self.qccs[c] = _parse_qcd(rest)
@@ -1666,7 +1672,7 @@ class _MQEncoder:
         while True:
             if self.ct == 0:
                 self._byteout()
-            self.a = (self.a << 1) & 0xFFFF if False else self.a << 1
+            self.a <<= 1
             self.c <<= 1
             self.ct -= 1
             if self.a & 0x8000:
@@ -1769,15 +1775,6 @@ class _TagTreeEnc(_TagTree):
                     hw.bit(1)
                     node.known = True
             low = node.low
-
-    def set_value(self, x: int, y: int, v: int):
-        # propagate minima up the tree
-        node = self._leaf(x, y)
-        node.value = v
-        # parents hold the min of their children; recompute lazily by
-        # lowering parent values (they start at 0 == min for our use
-        # only if set before any encode; we set ALL leaves first, then
-        # fix parents)
 
     def finalize_values(self):
         """Recompute interior values as the min over children (call
@@ -2100,7 +2097,7 @@ def encode(img: np.ndarray, signed: bool = False, levels: int = 5,
                 continue
             any_block = True
         if not any_block:
-            body += hwr.align() if False else b"\x00"
+            body += b"\x00"     # empty packet: single 0 header bit
             continue
         hwr.bit(1)  # non-empty packet
         for btype, arr in bands_per_res[r]:

@@ -235,6 +235,10 @@ def _color_conformance(ds) -> str:
         return ""           # already describes full interleaved samples
     if pm == "YBR_FULL_422":
         return "YBR_FULL"   # chroma upsampled to 4:4:4, range unchanged
+    if pm in ("YBR_RCT", "YBR_ICT"):
+        # JPEG 2000 color: the decoder inverts the MCT, so the
+        # replacement pixels are RGB samples
+        return "RGB"
     raise DicomError(
         f"Color source with PhotometricInterpretation={pm!r} cannot be "
         "re-written conformantly as interleaved 4:4:4 samples.")

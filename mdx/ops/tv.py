@@ -26,6 +26,20 @@ TV_MODES: dict[str, tuple[float, int]] = {
 }
 
 
+def resolve_tv_mode(tv_mode: "str | None" = None) -> str:
+    """The effective TV mode: an explicit argument wins, else the
+    ``MDX_TV_MODE`` env knob, else reference parity.  Validates so a
+    typo'd env var fails loudly at plan lowering — shared by EVERY
+    PlanStatic construction site (schemas, autotune, spatial plan) so
+    the opt-in knob cannot be silently ignored on some path."""
+    import os
+
+    if tv_mode is None:
+        tv_mode = os.environ.get("MDX_TV_MODE", "ref").strip().lower()
+    tv_mode_params(tv_mode)  # validate
+    return tv_mode
+
+
 def tv_mode_params(mode: str) -> tuple[float, int]:
     """(eps, max_iter) for a TV mode name; unknown names raise (the knob
     is trace-time-only — a typo silently keeping the default would be

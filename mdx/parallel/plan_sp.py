@@ -46,6 +46,7 @@ from mdx.parallel._spmd_stats import (
 )
 from mdx.parallel.clahe_sp import clahe_sharded
 from mdx.parallel.tv_sp import tv_sharded
+from mdx.ops.tv import resolve_tv_mode
 from mdx.parallel.wavelet_sp import (
     denoise_wavelet_sharded,
     light_denoise_sharded,
@@ -333,6 +334,7 @@ def autotune_spatial(
     cands = candidate_grid(issues)
     x = jnp.asarray(image, jnp.float32)[None]
     static = PlanStatic(ops=ops, tile_size=tile_size, bilateral_d=0,
+                        tv_mode=resolve_tv_mode(),
                         plan_order=ops)
     scores, ssims, psnrs, qis = [], [], [], []
     best_i, best_score, best_enhanced = -1, -np.inf, None

@@ -113,14 +113,10 @@ class EnhancementPlan(BaseModel):
         falls back to the ``MDX_TV_MODE`` env knob.  Validated here so a
         typo'd env var fails loudly at lowering, not silently at dispatch.
         """
-        import os
-
         from mdx.core.enhance import PlanDynamic, PlanStatic
-        from mdx.ops.tv import tv_mode_params
+        from mdx.ops.tv import resolve_tv_mode
 
-        if tv_mode is None:
-            tv_mode = os.environ.get("MDX_TV_MODE", "ref").strip().lower()
-        tv_mode_params(tv_mode)  # validate
+        tv_mode = resolve_tv_mode(tv_mode)
         p = self.params.clamped()
         ops = tuple(self.normalized_ops())
         static = PlanStatic(

@@ -22,6 +22,7 @@ from typing import Any
 import numpy as np
 
 from mdx.pipeline import storage
+from mdx.ops.tv import resolve_tv_mode
 
 logger = logging.getLogger(__name__)
 
@@ -197,6 +198,7 @@ def run_pipeline_spatial(
             frame, issues_list, mesh, ops=ops, tile_size=t)
         p = best_plan.params
         static = PlanStatic(ops=ops, tile_size=t, bilateral_d=0,
+                            tv_mode=resolve_tv_mode(),
                             plan_order=ops)
         dyn = PlanDynamic(
             clahe_clip_limit=p.clahe_clip_limit, gamma=p.gamma,

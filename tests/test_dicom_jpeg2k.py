@@ -641,3 +641,92 @@ class TestEncoderNativeParity:
             lambda vals, btype: J._t1_encode_block(vals, btype))
         s_py = J.encode(img)
         assert s_nat == s_py
+
+
+class TestReviewRegressions:
+    """Round-5 self-review findings (code-review pass over the round
+    diff) — each pinned here."""
+
+    def test_jp2_wrapped_multiframe_fragment_grouping(self, tmp_path):
+        """JP2-box-wrapped frames with MORE fragments than frames must
+        group on the (full 8-byte) JP2 signature — the first cut of the
+        check compared an 8-byte slice to a 6-byte literal and never
+        matched."""
+        frames = [_gray8(seed=70 + i, shape=(24, 32)) for i in range(2)]
+        streams = [_enc(f) for f in frames]        # JP2 container form
+        # split each stream into two fragments → 4 fragments, 2 frames
+        frags = []
+        for s in streams:
+            frags += [s[:37], s[37:]]
+        from mdx.io.dicom import _group_frame_streams
+
+        got = _group_frame_streams(frags, 2, "JPEG 2000", kind="jpeg2k")
+        assert got == streams
+
+    def test_jls_fragment_starting_ff4f_not_split(self):
+        """FF 4F can legally begin a JPEG-LS continuation fragment; the
+        JPEG-family grouping must not treat it as a frame start."""
+        from mdx.io.dicom import _group_frame_streams
+
+        f1 = b"\xff\xd8" + b"\x01" * 10
+        f2 = b"\xff\x4f" + b"\x02" * 10     # continuation, not a frame
+        f3 = b"\xff\xd8" + b"\x03" * 10
+        got = _group_frame_streams([f1, f2, f3], 2, "JPEG-LS",
+                                   kind="jpeg")
+        assert got == [f1 + f2, f3]
+
+    def test_signed_8bit_write_roundtrip(self, tmp_path):
+        """Signed 8-bit data must encode at depth 8 (a 16-bit codestream
+        in a BitsAllocated=8 container is refused by the reader)."""
+        rng = np.random.default_rng(71)
+        pix = rng.integers(-128, 128, (20, 24)).astype(np.int8)
+        p = write_dicom(str(tmp_path / "s8.dcm"), pix, signed=True,
+                        transfer_syntax=TS_J2K_LOSSLESS)
+        ds = read_dataset(p)
+        np.testing.assert_array_equal(decode_pixels(ds), pix)
+
+    def test_truncated_coc_qcc_raise_jpeg2k_error(self):
+        s = bytearray(_enc(_gray8(seed=72), no_jp2=True))
+        i = s.find(b"\xff\x5c")
+        for marker in (0xFF53, 0xFF5D):     # COC, QCC
+            seg = struct.pack(">HH", marker, 5) + b"\x00\x00\x00"
+            s2 = bytes(s[:i]) + seg + bytes(s[i:])
+            with pytest.raises(Jpeg2kError,
+                               match="Truncated|too short"):
+                jpeg2k.decode(s2)
+
+    def test_ybr_rct_source_transcodes(self, tmp_path):
+        """Color J2K sources (YBR_RCT photometric) decode to RGB, so the
+        transcoder must rewrite the photometric instead of refusing."""
+        from mdx.io.transcode import transcode
+
+        g = _gray8(seed=73, shape=(16, 16))
+        rgb = np.stack([g, np.roll(g, 2, 1), 255 - g], -1)
+        s = _enc(rgb, "RGB", no_jp2=True)
+        p = _encapsulate_j2k(tmp_path, "c.dcm", [s], 16, 16,
+                             TS_J2K_LOSSLESS, samples=3,
+                             photometric="YBR_RCT")
+        want = decode_pixels(read_dataset(p))
+        dp = str(tmp_path / "o.dcm")
+        transcode(p, dp, "explicit-le")
+        ds = read_dataset(dp)
+        assert ds.get("PhotometricInterpretation") == "RGB"
+        np.testing.assert_array_equal(decode_pixels(ds), want)
+
+    def test_autotune_honors_tv_mode(self, monkeypatch):
+        """MDX_TV_MODE must reach every PlanStatic construction site —
+        the autotune paths once silently ignored it (the sweep is
+        exactly where TV dominates)."""
+        from mdx.ops.tv import resolve_tv_mode
+
+        monkeypatch.setenv("MDX_TV_MODE", "fast")
+        assert resolve_tv_mode() == "fast"
+        import inspect
+
+        from mdx.core import tuning
+        from mdx.parallel import plan_sp
+        from mdx.pipeline import spatial_runner
+
+        for mod in (tuning, plan_sp, spatial_runner):
+            src = inspect.getsource(mod)
+            assert "resolve_tv_mode" in src, mod.__name__
