@@ -300,43 +300,66 @@ def _clahe_kernel(clip_ref, x_ref, row_sel_ref, col_sel_ref, wr4_ref,
     # the adds cannot reorder any pixel's contributions)
     _REMAP_UNROLL = 16
 
+    # Remap dots carry real-valued operands, so they run as
+    # concatenated bf16-split DEFAULT matmuls (_bf16_split): the row
+    # interpolation keeps all four hi/lo product blocks (exact), the
+    # wide column dot keeps three (drops lo·lo, ≤~2e-5) — vs 4e-3 for a
+    # plain DEFAULT dot and 22.8 ms for HIGHEST (docs/PERF.md round-5
+    # table).  At this size class the kernel is matmul-INSTRUCTION-
+    # bound, so the dots are additionally hoisted across the 16-bin
+    # unroll group: ONE row-interp dot per group ([h, 4·gy]×[4·gy,
+    # 16·gx]) and blend in 4-bin sub-batches ([4·h, 3·gx]×[3·gx, w]) —
+    # 512 → 5 matmul instructions per group, measured 5.98 → 5.06
+    # ms/batch at 32×512² (parity 1.0e-5), faster than even the broken
+    # single-pass kernel's 5.6.  The histogram dots above stay plain
+    # DEFAULT: 0/1 matrices × 0/1 masks accumulate exact integer
+    # counts ≤ t² in any precision.
+    _SUB = 4
+
     def remap_body(b0, _):
-        acc = None
-        for j in range(_REMAP_UNROLL):
-            b = b0 * _REMAP_UNROLL + j
-            lb = (lut_ref[b] - cdf0) / denom                 # [gy, gx]
-            # both remap dots carry real-valued operands, so both run
-            # as concatenated bf16-split DEFAULT matmuls (_bf16_split):
-            # row interpolation keeps all four hi/lo product blocks
-            # (exact), the wide column dot keeps three (drops lo·lo,
-            # ≤~2e-5); parity vs the XLA lowering on the REAL backend
-            # 1.0e-5 at 5.98 ms/batch — vs 4e-3 for a plain DEFAULT
-            # dot and 22.8 ms for HIGHEST (docs/PERF.md round-5 table).
-            # The histogram dots above stay plain DEFAULT: 0/1
-            # matrices × 0/1 masks accumulate exact integer counts
-            # ≤ t² even with bf16 inputs.
-            if exact:
+        lbs = [(lut_ref[b0 * _REMAP_UNROLL + j] - cdf0) / denom
+               for j in range(_REMAP_UNROLL)]                # [gy, gx] ea
+        if exact:
+            lb4s = []
+            for lb in lbs:
                 lb_hi, lb_lo = _bf16_split(lb)
-                lb4 = jnp.concatenate([lb_hi, lb_lo, lb_hi, lb_lo],
-                                      axis=0)                # [4·gy, gx]
-                rows = jnp.dot(wr4, lb4,
+                lb4s.append(jnp.concatenate(
+                    [lb_hi, lb_lo, lb_hi, lb_lo], axis=0))
+            lb_all = jnp.concatenate(lb4s, axis=1)   # [4·gy, U·gx]
+            rows_all = jnp.dot(wr4, lb_all,
                                preferred_element_type=jnp.float32)
-                r_hi, r_lo = _bf16_split(rows)
-                r3 = jnp.concatenate([r_hi, r_hi, r_lo],
-                                     axis=1)                 # [h, 3·gx]
-                blend = jnp.dot(r3, wc3,
-                                preferred_element_type=jnp.float32)
+        else:
+            # MDX_CLAHE_PRECISION=fast: single-pass bf16 remap,
+            # unsplit weights recovered from the split blocks
+            wr = wr4[:, :gy] + wr4[:, 2 * gy:3 * gy]
+            lb_all = jnp.concatenate(lbs, axis=1)    # [gy, U·gx]
+            rows_all = jnp.dot(wr, lb_all,
+                               preferred_element_type=jnp.float32)
+        acc = None
+        for sub in range(_REMAP_UNROLL // _SUB):
+            rbatch = []
+            for jj in range(_SUB):
+                i = sub * _SUB + jj
+                r = rows_all[:, i * gx:(i + 1) * gx]
+                if exact:
+                    r_hi, r_lo = _bf16_split(r)
+                    rbatch.append(jnp.concatenate(
+                        [r_hi, r_hi, r_lo], axis=1))          # [h, 3·gx]
+                else:
+                    rbatch.append(r)
+            rb = jnp.concatenate(rbatch, axis=0)
+            if exact:
+                blend_b = jnp.dot(rb, wc3,
+                                  preferred_element_type=jnp.float32)
             else:
-                # MDX_CLAHE_PRECISION=fast: single-pass bf16 remap,
-                # unsplit weights recovered from the split blocks
-                wr = wr4[:, :gy] + wr4[:, 2 * gy:3 * gy]
                 wc = wc3[:gx] + wc3[gx:2 * gx]
-                rows = jnp.dot(wr, lb,
-                               preferred_element_type=jnp.float32)
-                blend = jnp.dot(rows, wc,
-                                preferred_element_type=jnp.float32)
-            term = jnp.where(q == b, blend, 0.0)
-            acc = term if acc is None else acc + term
+                blend_b = jnp.dot(rb, wc,
+                                  preferred_element_type=jnp.float32)
+            for jj in range(_SUB):
+                b = b0 * _REMAP_UNROLL + sub * _SUB + jj
+                term = jnp.where(q == b,
+                                 blend_b[jj * h:(jj + 1) * h], 0.0)
+                acc = term if acc is None else acc + term
         out_ref[0] = out_ref[0] + acc
         return 0
 
