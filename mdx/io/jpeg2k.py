@@ -2109,16 +2109,21 @@ def encode(img: np.ndarray, signed: bool = False, levels: int = 5,
             itree = _TagTreeEnc(nbx, nby)
             ztree = _TagTreeEnc(nbx, nby)
             mb = guard + (depth + gain[btype]) - 1
+            # Tier-1 encode fans out over the block pool like decode —
+            # code-blocks are independent and the native kernel
+            # releases the GIL (MDX_IO_THREADS convention)
+            coords = [(gx, gy) for gy in range(nby)
+                      for gx in range(nbx)]
+            subs = [arr[gy * cbsz:(gy + 1) * cbsz,
+                        gx * cbsz:(gx + 1) * cbsz].astype(np.int64)
+                    for gx, gy in coords]
+            encoded = _map_parallel(
+                lambda s: _t1_enc_block(s, btype), subs)
             blk_info = []
-            for gy in range(nby):
-                for gx in range(nbx):
-                    sub = arr[gy * cbsz:(gy + 1) * cbsz,
-                              gx * cbsz:(gx + 1) * cbsz]
-                    data_, numbps, npasses = _t1_enc_block(
-                        sub.astype(np.int64), btype)
-                    zbp = mb - numbps if numbps else mb
-                    blk_info.append((gx, gy, data_, numbps, npasses,
-                                     zbp))
+            for (gx, gy), (data_, numbps, npasses) in zip(coords,
+                                                          encoded):
+                zbp = mb - numbps if numbps else mb
+                blk_info.append((gx, gy, data_, numbps, npasses, zbp))
             for gx, gy, data_, numbps, npasses, zbp in blk_info:
                 # all-zero blocks are "not included in layer 0": the
                 # inclusion tag-tree value 1 exceeds the threshold
