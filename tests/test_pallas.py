@@ -850,3 +850,22 @@ class TestClahePrecisionKnob:
         want = clahe_xla(x, jnp.float32(0.02), 16, 256)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+    @pytest.mark.parametrize("mode", ["exact", "fast"])
+    def test_banded_interpret_parity_both_modes(self, monkeypatch,
+                                                mode):
+        import jax.numpy as jnp
+
+        from mdx.ops import pallas_kernels as PK
+        from mdx.ops.clahe import clahe_xla
+
+        monkeypatch.setenv("MDX_CLAHE_PRECISION", mode)
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.random((2, 96, 64), np.float32))
+        got = PK._clahe_banded(jnp.clip(x, 0, 1),
+                               jnp.asarray([0.02, 0.04], jnp.float32),
+                               16, 256, interpret=True)
+        want = clahe_xla(x, jnp.asarray([0.02, 0.04], jnp.float32),
+                         16, 256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
